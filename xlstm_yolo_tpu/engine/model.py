@@ -1,0 +1,76 @@
+"""User-facing Model facade (reference engine/model.py:29).
+
+``Model("yolov8n.yaml")`` builds a task model; ``.train/.val/.predict``
+construct the task-specific worker lazily through a task map, like the
+reference's ``_smart_load`` (engine/model.py:1072)."""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+
+
+class Model:
+    def __init__(self, model: str | Path = "yolov8n.yaml", task: str | None = None, verbose: bool = False):
+        from ..nn.tasks import TaskModel
+
+        self.model_path = str(model)
+        if str(model).endswith((".yaml", ".yml")):
+            self.model = TaskModel(str(model), verbose=verbose)
+            self.variables = self.model.init()
+            self.ckpt = None
+        elif str(model).endswith(".ckpt") or Path(str(model)).is_dir():
+            from ..utils.checkpoint import load_checkpoint
+
+            self.model, self.variables, self.ckpt = load_checkpoint(str(model))
+        else:
+            raise ValueError(f"unsupported model source {model!r} (expected .yaml or checkpoint dir)")
+        self.task = task or self.model.task
+        self.predictor = None
+        self.trainer = None
+        self.metrics = None
+
+    @property
+    def names(self):
+        return self.model.names
+
+    def predict(self, source=None, stream: bool = False, **kwargs) -> list:
+        from .predictor import Predictor
+
+        if self.predictor is None:
+            self.predictor = Predictor(self.model, self.variables, **kwargs)
+        return self.predictor(source, stream=stream)
+
+    def __call__(self, source=None, **kwargs):
+        return self.predict(source, **kwargs)
+
+    def val(self, data: str | None = None, **kwargs):
+        from .validator import Validator
+
+        v = Validator(self.model, **kwargs)
+        self.metrics = v(self.variables, data=data)
+        return self.metrics
+
+    def train(self, data: str | None = None, **kwargs):
+        from .trainer import Trainer
+
+        self.trainer = Trainer(self.model, overrides={"data": data, **kwargs})
+        self.trainer.variables = self.variables
+        result = self.trainer.train()
+        self.variables = self.trainer.variables
+        self.metrics = getattr(self.trainer, "metrics", None)
+        return result
+
+    def export(self, **kwargs):
+        from .exporter import Exporter
+
+        return Exporter(self.model, self.variables, **kwargs)()
+
+    def info(self):
+        return self.model.info(self.variables)
+
+    def save(self, path: str):
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.model, self.variables)

@@ -1,0 +1,404 @@
+"""Conv/block module zoo — flax.linen, NHWC layout (TPU-native).
+
+Re-designs the reference module zoo (``nn/modules/conv.py``,
+``nn/modules/block.py:1-1186``) for XLA: NHWC activations (TPU conv layout),
+BatchNorm through linen with a mutable ``batch_stats`` collection (under
+SPMD jit a mean over the sharded batch axis is a *global* mean, so this is
+sync-BN for free), SiLU default activation, and inference-time Conv+BN
+folding done as a pure pytree transform (see ``fuse.py``) instead of module
+surgery.
+
+Every module takes/returns (B, H, W, C) unless stated. ``train: bool`` is
+threaded through ``__call__`` for BN mode.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def autopad(k: int, p: int | None = None, d: int = 1) -> int:
+    """Same-padding for odd kernels (reference nn/modules/conv.py:autopad)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    if p is None:
+        p = k // 2
+    return p
+
+
+class ConvBN(nn.Module):
+    """Conv2d + BatchNorm + activation. The reference ``Conv`` (conv.py:38-58)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    d: int = 1
+    act: bool | str = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=x.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn"
+        )(x)
+        return _act(x, self.act)
+
+
+def _act(x, act):
+    if act is True or act == "silu":
+        return nn.silu(x)
+    if act is False or act is None or act == "identity":
+        return x
+    if act == "relu":
+        return nn.relu(x)
+    if act == "sigmoid":
+        return nn.sigmoid(x)
+    if act == "gelu":
+        return nn.gelu(x)
+    raise ValueError(f"unknown act {act!r}")
+
+
+class DWConv(ConvBN):
+    """Depthwise conv: groups = gcd(c1, c2); here we require c1 == c2 == g."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math
+
+        g = math.gcd(x.shape[-1], self.c2)
+        pad = autopad(self.k, self.p, self.d)
+        y = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=x.dtype,
+            name="conv",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn"
+        )(y)
+        return _act(y, self.act)
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (reference block.py Bottleneck)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: tuple = (3, 3)
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c_, self.k[0], 1, name="cv1")(x, train)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    """CSP bottleneck, 2 convs, fast (reference block.py C2f)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m{i}")(ys[-1], train)
+            )
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (reference block.py C3)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, k=(1, 3), e=1.0, name=f"m{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3k2(nn.Module):
+    """YOLO11 block: C2f whose inner blocks are C3k or Bottleneck (block.py C3k2)."""
+
+    c2: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            if self.c3k:
+                ys.append(C3k(c, 2, self.shortcut, self.g, name=f"m{i}")(ys[-1], train))
+            else:
+                ys.append(Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m{i}")(ys[-1], train))
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class C3k(nn.Module):
+    """C3 with configurable kernel (block.py C3k)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    k: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, k=(self.k, self.k), e=1.0, name=f"m{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling, fast (reference block.py SPPF): 3 chained maxpools."""
+
+    c2: int
+    k: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        p = self.k // 2
+        outs = [y]
+        for _ in range(3):
+            outs.append(
+                nn.max_pool(
+                    outs[-1], (self.k, self.k), strides=(1, 1), padding=((p, p), (p, p))
+                )
+            )
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(outs, axis=-1), train)
+
+
+class Concat(nn.Module):
+    """Concatenate a list of tensors along channels."""
+
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        return jnp.concatenate(list(xs), axis=self.axis)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x upsample (torch nn.Upsample equivalent)."""
+
+    scale: int = 2
+    mode: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        if self.mode == "nearest":
+            return jax.image.resize(x, (b, h * self.scale, w * self.scale, c), method="nearest")
+        return jax.image.resize(x, (b, h * self.scale, w * self.scale, c), method="bilinear")
+
+
+class MaxPool(nn.Module):
+    k: int = 2
+    s: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.k // 2 if self.k % 2 == 1 else 0
+        return nn.max_pool(x, (self.k, self.k), strides=(self.s, self.s), padding=((p, p), (p, p)))
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention over the spatial grid with positional conv
+    (reference block.py Attention used by PSA/C2PSA)."""
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w
+        head_dim = self.dim // self.num_heads
+        key_dim = int(head_dim * self.attn_ratio)
+        nh_kd = key_dim * self.num_heads
+        hsz = self.dim + nh_kd * 2
+        qkv = ConvBN(hsz, 1, act=False, name="qkv")(x, train)
+        qkv = qkv.reshape(b, n, self.num_heads, key_dim * 2 + head_dim)
+        q, k, v = jnp.split(qkv, [key_dim, key_dim * 2], axis=-1)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32) / jnp.sqrt(
+            jnp.float32(key_dim)
+        )
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, self.dim)
+        pe = ConvBN(self.dim, 3, 1, g=self.dim, act=False, name="pe")(
+            v.reshape(b, h, w, self.num_heads * head_dim), train
+        )
+        return ConvBN(self.dim, 1, act=False, name="proj")(y + pe, train)
+
+
+class PSABlock(nn.Module):
+    """Attention + MLP with residuals (reference block.py PSABlock)."""
+
+    c: int
+    attn_ratio: float = 0.5
+    num_heads: int = 4
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Attention(self.c, self.num_heads, self.attn_ratio, name="attn")(x, train)
+        x = x + y if self.shortcut else y
+        y = ConvBN(self.c * 2, 1, name="ffn0")(x, train)
+        y = ConvBN(self.c, 1, act=False, name="ffn1")(y, train)
+        return x + y if self.shortcut else y
+
+
+class C2PSA(nn.Module):
+    """CSP wrapper around PSABlocks (reference block.py C2PSA, YOLO11)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        a, b_ = jnp.split(y, [c], axis=-1)
+        for i in range(self.n):
+            b_ = PSABlock(c, attn_ratio=0.5, num_heads=max(1, c // 64), name=f"m{i}")(b_, train)
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate([a, b_], axis=-1), train)
+
+
+class SCDown(nn.Module):
+    """Separable conv downsample (reference block.py SCDown, v10)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 1, 1, name="cv1")(x, train)
+        return ConvBN(self.c2, self.k, self.s, g=self.c2, act=False, name="cv2")(y, train)
+
+
+class ADown(nn.Module):
+    """v9 downsample: avgpool+conv branch and maxpool+conv branch."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2 // 2
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding=((0, 1), (0, 1)))
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x1 = ConvBN(c, 3, 2, name="cv1")(x1, train)
+        x2 = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x2 = ConvBN(c, 1, 1, name="cv2")(x2, train)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (reference conv.py Focus)."""
+
+    c2: int
+    k: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
+            axis=-1,
+        )
+        return ConvBN(self.c2, self.k, 1, name="conv")(x, train)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (reference conv.py GhostConv)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBN(c_, self.k, self.s, name="cv1")(x, train)
+        y2 = ConvBN(c_, 5, 1, g=c_, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class Index(nn.Module):
+    """Select one tensor from a list input (reference conv.py Index)."""
+
+    index: int = 0
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return xs[self.index]
+
+
+class Classify(nn.Module):
+    """Classification head: conv -> GAP -> dropout -> linear (reference head.py Classify)."""
+
+    nc: int
+    c_: int = 1280
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.c_, 1, 1, name="conv")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dense(self.nc, name="linear")(x)
+        return x

@@ -1,0 +1,123 @@
+"""Task models: thin stateless wrappers binding a compiled graph to task logic.
+
+Re-design of reference ``nn/tasks.py`` (BaseModel :112, DetectionModel :318).
+A TaskModel holds the parsed graph + flax module + static metadata (strides,
+nc, task); parameters live outside the object as pytrees (functional style),
+so the same model object serves init / train / eval / export.
+
+Strides are derived with ``jax.eval_shape`` (abstract — zero FLOPs) at
+imgsz=512, mirroring the fork's 512 stride probe (nn/tasks.py:353, upstream
+uses 256).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import load_model_yaml
+from . import heads as H
+from .graph import GraphModel, ParsedModel, parse_model
+
+
+class TaskModel:
+    """A compiled model graph + task metadata. Parameters are external pytrees."""
+
+    def __init__(self, cfg: str | dict, ch: int = 3, nc: int | None = None, scale: str | None = None,
+                 verbose: bool = False):
+        if isinstance(cfg, (str,)):
+            self.yaml, yscale = load_model_yaml(cfg)
+            scale = scale or yscale
+        else:
+            self.yaml = dict(cfg)
+        if nc is not None:
+            self.yaml["nc"] = nc
+        self.scale = scale
+        self.parsed: ParsedModel = parse_model(self.yaml, ch=ch, scale=scale, verbose=verbose)
+        self.module = GraphModel(self.parsed)
+        self.nc = self.parsed.nc
+        self.task = self.parsed.task
+        self.reg_max = 16
+        self.ch = ch
+        self.strides = self._probe_strides()
+        self.names = {i: f"{i}" for i in range(self.nc)}
+
+    # -- construction ---------------------------------------------------------
+    def _probe_strides(self, imgsz: int = 512) -> tuple:
+        """Abstract forward to find detection-scale strides (fork probes at 512)."""
+        if self.task == "classify":
+            return ()
+        dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+
+        def fwd(x):
+            variables = self.module.init(jax.random.PRNGKey(0), x, train=False)
+            return self.module.apply(variables, x, train=False)
+
+        out = jax.eval_shape(fwd, dummy)
+        det = out["det"] if isinstance(out, dict) else out
+        return tuple(imgsz // m.shape[1] for m in det)
+
+    def init(self, key: jax.Array | int = 0, imgsz: int = 64) -> dict:
+        """Initialize variables ({'params': ..., 'batch_stats': ...})."""
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        return self.module.init(key, dummy, train=False)
+
+    # -- forward --------------------------------------------------------------
+    def apply(self, variables: dict, x: jnp.ndarray, train: bool = False, mutable: Sequence[str] | bool = False):
+        return self.module.apply(variables, x, train=train, mutable=mutable)
+
+    def raw_forward(self, variables: dict, x: jnp.ndarray):
+        """Eval-mode forward returning the head's raw output."""
+        return self.module.apply(variables, x, train=False)
+
+    def predictions(self, variables: dict, x: jnp.ndarray) -> jnp.ndarray:
+        """Eval forward -> decoded (B, N, 4+nc) candidates (pixel xywh + scores)."""
+        out = self.raw_forward(variables, x)
+        det = out["det"] if isinstance(out, dict) else out
+        return H.decode_detections(det, self.strides, self.nc, self.reg_max)
+
+    def loss(self, variables: dict, batch: dict, hyp: Any = None, train: bool = True):
+        """Train-mode forward + task loss.
+
+        batch: {"img": (B, H, W, 3) float, "cls_boxes": (B, n_max, 5),
+                "mask": (B, n_max) bool}
+        Returns ((total, aux_dict), new_batch_stats) when train else (total, aux).
+        """
+        from ..utils import loss as L
+
+        gains = dict(box=7.5, cls=0.5, dfl=1.5)
+        if hyp is not None:
+            gains = dict(box=getattr(hyp, "box", 7.5), cls=getattr(hyp, "cls", 0.5), dfl=getattr(hyp, "dfl", 1.5))
+
+        if train:
+            out, updates = self.module.apply(
+                variables, batch["img"], train=True, mutable=["batch_stats"]
+            )
+        else:
+            out, updates = self.module.apply(variables, batch["img"], train=False), {}
+        det = out["det"] if isinstance(out, dict) else out
+        lo = L.detection_loss(
+            det, batch["cls_boxes"], batch["mask"], self.strides, self.nc, self.reg_max,
+            box_gain=gains["box"], cls_gain=gains["cls"], dfl_gain=gains["dfl"],
+        )
+        aux = {"box": lo.box, "cls": lo.cls, "dfl": lo.dfl}
+        return (lo.total, aux), updates
+
+    # -- info -----------------------------------------------------------------
+    def num_params(self, variables: dict) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables.get("params", variables)))
+
+    def info(self, variables: dict | None = None) -> str:
+        n_layers = len(self.parsed.specs)
+        s = f"{self.task} model: {n_layers} layers, strides {self.strides}, nc={self.nc}"
+        if variables is not None:
+            s += f", {self.num_params(variables):,} params"
+        return s
+
+
+class DetectionModel(TaskModel):
+    """Alias kept for API parity with the reference (nn/tasks.py:318)."""

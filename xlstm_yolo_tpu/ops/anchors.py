@@ -1,0 +1,81 @@
+"""Anchor-free grid utilities + distribution-focal decode.
+
+TPU-native equivalents of reference ``utils/tal.py:333-385`` (make_anchors,
+dist2bbox, bbox2dist, dist2rbox) and the DFL integral decode used by the
+Detect head (reference ``nn/modules/block.py:78``, ``nn/modules/head.py:100-131``).
+
+All shapes are static: anchor grids are computed from python-int feature map
+sizes at trace time, so under jit they are compile-time constants.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def make_anchors(feat_shapes, strides, grid_cell_offset: float = 0.5, dtype=jnp.float32):
+    """Anchor centers + stride tensor from feature map shapes.
+
+    Args:
+        feat_shapes: sequence of (h, w) python ints per detection scale.
+        strides: sequence of python numbers, one per scale.
+
+    Returns:
+        anchor_points: (sum(h*w), 2) in grid units (x, y).
+        stride_tensor: (sum(h*w), 1).
+    """
+    anchor_points, stride_tensor = [], []
+    for (h, w), s in zip(feat_shapes, strides):
+        sx = jnp.arange(w, dtype=dtype) + grid_cell_offset
+        sy = jnp.arange(h, dtype=dtype) + grid_cell_offset
+        gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+        anchor_points.append(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
+        stride_tensor.append(jnp.full((h * w, 1), s, dtype=dtype))
+    return jnp.concatenate(anchor_points), jnp.concatenate(stride_tensor)
+
+
+def dist2bbox(distance: jnp.ndarray, anchor_points: jnp.ndarray, xywh: bool = True, axis: int = -1) -> jnp.ndarray:
+    """(l, t, r, b) distances + anchor centers -> boxes (xywh or xyxy)."""
+    lt, rb = jnp.split(distance, 2, axis=axis)
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        c_xy = (x1y1 + x2y2) / 2
+        wh = x2y2 - x1y1
+        return jnp.concatenate([c_xy, wh], axis=axis)
+    return jnp.concatenate([x1y1, x2y2], axis=axis)
+
+
+def bbox2dist(anchor_points: jnp.ndarray, bbox: jnp.ndarray, reg_max: float) -> jnp.ndarray:
+    """xyxy boxes -> (l, t, r, b) distances, clipped to reg_max - 0.01."""
+    x1y1, x2y2 = jnp.split(bbox, 2, axis=-1)
+    return jnp.clip(
+        jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1), 0, reg_max - 0.01
+    )
+
+
+def dist2rbox(pred_dist: jnp.ndarray, pred_angle: jnp.ndarray, anchor_points: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Decode rotated boxes from (l, t, r, b) + angle. Reference utils/tal.py:365."""
+    lt, rb = jnp.split(pred_dist, 2, axis=axis)
+    cos, sin = jnp.cos(pred_angle), jnp.sin(pred_angle)
+    xf, yf = jnp.split((rb - lt) / 2, 2, axis=axis)
+    x, y = xf * cos - yf * sin, xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], axis=axis) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis=axis)
+
+
+def dfl_decode(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """Distribution Focal Loss integral decode.
+
+    Args:
+        pred_dist: (..., 4 * reg_max) raw logits.
+    Returns:
+        (..., 4) expected distances: softmax over each reg_max bin group,
+        dotted with the bin index vector (reference ``nn/modules/block.py:78``).
+    """
+    shape = pred_dist.shape[:-1]
+    x = pred_dist.reshape(*shape, 4, reg_max)
+    x = jnp.astype(x, jnp.float32)
+    proj = jnp.arange(reg_max, dtype=jnp.float32)
+    import jax
+
+    return jnp.einsum("...r,r->...", jax.nn.softmax(x, axis=-1), proj)

@@ -1,0 +1,172 @@
+"""Fixed-shape, fully on-device NMS.
+
+TPU-native redesign of reference ``utils/ops.py:181`` (non_max_suppression)
+and ``utils/ops.py:146`` (nms_rotated / fast matrix NMS). The reference
+returns a ragged python list of per-image tensors; on TPU everything is
+static: every image yields exactly ``max_det`` slots, invalid slots carry
+score 0 and class -1. Downstream (metrics, Results) consume the validity
+mask instead of ragged lengths.
+
+Two suppression modes:
+  * ``exact=False`` (default): YOLACT-style matrix "Fast-NMS" — keep box i
+    iff no higher-scoring box overlaps it with IoU > thresh. One (K, K) IoU
+    matrix + triu max; no sequential dependency, ideal for the TPU.
+    This is the same rule the reference uses for rotated boxes
+    (``utils/ops.py:146-178``).
+  * ``exact=True``: classic greedy NMS via a lax.scan over the score-sorted
+    candidates (bit-exact match to torchvision.ops.nms semantics), used when
+    strict parity with the reference's CUDA NMS is needed (e.g. mAP eval).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_iou, xywh2xyxy
+
+
+def _suppress_fast(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """Matrix NMS: keep[i] = no j < i (higher score) with IoU > thresh."""
+    k = iou.shape[0]
+    upper = jnp.triu(jnp.ones((k, k), dtype=bool), k=1)  # j < i in column i
+    max_prev = jnp.max(jnp.where(upper, iou, 0.0), axis=0)
+    return max_prev <= iou_thres
+
+
+def _suppress_exact(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """Greedy NMS over score-sorted candidates (sequential scan)."""
+    k = iou.shape[0]
+
+    def body(keep, i):
+        # i is suppressed if any kept j < i overlaps it
+        sup = jnp.any(keep & (jnp.arange(k) < i) & (iou[:, i] > iou_thres))
+        keep = keep.at[i].set(~sup)
+        return keep, None
+
+    keep0 = jnp.ones((k,), dtype=bool)
+    keep, _ = jax.lax.scan(body, keep0, jnp.arange(k))
+    return keep
+
+
+@partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "multi_label", "exact", "max_wh", "class_agnostic"),
+)
+def non_max_suppression(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    multi_label: bool = False,
+    exact: bool = False,
+    max_wh: float = 7680.0,
+    class_agnostic: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fixed-shape NMS.
+
+    Args:
+        prediction: (B, N, 4 + nc): xywh boxes + per-class scores (already
+            sigmoid-ed), the layout produced by the Detect head decode.
+        multi_label: emit one candidate per (box, class) over conf_thres
+            (used for mAP eval, reference utils/ops.py:280-287) instead of
+            argmax class.
+
+    Returns:
+        dets: (B, max_det, 6) = (x1, y1, x2, y2, score, cls); empty slots
+            are all zeros with cls = -1.
+        valid: (B, max_det) bool mask.
+    """
+    b, n, no = prediction.shape
+    nc = no - 4
+    boxes_xywh = prediction[..., :4]
+    scores_all = prediction[..., 4:]
+
+    if multi_label:
+        # flatten (box, class) pairs; top-k over N * nc candidates
+        flat_scores = scores_all.reshape(b, n * nc)
+        flat_cls = jnp.tile(jnp.arange(nc, dtype=jnp.float32), (n,))
+        k = min(pre_topk, n * nc)
+        top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+        box_idx = top_idx // nc
+        cls = flat_cls[top_idx]
+        boxes = jnp.take_along_axis(boxes_xywh, box_idx[..., None], axis=1)
+        scores = top_scores
+    else:
+        scores = jnp.max(scores_all, axis=-1)
+        cls_full = jnp.argmax(scores_all, axis=-1).astype(jnp.float32)
+        k = min(pre_topk, n)
+        scores, top_idx = jax.lax.top_k(scores, k)
+        boxes = jnp.take_along_axis(boxes_xywh, top_idx[..., None], axis=1)
+        cls = jnp.take_along_axis(cls_full, top_idx, axis=1)
+
+    valid = scores > conf_thres
+    boxes = xywh2xyxy(boxes)
+
+    def per_image(boxes_i, scores_i, cls_i, valid_i):
+        offset = jnp.where(class_agnostic, 0.0, cls_i * max_wh)
+        oboxes = boxes_i + offset[:, None]
+        # invalid candidates get IoU 0 against everything by zeroing boxes
+        oboxes = jnp.where(valid_i[:, None], oboxes, -2.0 * max_wh * jnp.float32(nc))
+        iou = box_iou(oboxes, oboxes)
+        keep = _suppress_exact(iou, iou_thres) if exact else _suppress_fast(iou, iou_thres)
+        keep = keep & valid_i
+        final_scores = jnp.where(keep, scores_i, 0.0)
+        out_scores, out_idx = jax.lax.top_k(final_scores, max_det)
+        out_valid = out_scores > conf_thres
+        out_boxes = jnp.where(out_valid[:, None], boxes_i[out_idx], 0.0)
+        out_cls = jnp.where(out_valid, cls_i[out_idx], -1.0)
+        dets = jnp.concatenate(
+            [out_boxes, jnp.where(out_valid, out_scores, 0.0)[:, None], out_cls[:, None]], axis=-1
+        )
+        return dets, out_valid
+
+    return jax.vmap(per_image)(boxes, scores, cls, valid)
+
+
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk"))
+def nms_rotated(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-shape rotated-box NMS using probiou (reference utils/ops.py:146).
+
+    Args:
+        prediction: (B, N, 5 + nc): (cx, cy, w, h, angle) + class scores.
+    Returns:
+        dets: (B, max_det, 7) = (cx, cy, w, h, angle, score, cls), valid mask.
+    """
+    from .boxes import batch_probiou
+
+    b, n, no = prediction.shape
+    nc = no - 5
+    rboxes = jnp.concatenate([prediction[..., :4], prediction[..., 4 + nc :]], axis=-1)  # cxcywh + angle
+    scores_all = prediction[..., 4 : 4 + nc]
+    scores = jnp.max(scores_all, axis=-1)
+    cls_full = jnp.argmax(scores_all, axis=-1).astype(jnp.float32)
+    k = min(pre_topk, n)
+    scores, top_idx = jax.lax.top_k(scores, k)
+    boxes = jnp.take_along_axis(rboxes, top_idx[..., None], axis=1)
+    cls = jnp.take_along_axis(cls_full, top_idx, axis=1)
+    valid = scores > conf_thres
+
+    def per_image(boxes_i, scores_i, cls_i, valid_i):
+        masked = jnp.where(valid_i[:, None], boxes_i, 0.0)
+        iou = batch_probiou(masked, masked)
+        keep = _suppress_fast(iou, iou_thres) & valid_i
+        final_scores = jnp.where(keep, scores_i, 0.0)
+        out_scores, out_idx = jax.lax.top_k(final_scores, max_det)
+        out_valid = out_scores > conf_thres
+        out_boxes = jnp.where(out_valid[:, None], boxes_i[out_idx], 0.0)
+        out_cls = jnp.where(out_valid, cls_i[out_idx], -1.0)
+        dets = jnp.concatenate(
+            [out_boxes, jnp.where(out_valid, out_scores, 0.0)[:, None], out_cls[:, None]], axis=-1
+        )
+        return dets, out_valid
+
+    return jax.vmap(per_image)(boxes, scores, cls, valid)

@@ -1,0 +1,123 @@
+"""Task-Aligned assignment, fully vectorized jnp (static shapes).
+
+Re-design of reference ``utils/tal.py:14-330`` (TaskAlignedAssigner). The
+reference operates on padded (bs, n_max_boxes, ...) tensors already — we keep
+that layout end-to-end, so there is no CPU fallback or dynamic shape anywhere
+(the reference needs an OOM fallback at tal.py:75-80; on TPU the whole
+assignment is a handful of fused elementwise ops + one (b, n_max, n_anchors)
+IoU tensor).
+
+Alpha/beta defaults follow the fork (alpha=0.5, beta=6.0 from utils/loss.py:176).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import bbox_iou
+
+
+def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Anchors whose center lies inside each GT box.
+
+    Args:
+        xy_centers: (n_anchors, 2); gt_bboxes: (b, n_max, 4) xyxy.
+    Returns:
+        (b, n_max, n_anchors) bool.
+    """
+    lt = gt_bboxes[..., None, :2]  # (b, n_max, 1, 2)
+    rb = gt_bboxes[..., None, 2:]
+    deltas = jnp.concatenate(
+        [xy_centers[None, None] - lt, rb - xy_centers[None, None]], axis=-1
+    )  # (b, n_max, n_anchors, 4)
+    return jnp.min(deltas, axis=-1) > eps
+
+
+def select_highest_overlaps(mask_pos: jnp.ndarray, overlaps: jnp.ndarray, n_max_boxes: int):
+    """Resolve anchors matched to multiple GTs: keep the highest-IoU GT.
+
+    Args:
+        mask_pos: (b, n_max, n_anchors) float/bool; overlaps same shape.
+    Returns:
+        target_gt_idx (b, n_anchors), fg_mask (b, n_anchors), mask_pos resolved.
+    """
+    fg_count = jnp.sum(mask_pos, axis=-2)  # (b, n_anchors)
+    multi = fg_count > 1
+    best_gt = jnp.argmax(jnp.where(mask_pos > 0, overlaps, -1.0), axis=-2)  # (b, n_anchors)
+    onehot_best = jax.nn.one_hot(best_gt, n_max_boxes, axis=-2, dtype=mask_pos.dtype)
+    mask_pos = jnp.where(multi[:, None, :], onehot_best * (fg_count[:, None, :] > 0), mask_pos)
+    fg_mask = jnp.sum(mask_pos, axis=-2) > 0
+    target_gt_idx = jnp.argmax(mask_pos, axis=-2)
+    return target_gt_idx, fg_mask, mask_pos
+
+
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+def assign(
+    pd_scores: jnp.ndarray,  # (b, n_anchors, nc) sigmoid scores
+    pd_bboxes: jnp.ndarray,  # (b, n_anchors, 4) xyxy (grid units)
+    anc_points: jnp.ndarray,  # (n_anchors, 2)
+    gt_labels: jnp.ndarray,  # (b, n_max, 1) int
+    gt_bboxes: jnp.ndarray,  # (b, n_max, 4) xyxy (grid units)
+    mask_gt: jnp.ndarray,  # (b, n_max, 1) bool/float — valid GT slots
+    topk: int = 10,
+    num_classes: int = 80,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+):
+    """Task-aligned one-stage assignment.
+
+    Returns:
+        target_labels (b, n_anchors) int, target_bboxes (b, n_anchors, 4),
+        target_scores (b, n_anchors, nc), fg_mask (b, n_anchors) bool,
+        target_gt_idx (b, n_anchors) int.
+    """
+    b, n_anchors, nc = pd_scores.shape
+    n_max = gt_bboxes.shape[1]
+    mask_gt = mask_gt.astype(jnp.float32)[..., 0]  # (b, n_max)
+
+    # --- alignment metric: score(gt class)^alpha * ciou^beta -----------------
+    gt_cls = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, nc - 1)  # (b, n_max)
+    # scores of each anchor at each gt's class: (b, n_max, n_anchors)
+    scores_t = jnp.swapaxes(pd_scores, 1, 2)  # (b, nc, n_anchors)
+    bbox_scores = jnp.take_along_axis(scores_t, gt_cls[:, :, None], axis=1)
+    overlaps = jnp.clip(
+        bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True), 0.0, None
+    )  # (b, n_max, n_anchors)
+    align_metric = jnp.power(jnp.clip(bbox_scores, eps, None), alpha) * jnp.power(overlaps, beta)
+
+    # --- candidate selection --------------------------------------------------
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes).astype(jnp.float32)
+    candidate_metric = align_metric * mask_in_gts * mask_gt[..., None]
+
+    # top-k per GT among candidates (reference select_topk_candidates)
+    k = min(topk, n_anchors)
+    topk_vals, topk_idx = jax.lax.top_k(candidate_metric, k)  # (b, n_max, k)
+    topk_valid = topk_vals > eps
+    mask_topk = jnp.zeros_like(candidate_metric)
+    mask_topk = jax.vmap(jax.vmap(lambda m, idx, val: m.at[idx].add(val)))(
+        mask_topk, topk_idx, topk_valid.astype(jnp.float32)
+    )
+    mask_topk = (mask_topk > 0).astype(jnp.float32)
+
+    mask_pos = mask_topk * mask_in_gts * mask_gt[..., None]
+
+    target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps, n_max)
+
+    # --- build targets ---------------------------------------------------------
+    target_labels = jnp.take_along_axis(gt_cls, target_gt_idx, axis=1)  # (b, n_anchors)
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=jnp.float32)
+    target_scores = target_scores * fg_mask[..., None].astype(jnp.float32)
+
+    # normalize: per-GT max alignment scaled by per-GT max IoU (reference tal.py:108-116)
+    align_metric = align_metric * mask_pos
+    pos_align_max = jnp.max(align_metric, axis=-1, keepdims=True)  # (b, n_max, 1)
+    pos_overlap_max = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)
+    norm_align = align_metric * pos_overlap_max / (pos_align_max + eps)  # (b, n_max, n_anchors)
+    norm_per_anchor = jnp.max(norm_align, axis=-2)  # (b, n_anchors)
+    target_scores = target_scores * norm_per_anchor[..., None]
+
+    return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
