@@ -1,0 +1,99 @@
+"""Model graph + loss integration tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xlstm_yolo_tpu.nn.tasks import TaskModel
+from xlstm_yolo_tpu.utils import tal
+
+
+@pytest.fixture(scope="module")
+def v8n():
+    m = TaskModel("yolov8n.yaml")
+    v = m.init(0, imgsz=64)
+    return m, v
+
+
+def test_build_yolov8n(v8n):
+    m, v = v8n
+    assert m.strides == (8, 16, 32)
+    assert m.nc == 80
+    # parity fingerprint vs the torch reference (3,157,200 incl. its DFL conv)
+    assert m.num_params(v) == 3_157_200 - 16
+
+
+def test_forward_shapes(v8n):
+    m, v = v8n
+    x = jnp.zeros((2, 64, 64, 3))
+    out = jax.jit(lambda v, x: m.raw_forward(v, x))(v, x)
+    assert [o.shape for o in out] == [(2, 8, 8, 144), (2, 4, 4, 144), (2, 2, 2, 144)]
+    pred = jax.jit(m.predictions)(v, x)
+    assert pred.shape == (2, 84, 84)
+    assert bool(jnp.isfinite(pred).all())
+
+
+def test_loss_and_grad(v8n):
+    m, v = v8n
+    batch = {
+        "img": jnp.ones((2, 64, 64, 3)) * 0.5,
+        "cls_boxes": jnp.tile(jnp.asarray([[1.0, 8.0, 8.0, 48.0, 48.0]]), (2, 4, 1)).reshape(2, 4, 5),
+        "mask": jnp.ones((2, 4), bool).at[:, 2:].set(False),
+    }
+
+    @jax.jit
+    def loss_and_grad(params, bs):
+        def f(p):
+            (tot, aux), upd = m.loss({"params": p, "batch_stats": bs}, batch)
+            return tot, (aux, upd)
+
+        (tot, (aux, upd)), g = jax.value_and_grad(f, has_aux=True)(params)
+        return tot, aux, g
+
+    tot, aux, g = loss_and_grad(v["params"], v["batch_stats"])
+    assert bool(jnp.isfinite(tot))
+    assert all(bool(jnp.isfinite(x)) for x in aux.values())
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+
+
+def test_tal_assigns_overlapping_anchor():
+    """A GT box containing high-score anchors must produce foreground matches."""
+    nc, n_anchors = 4, 64
+    anc = jnp.stack(
+        jnp.meshgrid(jnp.arange(8.0) + 0.5, jnp.arange(8.0) + 0.5, indexing="xy"), -1
+    ).reshape(-1, 2)
+    # predicted boxes exactly on a grid cell around each anchor
+    pd_bboxes = jnp.concatenate([anc - 1.5, anc + 1.5], axis=-1)[None]
+    pd_scores = jnp.full((1, n_anchors, nc), 0.5)
+    gt = jnp.asarray([[[1.0, 1.0, 5.0, 5.0]]])  # covers anchors in [1,5]^2
+    labels = jnp.asarray([[[2]]], jnp.int32)
+    mask = jnp.ones((1, 1, 1))
+    tl, tb, ts, fg, tgi = tal.assign(pd_scores, pd_bboxes, anc, labels, gt, mask, num_classes=nc)
+    assert int(fg.sum()) > 0
+    picked = np.asarray(tl)[np.asarray(fg)]
+    assert (picked == 2).all()
+    # scores concentrated on class 2
+    s = np.asarray(ts)[np.asarray(fg)]
+    assert (s.argmax(-1) == 2).all()
+
+
+def test_tal_respects_mask():
+    """Padded (masked-out) GT slots must never be assigned."""
+    nc = 2
+    anc = jnp.asarray([[2.0, 2.0], [10.0, 10.0]])
+    pd_bboxes = jnp.concatenate([anc - 2, anc + 2], -1)[None]
+    pd_scores = jnp.full((1, 2, nc), 0.9)
+    gt = jnp.asarray([[[0.0, 0.0, 4.0, 4.0], [8.0, 8.0, 12.0, 12.0]]])
+    labels = jnp.zeros((1, 2, 1), jnp.int32)
+    mask = jnp.asarray([[[1.0], [0.0]]])  # second GT is padding
+    _, _, _, fg, _ = tal.assign(pd_scores, pd_bboxes, anc, labels, gt, mask, num_classes=nc)
+    assert bool(fg[0, 0]) and not bool(fg[0, 1])
+
+
+def test_nc_override():
+    m = TaskModel("yolov8n.yaml", nc=7)
+    assert m.nc == 7
+    v = m.init(0, imgsz=64)
+    pred = jax.jit(m.predictions)(v, jnp.zeros((1, 64, 64, 3)))
+    assert pred.shape[-1] == 4 + 7

@@ -114,16 +114,28 @@ def non_max_suppression(
         keep = _suppress_exact(iou, iou_thres) if exact else _suppress_fast(iou, iou_thres)
         keep = keep & valid_i
         final_scores = jnp.where(keep, scores_i, 0.0)
-        out_scores, out_idx = jax.lax.top_k(final_scores, max_det)
-        out_valid = out_scores > conf_thres
-        out_boxes = jnp.where(out_valid[:, None], boxes_i[out_idx], 0.0)
-        out_cls = jnp.where(out_valid, cls_i[out_idx], -1.0)
-        dets = jnp.concatenate(
-            [out_boxes, jnp.where(out_valid, out_scores, 0.0)[:, None], out_cls[:, None]], axis=-1
-        )
-        return dets, out_valid
+        return _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres)
 
     return jax.vmap(per_image)(boxes, scores, cls, valid)
+
+
+def _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres):
+    """Top-max_det gather with zero-padding when fewer candidates exist."""
+    n = final_scores.shape[0]
+    kk = min(max_det, n)
+    out_scores, out_idx = jax.lax.top_k(final_scores, kk)
+    out_valid = out_scores > conf_thres
+    out_boxes = jnp.where(out_valid[:, None], boxes_i[out_idx], 0.0)
+    out_cls = jnp.where(out_valid, cls_i[out_idx], -1.0)
+    dets = jnp.concatenate(
+        [out_boxes, jnp.where(out_valid, out_scores, 0.0)[:, None], out_cls[:, None]], axis=-1
+    )
+    if kk < max_det:
+        pad = max_det - kk
+        pad_dets = jnp.zeros((pad, dets.shape[-1]), dets.dtype).at[:, -1].set(-1.0)
+        dets = jnp.concatenate([dets, pad_dets], axis=0)
+        out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)], axis=0)
+    return dets, out_valid
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk"))
@@ -160,13 +172,6 @@ def nms_rotated(
         iou = batch_probiou(masked, masked)
         keep = _suppress_fast(iou, iou_thres) & valid_i
         final_scores = jnp.where(keep, scores_i, 0.0)
-        out_scores, out_idx = jax.lax.top_k(final_scores, max_det)
-        out_valid = out_scores > conf_thres
-        out_boxes = jnp.where(out_valid[:, None], boxes_i[out_idx], 0.0)
-        out_cls = jnp.where(out_valid, cls_i[out_idx], -1.0)
-        dets = jnp.concatenate(
-            [out_boxes, jnp.where(out_valid, out_scores, 0.0)[:, None], out_cls[:, None]], axis=-1
-        )
-        return dets, out_valid
+        return _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres)
 
     return jax.vmap(per_image)(boxes, scores, cls, valid)
