@@ -1,0 +1,65 @@
+"""Pallas chunkwise mLSTM kernel tests.
+
+On the CPU test platform the kernel runs in Pallas interpret mode — this
+checks the kernel's *logic* exactly (fp32, no MXU rounding). The same kernel
+compiled on a real TPU is validated in bench/driver runs (fp32-MXU parity
+6.6e-4 vs native; bf16 error profile identical to XLA's default precision).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xlstm_yolo_tpu.kernels.mlstm_native import mlstm_chunkwise
+from xlstm_yolo_tpu.kernels.mlstm_pallas import _mlstm_pallas_fwd_impl, mlstm_chunkwise_pallas
+
+
+def _inputs(B=2, NH=4, S=256, DH=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    return (mk(B, NH, S, DH), mk(B, NH, S, DH), mk(B, NH, S, DH), mk(B, NH, S), mk(B, NH, S) + 2.0)
+
+
+@pytest.mark.parametrize("igate_act", ["exp", "sigmoid"])
+def test_pallas_interpret_matches_native(igate_act):
+    q, k, v, i, f = _inputs()
+    hp = _mlstm_pallas_fwd_impl(q, k, v, i, f, 64, igate_act, 1e-6, interpret=True, mxu_dtype="float32")
+    hn = mlstm_chunkwise(q, k, v, i, f, chunk_size=64, igate_act=igate_act)
+    np.testing.assert_allclose(hp, hn, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_head_grouping_consistent():
+    # different (B, NH) factorizations of the same rows give the same result
+    q, k, v, i, f = _inputs(B=1, NH=8, S=128, DH=16)
+    h1 = _mlstm_pallas_fwd_impl(q, k, v, i, f, 64, "exp", 1e-6, interpret=True, mxu_dtype="float32")
+    q2, k2, v2 = (x.reshape(4, 2, 128, 16) for x in (q, k, v))
+    i2, f2 = (x.reshape(4, 2, 128) for x in (i, f))
+    h2 = _mlstm_pallas_fwd_impl(q2, k2, v2, i2, f2, 64, "exp", 1e-6, interpret=True, mxu_dtype="float32")
+    np.testing.assert_allclose(h1.reshape(-1), h2.reshape(-1), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_wrapper_gradients():
+    # the public wrapper on CPU: custom_vjp routes backward through native
+    q, k, v, i, f = _inputs(S=128)
+
+    def loss(q, k, v):
+        # fp32 MXU mode: the default bf16 casts round inputs even in
+        # interpret mode, which is production-consistent but too noisy for a
+        # grad-to-grad comparison
+        h = mlstm_chunkwise_pallas(q, k, v, i, f, chunk_size=64, mxu_dtype="float32")
+        return jnp.sum(h * h)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).sum()) > 0
+
+    # grads must agree with differentiating the native form directly
+    def loss_native(q, k, v):
+        h = mlstm_chunkwise(q, k, v, i, f, chunk_size=64)
+        return jnp.sum(h * h)
+
+    gn = jax.grad(loss_native, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(grads, gn):
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)

@@ -186,7 +186,10 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
                 margs = [args[0] if args else nc]
             c2 = 0
         else:  # custom kinds are handled by the registered class itself
-            c2, margs, kwargs = cls.parse(args, channels, fs, nc=nc, width=width, depth=depth)  # type: ignore[attr-defined]
+            c2, margs, kwargs = cls.parse(  # type: ignore[attr-defined]
+                args, channels, fs, nc=nc, width=width, depth=depth, n=n_rep
+            )
+            n_rep = 1
 
         # repeats > 1 for non-csp modules: not used by v8-family; unroll if present
         spec = LayerSpec(

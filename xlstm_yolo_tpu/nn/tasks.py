@@ -19,6 +19,7 @@ import numpy as np
 
 from ..cfg import load_model_yaml
 from . import heads as H
+from . import vil_blocks  # noqa: F401  (registers ViL YAML blocks)
 from .graph import GraphModel, ParsedModel, parse_model
 
 

@@ -1,0 +1,431 @@
+"""Vision-LSTM (ViL / mLSTM) backbone subsystem — flax, TPU-native.
+
+Re-design of the reference's core fork content:
+  * ``nn/modules/vision_lstm/vision_lstm2.py`` — ViLLayer (:386), ViLBlock
+    (:684), ViLBlockPair (:1393), MatrixLSTMCell (:802), LinearHeadwiseExpand
+    (:987), MultiHeadLayerNorm (:1309)
+  * ``nn/modules/vision_lstm/vision_lstm_util.py`` — VitPatchEmbed (:155),
+    VitPosEmbed (:226), SequenceConv2d (:96)
+  * ``nn/modules/vision_lstm/vision_lstm_hierarchical.py`` — PatchMerge (:44),
+    MultiScaleFusion (:70)
+  * YAML wrapper blocks from ``nn/modules/block.py:1187-2363``
+
+The mLSTM recurrence dispatches to the chunkwise backends in
+``kernels/`` (native jnp scan or the Pallas TPU kernel) instead of the
+external Triton ``mlstm_kernels`` package the reference requires.
+
+Layout notes (TPU-native divergences from the torch reference, preserved
+behavior otherwise):
+  * image tensors are NHWC, so ``SequenceToImage`` emits (B, H, W, D);
+  * sequence blocks accept any (B, ..., D) and flatten to (B, S, D) like the
+    reference wrappers do;
+  * ``MatrixLSTMCell`` applies the multi-head outnorm and returns (B, S, D)
+    — the original ViL behavior. (The fork comments the norm out and returns
+    the raw backend layout, vision_lstm2.py:951-956; our config exposes
+    ``use_outnorm`` for strict-quirk parity.)
+
+Fork quirks preserved by default:
+  * ViLBlockPair executes only the forward traversal (vision_lstm2.py:1438);
+    set ``bidirectional=True`` for the full pair.
+  * ViLLayer owns an FFN but skips it in forward (vision_lstm2.py:466-511).
+  * i-gate bias init −10, f-gate bias linspace 3→6 (vision_lstm2.py:958-966).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..kernels.mlstm_native import mlstm_chunkwise
+from .modules import ConvBN
+
+
+def _flatten_tokens(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, ..., D) -> (B, S, D)."""
+    return x.reshape(x.shape[0], -1, x.shape[-1])
+
+
+def small_init(dim: int):
+    """NXAI small init: std = sqrt(2 / (5 * dim)) (xlstm components/init.py)."""
+    std = math.sqrt(2.0 / (5.0 * dim))
+    return nn.initializers.normal(stddev=std)
+
+
+def wang_init(dim: int, num_blocks: int):
+    """Wang init for residual-out projections (xlstm components/init.py)."""
+    std = 2.0 / max(num_blocks, 1) / math.sqrt(dim)
+    return nn.initializers.normal(stddev=std)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    with_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        if self.with_scale:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            y = y * scale
+        return y.astype(dtype)
+
+
+class MultiHeadLayerNorm(nn.Module):
+    """Per-head LayerNorm over DH of a (B, NH, S, DH) tensor, with a single
+    (NH*DH,) affine — the reference's group-norm trick (vision_lstm2.py:1309)."""
+
+    num_heads: int
+    eps: float = 1e-3
+    with_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, NH, S, DH)
+        b, nh, s, dh = x.shape
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        weight = self.param("scale", nn.initializers.ones, (nh * dh,)).reshape(1, nh, 1, dh)
+        y = y * weight
+        if self.with_bias:
+            bias = self.param("bias", nn.initializers.zeros, (nh * dh,)).reshape(1, nh, 1, dh)
+            y = y + bias
+        return y.astype(dtype)
+
+
+class LinearHeadwiseExpand(nn.Module):
+    """Block-diagonal per-head projection (reference vision_lstm2.py:987):
+    weight (NH, DH, DH) applied headwise — much cheaper than a dense dim×dim."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (..., dim)
+        dh = self.dim // self.num_heads
+        w = self.param("weight", nn.initializers.normal(stddev=math.sqrt(2.0 / 5.0 / dh)),
+                       (self.num_heads, dh, dh))
+        xs = x.reshape(*x.shape[:-1], self.num_heads, dh)
+        y = jnp.einsum("...nd,nod->...no", xs, w.astype(x.dtype))
+        y = y.reshape(*x.shape[:-1], self.dim)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.dim,))
+            y = y + b.astype(x.dtype)
+        return y
+
+
+class SequenceConv2d(nn.Module):
+    """Conv2d over the token grid of a (B, S, D) sequence
+    (reference vision_lstm_util.py:96). NHWC internally — no transposes."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | None = None
+    groups: int = 1
+    use_bias: bool = True
+    seqlens: tuple | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, d = x.shape
+        if self.seqlens is None:
+            h = w = int(round(math.sqrt(s)))
+        else:
+            h, w = self.seqlens
+        pad = self.kernel_size // 2 if self.padding is None else self.padding
+        img = x.reshape(b, h, w, d)
+        y = nn.Conv(
+            self.out_channels,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=x.dtype,
+            name="conv",
+        )(img)
+        return y.reshape(b, -1, self.out_channels)
+
+
+class MatrixLSTMCell(nn.Module):
+    """mLSTM cell with matrix memory (reference vision_lstm2.py:802).
+
+    Input q/k/v: (B, S, D). Gate preactivations come from a Linear over
+    cat(q, k, v). Dispatches to the chunkwise kernel (Pallas on TPU, jnp
+    scan elsewhere). Output: (B, S, D) after per-head outnorm.
+    """
+
+    dim: int
+    num_heads: int
+    chunk_size: int = 64
+    igate_act: str = "exp"  # "exp" (canonical xLSTM) | "sigmoid" ("siging" variant)
+    use_outnorm: bool = True
+    norm_bias: bool = True
+    backend: str = "auto"  # auto | pallas | native
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        b, s, d = q.shape
+        nh = self.num_heads
+        dh = d // nh
+        gate_in = jnp.concatenate([q, k, v], axis=-1)
+        # gates init: f bias linspace 3->6, i bias -10, zero weights (fork init)
+        igate = nn.Dense(
+            nh, kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.full(shape, -10.0, dtype),
+            name="igate",
+        )(gate_in)
+        fgate = nn.Dense(
+            nh, kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.linspace(3.0, 6.0, shape[0], dtype=dtype),
+            name="fgate",
+        )(gate_in)
+
+        qh = q.reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
+        i_pre = igate.transpose(0, 2, 1)  # (B, NH, S)
+        f_pre = fgate.transpose(0, 2, 1)
+
+        cs = min(self.chunk_size, s)
+        while s % cs != 0:
+            cs //= 2
+        backend = self.backend
+        if backend == "auto":
+            # XLA's batched-einsum form currently outpaces the fused Pallas
+            # kernel at ViL head sizes (see kernels/mlstm_pallas.py); flip the
+            # default once the kernel wins.
+            backend = "native"
+        if backend == "pallas":
+            from ..kernels.mlstm_pallas import mlstm_chunkwise_pallas
+
+            h = mlstm_chunkwise_pallas(qh, kh, vh, i_pre, f_pre, chunk_size=cs, igate_act=self.igate_act)
+        else:
+            h = mlstm_chunkwise(qh, kh, vh, i_pre, f_pre, chunk_size=cs, igate_act=self.igate_act)
+        h = h.astype(q.dtype)
+
+        if self.use_outnorm:
+            h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias, name="outnorm")(h)
+        return h.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+class FeedForward(nn.Module):
+    """SwiGLU feed-forward (reference vision_lstm2.py:159): fused gate/up
+    projection, silu(gate) * up, down projection with wang init."""
+
+    dim: int
+    proj_factor: float = 2.6667
+    round_up_to: int = 64
+    use_bias: bool = True
+    num_blocks: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        up_dim = int(self.proj_factor * self.dim)
+        up_dim = ((up_dim + self.round_up_to - 1) // self.round_up_to) * self.round_up_to
+        gu = nn.Dense(2 * up_dim, use_bias=self.use_bias, kernel_init=small_init(self.dim),
+                      dtype=x.dtype, name="proj_up")(x)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        y = nn.silu(gate) * up
+        return nn.Dense(self.dim, use_bias=self.use_bias,
+                        kernel_init=wang_init(self.dim, self.num_blocks), dtype=x.dtype,
+                        name="proj_down")(y)
+
+
+class ViLLayer(nn.Module):
+    """The ViL mixing layer (reference vision_lstm2.py:386-511).
+
+    x -> RMSNorm -> (flip if backward direction) -> proj_up -> split(x_mlstm, z)
+      -> depthwise SequenceConv2d + SiLU -> headwise q, k (of conv) & v (raw)
+      -> MatrixLSTMCell -> +learnable_skip*conv_act -> *SiLU(z) -> proj_down
+      -> flip back -> +residual.
+    The FFN exists in the reference but is skipped in forward (fork quirk).
+    """
+
+    dim: int
+    direction: str = "forward"  # "forward" | "backward"
+    expansion: int = 2
+    qkv_block_size: int = 4
+    proj_bias: bool = True
+    conv_kind: str = "2d"
+    conv_kernel_size: int = 3
+    seqlens: tuple | None = None
+    chunk_size: int = 64
+    igate_act: str = "exp"
+    mlstm_backend: str = "auto"
+    use_outnorm: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, S, D)
+        inner = self.expansion * self.dim
+        num_heads = inner // self.qkv_block_size
+        residual = x
+        y = RMSNorm(eps=1e-6, name="norm")(x)
+        if self.direction == "backward":
+            y = y[:, ::-1]
+        y = nn.Dense(2 * inner, use_bias=self.proj_bias, kernel_init=nn.initializers.xavier_uniform(),
+                     dtype=x.dtype, name="proj_up")(y)
+        x_mlstm, z = jnp.split(y, 2, axis=-1)
+
+        conv_act = nn.silu(
+            SequenceConv2d(
+                inner, self.conv_kernel_size, groups=inner, seqlens=self.seqlens, name="conv"
+            )(x_mlstm)
+        )
+        q = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias, name="q_proj")(conv_act)
+        k = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias, name="k_proj")(conv_act)
+        v = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias, name="v_proj")(x_mlstm)
+
+        h = MatrixLSTMCell(
+            dim=inner, num_heads=num_heads, chunk_size=self.chunk_size,
+            igate_act=self.igate_act, backend=self.mlstm_backend,
+            use_outnorm=self.use_outnorm, name="mlstm_cell",
+        )(q, k, v)
+
+        skip = self.param("learnable_skip", nn.initializers.ones, (inner,))
+        h = h + skip.astype(h.dtype) * conv_act
+        h = h * nn.silu(z)
+        out = nn.Dense(self.dim, use_bias=self.proj_bias, kernel_init=nn.initializers.xavier_uniform(),
+                       dtype=x.dtype, name="proj_down")(h)
+        if self.direction == "backward":
+            out = out[:, ::-1]
+        return residual + out
+
+
+class ViLBlock(nn.Module):
+    """One direction of a ViL block — the ViLLayer carries its own norm and
+    residual, so the block is a passthrough (reference vision_lstm2.py:729)."""
+
+    dim: int
+    direction: str = "forward"
+    qkv_block_size: int = 4
+    seqlens: tuple | None = None
+    chunk_size: int = 64
+    conv_kernel_size: int = 3
+    igate_act: str = "exp"
+    mlstm_backend: str = "auto"
+    use_outnorm: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return ViLLayer(
+            dim=self.dim, direction=self.direction, qkv_block_size=self.qkv_block_size,
+            seqlens=self.seqlens, chunk_size=self.chunk_size,
+            conv_kernel_size=self.conv_kernel_size, igate_act=self.igate_act,
+            mlstm_backend=self.mlstm_backend, use_outnorm=self.use_outnorm, name="layer",
+        )(x)
+
+
+class ViLBlockPair(nn.Module):
+    """Forward + backward traversal pair (reference vision_lstm2.py:1393).
+
+    The fork only executes the forward direction (:1438-1441); that is the
+    default. ``bidirectional=True`` restores the original ViL behavior
+    (backward block applied to the forward output).
+    """
+
+    dim: int
+    qkv_block_size: int = 16
+    seqlens: tuple | None = None
+    chunk_size: int = 64
+    conv_kernel_size: int = 3
+    igate_act: str = "exp"
+    bidirectional: bool = False
+    mlstm_backend: str = "auto"
+    use_outnorm: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, S, D) or (B, ..., D)
+        shp = x.shape
+        x = _flatten_tokens(x)
+        kw = dict(
+            dim=self.dim, qkv_block_size=self.qkv_block_size, seqlens=self.seqlens,
+            chunk_size=self.chunk_size, conv_kernel_size=self.conv_kernel_size,
+            igate_act=self.igate_act, mlstm_backend=self.mlstm_backend,
+            use_outnorm=self.use_outnorm,
+        )
+        y = ViLBlock(direction="forward", name="fwd", **kw)(x)
+        if self.bidirectional:
+            y = ViLBlock(direction="backward", name="bwd", **kw)(y)
+        return y.reshape(shp)
+
+
+class VitPatchEmbed(nn.Module):
+    """Strided-conv patch embedding (reference vision_lstm_util.py:155).
+    (B, H, W, C) -> (B, H/P, W/P, dim)."""
+
+    dim: int
+    patch_size: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            kernel_init=nn.initializers.xavier_uniform(), dtype=x.dtype, name="proj",
+        )(x)
+
+
+class VitPosEmbed2d(nn.Module):
+    """Learnable 2D pos embed with bicubic resize for new grids
+    (reference vision_lstm_util.py:226-298)."""
+
+    dim: int
+    seqlens: tuple = (14, 14)
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, D)
+        h, w = self.seqlens
+        pe = self.param("embed", nn.initializers.truncated_normal(stddev=0.02), (1, h, w, self.dim))
+        if x.shape[1:3] != (h, w):
+            pe = jax.image.resize(pe, (1, x.shape[1], x.shape[2], self.dim), method="bicubic")
+        return x + pe.astype(x.dtype)
+
+
+class VisionLSTMBackbone(nn.Module):
+    """Full ViL backbone emitting multi-scale partials
+    (reference block.py:1913 ``VisionLSTM``): patch embed -> pos embed ->
+    N ViLBlockPairs, collecting normed outputs at ``output_indices`` as
+    (B, h, w, dim) images, final output appended last.
+    """
+
+    dim: int
+    depth: int = 12
+    patch_size: int = 16
+    resolution: tuple = (224, 224)
+    output_indices: tuple = ()
+    qkv_block_size: int = 16
+    chunk_size: int = 64
+    igate_act: str = "exp"
+    bidirectional: bool = False
+    mlstm_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = VitPatchEmbed(self.dim, self.patch_size, name="patch_embed")(x)
+        seqlens = (x.shape[1], x.shape[2])
+        x = VitPosEmbed2d(self.dim, seqlens, name="pos_embed")(x)
+        b, h, w, d = x.shape
+        x = x.reshape(b, h * w, d)
+        outs = []
+        norm = nn.LayerNorm(name="norm")
+        for i in range(self.depth):
+            x = ViLBlockPair(
+                dim=self.dim, qkv_block_size=self.qkv_block_size, seqlens=seqlens,
+                chunk_size=self.chunk_size, igate_act=self.igate_act,
+                bidirectional=self.bidirectional, mlstm_backend=self.mlstm_backend,
+                name=f"block{i}",
+            )(x)
+            if i in self.output_indices:
+                outs.append(norm(x).reshape(b, h, w, d))
+        outs.append(norm(x).reshape(b, h, w, d))
+        return outs
