@@ -1,0 +1,159 @@
+"""End-to-end training stack tests: data pipeline, trainer, validator,
+checkpointing — all on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data_yaml(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(root, n_train=8, n_val=4, imgsz=96)
+
+
+def test_dataset_pipeline(data_yaml):
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+
+    loader, d = build_dataloader(data_yaml, "train", batch=4, imgsz=96, max_labels=16)
+    assert d["nc"] == 3
+    batch = next(iter(loader))
+    assert batch["img"].shape == (4, 96, 96, 3)
+    assert batch["cls_boxes"].shape == (4, 16, 5)
+    assert batch["mask"].shape == (4, 16)
+    assert batch["img"].dtype == np.float32
+    assert 0.0 <= batch["img"].min() and batch["img"].max() <= 1.0
+    assert batch["mask"].sum() >= 4  # at least one object per image
+    # boxes are valid xyxy within the canvas
+    valid = batch["cls_boxes"][batch["mask"]]
+    assert (valid[:, 3] > valid[:, 1]).all() and (valid[:, 4] > valid[:, 2]).all()
+    assert valid[:, 1:].min() >= 0 and valid[:, 1:].max() <= 96
+
+
+def test_dataset_no_augment_boxes_match_image(data_yaml):
+    """Letterboxed eval samples keep labels aligned with drawn shapes: the
+    mean brightness inside boxes must exceed outside (shapes are bright)."""
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+
+    loader, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=96, max_labels=16)
+    batch = next(iter(loader))
+    inside_vals, outside_vals = [], []
+    for bi in range(4):
+        img = batch["img"][bi]
+        for (cls, x1, y1, x2, y2), m in zip(batch["cls_boxes"][bi], batch["mask"][bi]):
+            if not m:
+                continue
+            x1i, y1i, x2i, y2i = map(int, (x1, y1, x2, y2))
+            inside_vals.append(img[y1i:y2i, x1i:x2i].mean())
+        outside_vals.append(img.mean())
+    assert np.mean(inside_vals) > np.mean(outside_vals) + 0.05
+
+
+def test_trainer_loss_decreases(data_yaml, tmp_path):
+    from xlstm_yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    # nc mismatch must be caught
+    with pytest.raises(ValueError, match="nc"):
+        m.train(data=data_yaml, epochs=1, imgsz=96, batch=8, val=False,
+                project=str(tmp_path), name="bad")
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.engine.trainer import Trainer
+
+    model = TaskModel("yolov8n.yaml", nc=3)
+    tr = Trainer(model, overrides={
+        # clean overfit config: no augmentation, no grad accumulation
+        # (nbs == batch), no warmup floor, fixed batch each epoch
+        "data": data_yaml, "epochs": 10, "imgsz": 96, "batch": 8, "val": False,
+        "project": str(tmp_path), "name": "t1", "max_labels": 16, "optimizer": "SGD",
+        "lr0": 0.01, "warmup_epochs": 0.0, "nbs": 8, "mosaic": 0.0, "scale": 0.0,
+        "translate": 0.0, "fliplr": 0.0, "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
+        "workers": 0, "plots": False, "seed": 0,
+    })
+    tr.train()
+    import csv
+
+    with open(tr.csv) as f:
+        rows = list(csv.DictReader(f))
+    losses = [float(r["train/loss"]) for r in rows]
+    assert len(losses) == 10
+    assert all(np.isfinite(losses))
+    # loss must come down while overfitting 8 images
+    assert losses[-1] < losses[0] * 0.85, f"loss did not decrease: {losses}"
+    # checkpoints written
+    assert (tr.save_dir / "last.ckpt" / "state.msgpack").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    save_checkpoint(tmp_path / "ck.ckpt", m, v, epoch=5, best_fitness=0.5,
+                    train_args={"imgsz": 96})
+    m2, v2, meta = load_checkpoint(tmp_path / "ck.ckpt")
+    assert m2.nc == 3 and meta["epoch"] == 5
+    x = jnp.ones((1, 64, 64, 3))
+    y1 = jax.jit(m.predictions)(v, x)
+    y2 = jax.jit(m2.predictions)(v2, x)
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_checkpoint_ema_roundtrip(tmp_path):
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    ema = jax.tree.map(lambda x: x * 0.5, v["params"])
+    save_checkpoint(tmp_path / "ck.ckpt", m, v, ema_params=ema)
+    _, v_ema, _ = load_checkpoint(tmp_path / "ck.ckpt", use_ema=True)
+    leaf = jax.tree.leaves(v["params"])[0]
+    leaf_ema = jax.tree.leaves(v_ema["params"])[0]
+    np.testing.assert_allclose(np.asarray(leaf_ema), np.asarray(leaf) * 0.5, atol=1e-6)
+
+
+def test_validator_untrained(data_yaml):
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.engine.validator import Validator
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=96)
+    out = Validator(m, imgsz=96, max_labels=16, batch=4)(v, data=data_yaml)
+    assert set(out) >= {"mAP50", "mAP50-95", "precision", "recall", "fitness", "images"}
+    assert out["images"] == 4
+    assert 0.0 <= out["mAP50"] <= 1.0
+
+
+def test_metrics_perfect_predictions():
+    """ap_per_class on perfect detections must give mAP == 1."""
+    from xlstm_yolo_tpu.utils import metrics as MET
+
+    gt = np.asarray([[10, 10, 50, 50], [60, 60, 90, 90]], float)
+    gt_cls = np.asarray([0.0, 1.0])
+    dets = np.concatenate([gt, [[0.9], [0.8]], gt_cls[:, None]], axis=1)
+    iou = MET.box_iou_np(gt, dets[:, :4])
+    tp = MET.match_predictions(dets[:, 5], gt_cls, iou)
+    assert tp.all()
+    r = MET.ap_per_class(tp, dets[:, 4], dets[:, 5], gt_cls)
+    # 0.995, not 1.0: the 101-point interpolation endpoint artifact — the
+    # reference's compute_ap (utils/metrics.py:505) produces the same value
+    assert r["map50"] >= 0.99
+    assert r["map"] >= 0.99
+
+
+def test_metrics_localization_threshold():
+    """A detection with IoU 0.6 counts at mAP50 but not at strict thresholds."""
+    from xlstm_yolo_tpu.utils import metrics as MET
+
+    gt = np.asarray([[0, 0, 100, 100]], float)
+    det_box = np.asarray([[0, 0, 100, 60]], float)  # IoU = 0.6
+    iou = MET.box_iou_np(gt, det_box)
+    tp = MET.match_predictions(np.asarray([0.0]), np.asarray([0.0]), iou)
+    assert tp[0, 0] and tp[0, 1]  # 0.50, 0.55
+    assert not tp[0, 3]  # 0.65

@@ -1,0 +1,265 @@
+"""YOLO-format detection dataset + fixed-shape batch pipeline.
+
+Re-design of reference ``data/base.py`` + ``data/dataset.py`` +
+``data/build.py``: scans an images dir, reads YOLO txt labels
+(class cx cy w h, normalized), applies the v8 transform pipeline on the
+host, and collates to FIXED-SHAPE device batches:
+
+    img:       (B, imgsz, imgsz, 3) float32 in [0, 1]  (NHWC)
+    cls_boxes: (B, max_labels, 5)  = (cls, x1, y1, x2, y2) pixels
+    mask:      (B, max_labels) bool
+
+The padded-label layout replaces the reference's ragged concat collate
+(data/dataset.py:232) — its own loss pads to (bs, n_max) anyway
+(utils/loss.py:180-195), so the pipeline just does it up front. The
+infinite worker-recycling loader (data/build.py:28) becomes a simple
+epoch-aware iterator with background thread prefetch (XLA likes a steady
+stream; on multi-host each process reads its own shard).
+"""
+from __future__ import annotations
+
+import math
+import os
+import queue
+import threading
+from pathlib import Path
+
+import cv2
+import numpy as np
+import yaml
+
+from . import augment as A
+
+IMG_FORMATS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp"}
+
+
+def check_det_dataset(data: str | dict) -> dict:
+    """Parse a dataset YAML (reference data/utils.py:301 check_det_dataset —
+    without auto-download; paths must exist)."""
+    if isinstance(data, (str, Path)):
+        path = Path(data)
+        with open(path, errors="ignore") as f:
+            d = yaml.safe_load(f)
+        root = Path(d.get("path", path.parent))
+        if not root.is_absolute():
+            root = (path.parent / root).resolve()
+    else:
+        d = dict(data)
+        root = Path(d.get("path", "."))
+    out = dict(d)
+    out["path"] = root
+    for split in ("train", "val", "test"):
+        if d.get(split):
+            p = Path(d[split])
+            out[split] = str(p if p.is_absolute() else root / p)
+    names = d.get("names")
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    out["names"] = names or {}
+    out["nc"] = int(d.get("nc", len(out["names"])) or len(out["names"]))
+    return out
+
+
+def img2label_path(img_path: str) -> str:
+    """images/xxx.jpg -> labels/xxx.txt (reference data/utils.py img2label_paths)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return sb.join(img_path.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
+
+
+class YOLODataset:
+    """Detection dataset over a YOLO-format directory tree."""
+
+    def __init__(self, img_path: str, imgsz: int = 640, augment: bool = False, hyp=None,
+                 max_labels: int = 128, rect: bool = False, single_cls: bool = False,
+                 fraction: float = 1.0):
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp or {}
+        self.max_labels = max_labels
+        self.single_cls = single_cls
+        self.files = self._scan(img_path)
+        if fraction < 1.0:
+            self.files = self.files[: max(1, round(len(self.files) * fraction))]
+        self.labels = [self._load_label(f) for f in self.files]
+        self.ni = len(self.files)
+        if self.ni == 0:
+            raise FileNotFoundError(f"no images found in {img_path}")
+
+    @staticmethod
+    def _scan(img_path: str) -> list:
+        p = Path(img_path)
+        if p.is_dir():
+            files = sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_FORMATS)
+        elif p.is_file() and p.suffix == ".txt":
+            base = p.parent
+            files = []
+            for line in p.read_text().splitlines():
+                line = line.strip()
+                if line:
+                    fp = Path(line)
+                    files.append(str(fp if fp.is_absolute() else base / fp))
+        else:
+            raise FileNotFoundError(f"invalid dataset path {img_path}")
+        return files
+
+    def _load_label(self, img_file: str) -> np.ndarray:
+        """(n, 5) = cls, cx, cy, w, h normalized."""
+        lp = img2label_path(img_file)
+        if not os.path.exists(lp):
+            return np.zeros((0, 5), np.float32)
+        rows = []
+        with open(lp) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 5:
+                    rows.append([float(x) for x in parts[:5]])
+        lb = np.asarray(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+        if self.single_cls and len(lb):
+            lb[:, 0] = 0
+        return lb
+
+    def __len__(self):
+        return self.ni
+
+    def load_image(self, i: int):
+        img = cv2.imread(self.files[i])
+        if img is None:
+            raise FileNotFoundError(self.files[i])
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        # long-side resize to imgsz (reference data/base.py:151)
+        h, w = img.shape[:2]
+        r = self.imgsz / max(h, w)
+        if r != 1:
+            img = cv2.resize(img, (min(math.ceil(w * r), self.imgsz), min(math.ceil(h * r), self.imgsz)),
+                             interpolation=cv2.INTER_LINEAR)
+        return img
+
+    def labels_px(self, i: int, shape) -> np.ndarray:
+        """Labels as (n, 5) = cls, x1, y1, x2, y2 in pixels of `shape` (h, w)."""
+        lb = self.labels[i]
+        out = np.zeros((len(lb), 5), np.float32)
+        if len(lb):
+            h, w = shape
+            cx, cy, bw, bh = lb[:, 1] * w, lb[:, 2] * h, lb[:, 3] * w, lb[:, 4] * h
+            out[:, 0] = lb[:, 0]
+            out[:, 1] = cx - bw / 2
+            out[:, 2] = cy - bh / 2
+            out[:, 3] = cx + bw / 2
+            out[:, 4] = cy + bh / 2
+        return out
+
+    # -- sample assembly ------------------------------------------------------
+    def get_sample(self, i: int, rng: np.random.Generator) -> tuple:
+        hyp = self.hyp
+        g = lambda k, d: float(hyp.get(k, d)) if isinstance(hyp, dict) else float(getattr(hyp, k, d))
+        if self.augment and rng.random() < g("mosaic", 1.0):
+            idxs = [i] + [int(rng.integers(self.ni)) for _ in range(3)]
+            imgs, lbs = [], []
+            for j in idxs:
+                im = self.load_image(j)
+                imgs.append(im)
+                lbs.append(self.labels_px(j, im.shape[:2]))
+            img, labels = A.mosaic4(imgs, lbs, self.imgsz, rng)
+            border = (-self.imgsz // 2, -self.imgsz // 2)
+            img, labels = A.random_perspective(
+                img, labels, degrees=g("degrees", 0.0), translate=g("translate", 0.1),
+                scale=g("scale", 0.5), shear=g("shear", 0.0), perspective=g("perspective", 0.0),
+                border=border, rng=rng,
+            )
+            if rng.random() < g("mixup", 0.0):
+                j = int(rng.integers(self.ni))
+                im2 = self.load_image(j)
+                lb2 = self.labels_px(j, im2.shape[:2])
+                im2, lb2, _ = A.letterbox(im2, self.imgsz, lb2)
+                img, labels = A.mixup(img, labels, im2, lb2, rng)
+        else:
+            img = self.load_image(i)
+            labels = self.labels_px(i, img.shape[:2])
+            img, labels, _ = A.letterbox(img, self.imgsz, labels, scaleup=self.augment)
+            if self.augment:
+                img, labels = A.random_perspective(
+                    img, labels, degrees=g("degrees", 0.0), translate=g("translate", 0.1),
+                    scale=g("scale", 0.5), shear=g("shear", 0.0), perspective=g("perspective", 0.0),
+                    rng=rng,
+                )
+        if self.augment:
+            img = A.random_hsv(img, g("hsv_h", 0.015), g("hsv_s", 0.7), g("hsv_v", 0.4), rng)
+            img, labels = A.random_flip(img, labels, g("fliplr", 0.5), g("flipud", 0.0), rng)
+        return img, labels
+
+    def collate(self, samples: list) -> dict:
+        b = len(samples)
+        imgs = np.zeros((b, self.imgsz, self.imgsz, 3), np.float32)
+        boxes = np.zeros((b, self.max_labels, 5), np.float32)
+        mask = np.zeros((b, self.max_labels), bool)
+        for bi, (img, labels) in enumerate(samples):
+            imgs[bi] = img.astype(np.float32) / 255.0
+            # drop degenerate boxes
+            if len(labels):
+                wh = labels[:, 3:5] - labels[:, 1:3]
+                labels = labels[(wh > 1).all(-1)]
+            n = min(len(labels), self.max_labels)
+            if n:
+                boxes[bi, :n] = labels[:n]
+                mask[bi, :n] = True
+        return {"img": imgs, "cls_boxes": boxes, "mask": mask}
+
+
+class Loader:
+    """Epoch iterator with a background prefetch thread
+    (replaces reference InfiniteDataLoader, data/build.py:28)."""
+
+    def __init__(self, dataset: YOLODataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2,
+                 shard_index: int = 0, num_shards: int = 1):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.ds) // self.num_shards
+        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        idxs = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(idxs)
+        idxs = idxs[self.shard_index :: self.num_shards]
+        nb = len(idxs) // self.bs if self.drop_last else math.ceil(len(idxs) / self.bs)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            for b in range(nb):
+                batch_idx = idxs[b * self.bs : (b + 1) * self.bs]
+                samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
+                q.put(self.ds.collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        self.epoch += 1
+
+
+def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 16,
+                     imgsz: int = 640, augment: bool | None = None, hyp=None,
+                     max_labels: int = 128, seed: int = 0, fraction: float = 1.0,
+                     single_cls: bool = False):
+    """Convenience: dataset YAML -> (Loader, data_dict)."""
+    d = check_det_dataset(data_yaml)
+    augment = (split == "train") if augment is None else augment
+    ds = YOLODataset(d[split], imgsz=imgsz, augment=augment, hyp=hyp,
+                     max_labels=max_labels, single_cls=single_cls, fraction=fraction)
+    return Loader(ds, batch, shuffle=augment, seed=seed), d

@@ -1,0 +1,208 @@
+"""Trainer — one jit'd SPMD train step over a device mesh.
+
+Re-design of reference ``engine/trainer.py`` (BaseTrainer :59). What maps
+where:
+  * DDP subprocess relaunch + NCCL (:198-229) -> a (dp, tp, sp) Mesh; the
+    batch is dp-sharded, params replicated; XLA emits the gradient psum.
+  * AMP GradScaler (:264-272) -> bf16 compute, fp32 params/optimizer — no
+    scaler needed on TPU.
+  * grad accumulate to nbs=64 (:378) -> optax.MultiSteps.
+  * grad clip max_norm 0.5 (:594, fork value; upstream 10) -> clip_by_global_norm.
+  * EMA with warmup ramp (:287) -> functional pytree EMA inside the step.
+  * warmup LR interp (:366-376) -> host-side scalar fed to the step.
+  * mosaic close (:357) -> loader hyp flip at epochs - close_mosaic.
+  * CSV metrics, checkpoint last/best, resume, EarlyStopping — kept.
+
+The whole step (forward, loss+TAL, backward, optimizer, EMA) is ONE compiled
+XLA program; the python epoch loop only feeds batches and logs.
+"""
+from __future__ import annotations
+
+import csv
+import math
+import time
+from pathlib import Path
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..cfg import get_cfg
+from ..parallel import mesh as M
+from ..utils import train_utils as TU
+from ..utils.checkpoint import save_checkpoint
+
+
+class Trainer:
+    def __init__(self, model, overrides: dict | None = None):
+        overrides = {k: v for k, v in (overrides or {}).items() if v is not None}
+        self.args = get_cfg(overrides=overrides)
+        self.model = model
+        self.variables = None
+        self.epoch = 0
+        self.start_epoch = 0
+        self.best_fitness = 0.0
+        self.metrics = None
+        self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
+        self.csv = self.save_dir / "results.csv"
+        self.callbacks = {}
+
+    # ------------------------------------------------------------------
+    def _build_step(self, mesh, accumulate: int):
+        model = self.model
+        hyp = self.args
+
+        tx, opt_name, lr0, momentum = TU.build_optimizer(
+            self.variables["params"], name=self.args.optimizer, lr=self.args.lr0,
+            momentum=self.args.momentum, decay=self.args.weight_decay, nc=model.nc,
+            iterations=self.iterations,
+        )
+        self.lr0 = lr0 if self.args.optimizer == "auto" else self.args.lr0
+        self.opt_name = opt_name
+        tx = optax.chain(optax.clip_by_global_norm(0.5), tx)  # fork quirk: 0.5 not 10
+        if accumulate > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        self.tx = tx
+
+        def train_step(params, batch_stats, opt_state, ema_params, n_updates, batch, lr):
+            def loss_fn(p):
+                (total, aux), updates = model.loss(
+                    {"params": p, "batch_stats": batch_stats}, batch, hyp=hyp, train=True
+                )
+                return total, (aux, updates)
+
+            (total, (aux, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            upd = jax.tree.map(lambda u: u * lr, upd)
+            params = optax.apply_updates(params, upd)
+            new_bs = updates.get("batch_stats", batch_stats)
+            n_updates = n_updates + 1
+            ema_params = TU.ema_update(ema_params, params, n_updates)
+            metrics = {"loss": total, **aux}
+            return params, new_bs, opt_state, ema_params, n_updates, metrics
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3)), tx
+
+    # ------------------------------------------------------------------
+    def train(self):
+        args = self.args
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+
+        # data ------------------------------------------------------------
+        from ..data.dataset import build_dataloader
+
+        imgsz = int(args.imgsz)
+        batch = int(args.batch)
+        self.loader, data_dict = build_dataloader(
+            args.data, "train", batch=batch, imgsz=imgsz, hyp=vars(args),
+            max_labels=int(args.max_labels), seed=int(args.seed),
+            fraction=float(args.fraction), single_cls=bool(args.single_cls),
+        )
+        self.data = data_dict
+        if self.model.nc != data_dict["nc"]:
+            raise ValueError(
+                f"model nc={self.model.nc} != dataset nc={data_dict['nc']} — build the model with nc="
+            )
+        self.model.names = data_dict["names"] or self.model.names
+
+        # mesh + state ------------------------------------------------------
+        mesh = M.build_mesh(dp=int(args.mesh_dp), tp=int(args.mesh_tp), sp=int(args.mesh_sp))
+        self.mesh = mesh
+        if self.variables is None:
+            self.variables = self.model.init(int(args.seed), imgsz=imgsz)
+        nb = len(self.loader)
+        epochs = int(args.epochs)
+        self.iterations = math.ceil(nb / max(round(args.nbs / batch), 1)) * epochs
+        accumulate = max(round(args.nbs / batch), 1)
+
+        step_fn, tx = self._build_step(mesh, accumulate)
+        params = M.shard_params(mesh, self.variables["params"])
+        batch_stats = M.shard_params(mesh, self.variables["batch_stats"])
+        opt_state = tx.init(params)
+        ema_params = jax.tree.map(jnp.copy, params)  # real copy: params are donated separately
+        n_updates = jnp.zeros((), jnp.int32)
+
+        sched = TU.lr_schedule(self.lr0, args.lrf, epochs, cos_lr=bool(args.cos_lr))
+        warmup_steps = max(round(args.warmup_epochs * nb), 100) if args.warmup_epochs > 0 else 0
+        stopper = TU.EarlyStopping(patience=int(args.patience))
+
+        print(f"training {self.model.task} model: {epochs} epochs x {nb} batches "
+              f"(batch {batch}, imgsz {imgsz}, optimizer {self.opt_name}, lr0 {self.lr0}, "
+              f"mesh dp={mesh.shape['dp']} tp={mesh.shape['tp']} sp={mesh.shape['sp']})")
+
+        step = self.start_epoch * nb
+        t_start = time.time()
+        for epoch in range(self.start_epoch, epochs):
+            self.epoch = epoch
+            if args.close_mosaic and epoch == max(epochs - int(args.close_mosaic), 0):
+                if isinstance(self.loader.ds.hyp, dict):
+                    self.loader.ds.hyp["mosaic"] = 0.0
+            epoch_metrics = []
+            t0 = time.time()
+            for batch_data in self.loader:
+                base_lr = sched(epoch)
+                lr = TU.warmup_lr(step, epoch, warmup_steps, base_lr, args.warmup_bias_lr)
+                db = M.shard_batch(mesh, batch_data)
+                params, batch_stats, opt_state, ema_params, n_updates, metrics = step_fn(
+                    params, batch_stats, opt_state, ema_params, n_updates, db, jnp.float32(lr)
+                )
+                epoch_metrics.append(metrics)
+                step += 1
+            means = {k: float(np.mean([float(m[k]) for m in epoch_metrics])) for k in epoch_metrics[0]}
+            dt = time.time() - t0
+            imps = nb * batch / dt
+
+            # validation -----------------------------------------------------
+            fitness = None
+            val_metrics = {}
+            if args.val:
+                from .validator import Validator
+
+                v = Validator(self.model, data=self.data, imgsz=imgsz, max_labels=int(args.max_labels))
+                val_metrics = v({"params": ema_params, "batch_stats": batch_stats})
+                fitness = val_metrics.get("fitness", 0.0)
+                if fitness >= self.best_fitness:
+                    self.best_fitness = fitness
+                    self._save("best", params, batch_stats, opt_state, ema_params, epoch)
+            row = {"epoch": epoch, **{f"train/{k}": v for k, v in means.items()},
+                   **{f"metrics/{k}": v for k, v in val_metrics.items()}, "lr": lr,
+                   "img_s": round(imps, 1)}
+            self._log_csv(row)
+            print(f"epoch {epoch + 1}/{epochs}: loss {means['loss']:.3f} "
+                  f"(box {means.get('box', 0):.3f} cls {means.get('cls', 0):.3f} "
+                  f"dfl {means.get('dfl', 0):.3f}) {imps:.0f} img/s"
+                  + (f" | fitness {fitness:.4f}" if fitness is not None else ""))
+
+            self._save("last", params, batch_stats, opt_state, ema_params, epoch)
+            if stopper(epoch, fitness):
+                print(f"early stopping at epoch {epoch} (best {stopper.best_epoch})")
+                break
+
+        self.variables = {"params": jax.device_get(ema_params), "batch_stats": jax.device_get(batch_stats)}
+        self.metrics = val_metrics if args.val else {"train_loss": means["loss"]}
+        print(f"done in {(time.time() - t_start) / 3600:.2f} h; results -> {self.save_dir}")
+        return self.metrics
+
+    # ------------------------------------------------------------------
+    def _save(self, name, params, batch_stats, opt_state, ema_params, epoch):
+        if not self.args.save:
+            return
+        save_checkpoint(
+            self.save_dir / f"{name}.ckpt",
+            self.model,
+            {"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)},
+            epoch=epoch,
+            best_fitness=self.best_fitness,
+            train_args={k: v for k, v in vars(self.args).items() if isinstance(v, (int, float, str, bool))},
+            ema_params=jax.device_get(ema_params),
+        )
+
+    def _log_csv(self, row: dict):
+        new = not self.csv.exists()
+        with open(self.csv, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if new:
+                w.writeheader()
+            w.writerow(row)

@@ -1,0 +1,74 @@
+"""Device mesh + sharding helpers — the SPMD replacement for the reference's
+DDP stack (SURVEY.md §2.11: subprocess relaunch + NCCL + DistributedSampler,
+``utils/dist.py``, ``engine/trainer.py:218-229``).
+
+One jit'd train step over a ``Mesh`` with axes:
+  * ``dp`` — data parallel (batch axis). Gradients are reduced by XLA
+    automatically because params are replicated and the loss averages over a
+    dp-sharded batch — no explicit allreduce, no loss×world_size scaling.
+  * ``tp`` — tensor parallel over the mLSTM heads axis (NH) and conv channel
+    dim for the widest layers.
+  * ``sp`` — sequence parallel over the mLSTM chunk axis: the chunkwise form
+    carries only small (DH × DH) states across chunks, so sharding S costs
+    one small collective per boundary (SURVEY.md §5 long-context note).
+
+On a single host this still works (mesh of local devices); multi-host uses
+``jax.distributed.initialize`` before building the mesh.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(dp: int = -1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Create a (dp, tp, sp) mesh. dp = -1 fills with remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp == -1:
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"mesh {dp}x{tp}x{sp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, tp, sp)
+    return Mesh(arr, axis_names=("dp", "tp", "sp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors: sharded over dp, replicated elsewhere."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the dp-sharded layout."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def param_sharding_rules(mesh: Mesh, params):
+    """Sharding tree for parameters.
+
+    Data-parallel-first design: parameters are replicated (YOLO-scale models
+    fit comfortably per chip). When tp > 1, the widest kernels are sharded
+    over their output-channel axis; everything else stays replicated —
+    XLA inserts the all-gathers where needed.
+    """
+    tp = mesh.shape["tp"]
+
+    def rule(path, x):
+        if tp > 1 and hasattr(x, "ndim") and x.ndim >= 2 and x.shape[-1] % tp == 0 and x.shape[-1] >= 256:
+            spec = [None] * x.ndim
+            spec[-1] = "tp"
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(mesh: Mesh, params):
+    shardings = param_sharding_rules(mesh, params)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)

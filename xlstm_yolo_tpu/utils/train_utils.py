@@ -1,0 +1,134 @@
+"""Optimizer groups, LR schedules, EMA — jax-native equivalents of
+reference ``engine/trainer.py:764-825`` (build_optimizer),
+``utils/torch_utils.py:482-551`` (one_cycle, EMA), and the warmup
+interpolation at ``engine/trainer.py:366-376``.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _is_no_decay(path) -> bool:
+    """No weight decay for biases and normalization scales.
+
+    Fork quirk preserved: the reference's no-decay group takes
+    ``nn.BatchNorm2d``-like weights and *excludes RMSNorm* (RMSNorm scales ARE
+    decayed, engine/trainer.py:783) — our RMSNorm scale param is named
+    "scale" under a module path containing "norm"; we decay it like the fork.
+    """
+    keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    last = keys[-1] if keys else ""
+    if last == "bias":
+        return True
+    # BatchNorm scale/bias (flax: .../bn/{scale,bias})
+    if last in ("scale", "bias") and any(k in ("bn", "norm2") for k in keys[:-1]):
+        return True
+    return False
+
+
+def auto_optimizer_name(nc: int, iterations: float) -> tuple[str, float, float]:
+    """Auto optimizer pick (reference engine/trainer.py:784-793):
+    AdamW with fitted lr for short runs, SGD otherwise."""
+    if iterations > 10000:
+        return "SGD", 0.01, 0.937
+    lr = round(0.002 * 5 / (4 + nc), 6)
+    return "AdamW", lr, 0.9
+
+
+def build_optimizer(
+    params: Any,
+    name: str = "auto",
+    lr: float = 0.01,
+    momentum: float = 0.937,
+    decay: float = 0.0005,
+    nc: int = 80,
+    iterations: float = 1e5,
+) -> tuple[optax.GradientTransformation, str, float, float]:
+    """3-group optimizer: decayed weights / no-decay biases+BN (reference
+    engine/trainer.py:764). Returns (tx, resolved_name, lr, momentum)."""
+    if name == "auto":
+        name, lr, momentum = auto_optimizer_name(nc, iterations)
+
+    decay_mask = jax.tree_util.tree_map_with_path(lambda p, _: not _is_no_decay(p), params)
+
+    if name in ("Adam", "AdamW", "NAdam", "RAdam"):
+        base = {
+            "Adam": optax.adam, "AdamW": optax.adam, "NAdam": optax.nadam, "RAdam": optax.radam,
+        }[name](learning_rate=1.0, b1=momentum, b2=0.999, eps=1e-8)
+    elif name == "RMSProp":
+        base = optax.rmsprop(learning_rate=1.0, momentum=momentum)
+    elif name == "SGD":
+        base = optax.sgd(learning_rate=1.0, momentum=momentum, nesterov=True)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+
+    tx = optax.chain(
+        optax.add_decayed_weights(decay, mask=decay_mask),
+        base,
+    )
+    return tx, name, lr, momentum
+
+
+def lr_schedule(lr0: float, lrf: float, epochs: int, cos_lr: bool = False):
+    """Per-epoch LR factor (reference one_cycle / linear, trainer.py:312,
+    torch_utils.py:482). Returns f(epoch) -> lr."""
+    if cos_lr:
+        def f(e):
+            return lr0 * (((1 - math.cos(e * math.pi / epochs)) / 2) * (lrf - 1) + 1)
+    else:
+        def f(e):
+            return lr0 * max(1 - e / epochs, 0) * (1.0 - lrf) + lr0 * lrf
+    return f
+
+
+def warmup_lr(step: int, epoch_f: float, warmup_steps: float, base_lr: float, warmup_bias_lr: float = 0.1):
+    """Linear warmup interp (reference trainer.py:366-376), simplified to a
+    single LR (bias group ramp handled by the same scalar here)."""
+    if warmup_steps <= 0 or step >= warmup_steps:
+        return base_lr
+    return float(jnp.interp(step, jnp.array([0.0, warmup_steps]), jnp.array([warmup_bias_lr * 0.0, base_lr])))
+
+
+class EMA:
+    """Pytree EMA with warmup decay ramp (reference ModelEMA,
+    utils/torch_utils.py:515): decay = d * (1 - exp(-updates / tau))."""
+
+    def __init__(self, params, decay: float = 0.9999, tau: float = 2000.0):
+        self.ema = jax.tree.map(lambda x: x, params)
+        self.decay = decay
+        self.tau = tau
+        self.updates = 0
+
+    def update(self, params):
+        self.updates += 1
+        d = self.decay * (1 - math.exp(-self.updates / self.tau))
+        self.ema = jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1 - d), self.ema, params)
+        return self.ema
+
+
+def ema_update(ema_params, params, updates: int, decay: float = 0.9999, tau: float = 2000.0):
+    """Functional EMA update for use inside a jit'd train step."""
+    d = decay * (1 - jnp.exp(-updates / tau))
+    return jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1 - d), ema_params, params)
+
+
+class EarlyStopping:
+    """Patience-based stopper (reference utils/torch_utils.py:733)."""
+
+    def __init__(self, patience: int = 100):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float | None) -> bool:
+        if fitness is None:
+            return False
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        return (epoch - self.best_epoch) >= self.patience
