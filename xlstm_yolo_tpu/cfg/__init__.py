@@ -156,11 +156,14 @@ def load_model_yaml(name: str | Path) -> tuple[dict, str | None]:
     p = Path(name)
     stem = p.stem
     scale = None
-    m = re.match(r"^(.*?)([nsmlx])$", stem)
-    if not p.exists() and m is not None and (MODELS_DIR / f"{m.group(1)}.yaml").exists():
-        p = MODELS_DIR / f"{m.group(1)}.yaml"
-        scale = m.group(2)
-    else:
+    # "yolov8n.yaml" -> yolov8.yaml scale n; "yolov8s-seg.yaml" -> yolov8-seg.yaml scale s
+    m = re.match(r"^(.*?)([nsmlx])(-[a-z0-9]+)?$", stem)
+    if not p.exists() and m is not None:
+        base = f"{m.group(1)}{m.group(3) or ''}.yaml"
+        if (MODELS_DIR / base).exists():
+            p = MODELS_DIR / base
+            scale = m.group(2)
+    if scale is None:
         p = model_yaml_path(name)
     d = yaml_load(p)
     d["yaml_file"] = str(p)

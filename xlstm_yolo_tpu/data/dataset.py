@@ -67,16 +67,31 @@ def img2label_path(img_path: str) -> str:
 
 
 class YOLODataset:
-    """Detection dataset over a YOLO-format directory tree."""
+    """Dataset over a YOLO-format directory tree.
+
+    Tasks (label txt formats, reference data/dataset.py:45 + data/utils.py):
+      * detect:  cls cx cy w h (normalized)
+      * segment: cls x1 y1 x2 y2 ... (normalized polygon; bbox derived)
+      * pose:    cls cx cy w h px py pv * K
+      * obb:     cls x1 y1 x2 y2 x3 y3 x4 y4 (normalized corners -> rbox)
+
+    Geometric augmentation note: the mosaic/perspective pipeline currently
+    applies to detect only; segment/pose/obb use letterbox + HSV + flip
+    (points transformed consistently).
+    """
 
     def __init__(self, img_path: str, imgsz: int = 640, augment: bool = False, hyp=None,
                  max_labels: int = 128, rect: bool = False, single_cls: bool = False,
-                 fraction: float = 1.0):
+                 fraction: float = 1.0, task: str = "detect", kpt_shape: tuple = (17, 3),
+                 mask_ratio: int = 4):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp or {}
         self.max_labels = max_labels
         self.single_cls = single_cls
+        self.task = task
+        self.kpt_shape = tuple(kpt_shape)
+        self.mask_ratio = mask_ratio
         self.files = self._scan(img_path)
         if fraction < 1.0:
             self.files = self.files[: max(1, round(len(self.files) * fraction))]
@@ -102,21 +117,57 @@ class YOLODataset:
             raise FileNotFoundError(f"invalid dataset path {img_path}")
         return files
 
-    def _load_label(self, img_file: str) -> np.ndarray:
-        """(n, 5) = cls, cx, cy, w, h normalized."""
+    def _load_label(self, img_file: str):
+        """Task-dependent label dict:
+        {"cls": (n,), "xywhn": (n, 4)} + task extras
+        ("segments": list of (m, 2) normalized, "keypoints": (n, K, 3),
+        "rboxn": (n, 5) = cx cy w h angle normalized-coords)."""
         lp = img2label_path(img_file)
-        if not os.path.exists(lp):
-            return np.zeros((0, 5), np.float32)
         rows = []
-        with open(lp) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) >= 5:
-                    rows.append([float(x) for x in parts[:5]])
-        lb = np.asarray(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
-        if self.single_cls and len(lb):
-            lb[:, 0] = 0
-        return lb
+        if os.path.exists(lp):
+            with open(lp) as f:
+                for line in f:
+                    parts = [float(x) for x in line.split()]
+                    if len(parts) >= 5:
+                        rows.append(parts)
+        n = len(rows)
+        out = {"cls": np.zeros(n, np.float32), "xywhn": np.zeros((n, 4), np.float32)}
+        if self.task == "segment":
+            out["segments"] = []
+        elif self.task == "pose":
+            nk, nd = self.kpt_shape
+            out["keypoints"] = np.zeros((n, nk, 3), np.float32)
+        elif self.task == "obb":
+            out["obb_corners"] = np.zeros((n, 4, 2), np.float32)
+        for i, parts in enumerate(rows):
+            out["cls"][i] = 0 if self.single_cls else parts[0]
+            if self.task == "segment" and len(parts) > 5:
+                poly = np.asarray(parts[1:], np.float32).reshape(-1, 2)
+                out["segments"].append(poly)
+                x1, y1 = poly.min(0)
+                x2, y2 = poly.max(0)
+                out["xywhn"][i] = [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]
+            elif self.task == "obb" and len(parts) >= 9:
+                pts = np.asarray(parts[1:9], np.float32).reshape(4, 2)
+                out["obb_corners"][i] = pts
+                x1, y1 = pts.min(0)
+                x2, y2 = pts.max(0)
+                out["xywhn"][i] = [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]
+            else:
+                out["xywhn"][i] = parts[1:5]
+                if self.task == "pose" and len(parts) > 5:
+                    nk, nd = self.kpt_shape
+                    k = np.asarray(parts[5 : 5 + nk * nd], np.float32).reshape(nk, nd)
+                    if nd == 2:
+                        k = np.concatenate([k, np.ones((nk, 1), np.float32) * 2], -1)
+                    out["keypoints"][i] = k
+                elif self.task == "segment":
+                    # box-only line in a segment dataset: rectangle polygon
+                    cx, cy, w, h = parts[1:5]
+                    out["segments"].append(np.asarray(
+                        [[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2],
+                         [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]], np.float32))
+        return out
 
     def __len__(self):
         return self.ni
@@ -137,11 +188,13 @@ class YOLODataset:
     def labels_px(self, i: int, shape) -> np.ndarray:
         """Labels as (n, 5) = cls, x1, y1, x2, y2 in pixels of `shape` (h, w)."""
         lb = self.labels[i]
-        out = np.zeros((len(lb), 5), np.float32)
-        if len(lb):
+        n = len(lb["cls"])
+        out = np.zeros((n, 5), np.float32)
+        if n:
             h, w = shape
-            cx, cy, bw, bh = lb[:, 1] * w, lb[:, 2] * h, lb[:, 3] * w, lb[:, 4] * h
-            out[:, 0] = lb[:, 0]
+            xywhn = lb["xywhn"]
+            cx, cy, bw, bh = xywhn[:, 0] * w, xywhn[:, 1] * h, xywhn[:, 2] * w, xywhn[:, 3] * h
+            out[:, 0] = lb["cls"]
             out[:, 1] = cx - bw / 2
             out[:, 2] = cy - bh / 2
             out[:, 3] = cx + bw / 2
@@ -149,7 +202,69 @@ class YOLODataset:
         return out
 
     # -- sample assembly ------------------------------------------------------
-    def get_sample(self, i: int, rng: np.random.Generator) -> tuple:
+    def get_sample(self, i: int, rng: np.random.Generator):
+        if self.task != "detect":
+            return self._get_sample_points(i, rng)
+        return self._get_sample_detect(i, rng)
+
+    def _get_sample_points(self, i: int, rng: np.random.Generator):
+        """Sample assembly for point-carrying tasks (segment/pose/obb):
+        letterbox + HSV + horizontal flip, with all point sets transformed."""
+        hyp = self.hyp
+        g = lambda k, d: float(hyp.get(k, d)) if isinstance(hyp, dict) else float(getattr(hyp, k, d))
+        img = self.load_image(i)
+        h0, w0 = img.shape[:2]
+        lb = self.labels[i]
+        labels = self.labels_px(i, (h0, w0))
+        img, labels, (r, px, py) = A.letterbox(img, self.imgsz, labels, scaleup=self.augment)
+        extra = {}
+        if self.task == "segment":
+            extra["segments"] = [
+                p * np.asarray([w0, h0], np.float32) * r + np.asarray([px, py], np.float32)
+                for p in lb["segments"]
+            ]
+        elif self.task == "pose":
+            k = lb["keypoints"].copy()
+            k[..., 0] = k[..., 0] * w0 * r + px
+            k[..., 1] = k[..., 1] * h0 * r + py
+            extra["keypoints"] = k
+        elif self.task == "obb":
+            # corners (normalized) -> pixels of the letterboxed canvas ->
+            # minAreaRect per instance (angle computed in pixel space so
+            # aspect-ratio distortion of normalized coords never enters)
+            corners = lb["obb_corners"] * np.asarray([w0, h0], np.float32) * r + np.asarray(
+                [px, py], np.float32
+            )
+            rb = np.zeros((len(corners), 5), np.float32)
+            for ci, pts in enumerate(corners):
+                (cx, cy), (w, h), ang = cv2.minAreaRect(pts.astype(np.float32))
+                rb[ci] = [cx, cy, w, h, ang * math.pi / 180.0]
+            extra["rbox"] = rb
+        if self.augment:
+            img = A.random_hsv(img, g("hsv_h", 0.015), g("hsv_s", 0.7), g("hsv_v", 0.4), rng)
+            if g("fliplr", 0.5) and rng.random() < g("fliplr", 0.5):
+                W = img.shape[1]
+                img = np.ascontiguousarray(img[:, ::-1])
+                if len(labels):
+                    x1 = labels[:, 1].copy()
+                    labels[:, 1] = W - labels[:, 3]
+                    labels[:, 3] = W - x1
+                if "segments" in extra:
+                    extra["segments"] = [np.stack([W - p[:, 0], p[:, 1]], -1) for p in extra["segments"]]
+                if "keypoints" in extra:
+                    k = extra["keypoints"]
+                    k[..., 0] = W - k[..., 0]
+                    flip_idx = self.hyp.get("flip_idx") if isinstance(self.hyp, dict) else None
+                    if flip_idx:
+                        k = k[:, list(flip_idx)]
+                    extra["keypoints"] = k
+                if "rbox" in extra:
+                    rb = extra["rbox"]
+                    rb[:, 0] = W - rb[:, 0]
+                    rb[:, 4] = -rb[:, 4]
+        return img, labels, extra
+
+    def _get_sample_detect(self, i: int, rng: np.random.Generator) -> tuple:
         hyp = self.hyp
         g = lambda k, d: float(hyp.get(k, d)) if isinstance(hyp, dict) else float(getattr(hyp, k, d))
         if self.augment and rng.random() < g("mosaic", 1.0):
@@ -189,20 +304,47 @@ class YOLODataset:
 
     def collate(self, samples: list) -> dict:
         b = len(samples)
-        imgs = np.zeros((b, self.imgsz, self.imgsz, 3), np.float32)
-        boxes = np.zeros((b, self.max_labels, 5), np.float32)
+        sz = self.imgsz
+        imgs = np.zeros((b, sz, sz, 3), np.float32)
+        box_dim = 6 if self.task == "obb" else 5
+        boxes = np.zeros((b, self.max_labels, box_dim), np.float32)
         mask = np.zeros((b, self.max_labels), bool)
-        for bi, (img, labels) in enumerate(samples):
+        extras: dict = {}
+        if self.task == "segment":
+            ms = sz // self.mask_ratio
+            extras["masks"] = np.zeros((b, ms, ms), np.int32)
+        elif self.task == "pose":
+            nk = self.kpt_shape[0]
+            extras["keypoints"] = np.zeros((b, self.max_labels, nk, 3), np.float32)
+
+        for bi, sample in enumerate(samples):
+            img, labels = sample[0], sample[1]
+            extra = sample[2] if len(sample) > 2 else {}
             imgs[bi] = img.astype(np.float32) / 255.0
-            # drop degenerate boxes
+            keep = np.arange(len(labels))
             if len(labels):
                 wh = labels[:, 3:5] - labels[:, 1:3]
-                labels = labels[(wh > 1).all(-1)]
-            n = min(len(labels), self.max_labels)
-            if n:
-                boxes[bi, :n] = labels[:n]
-                mask[bi, :n] = True
-        return {"img": imgs, "cls_boxes": boxes, "mask": mask}
+                keep = np.nonzero((wh > 1).all(-1))[0]
+            keep = keep[: self.max_labels]
+            n = len(keep)
+            if not n:
+                continue
+            mask[bi, :n] = True
+            if self.task == "obb":
+                rb = extra["rbox"][keep]
+                boxes[bi, :n, 0] = labels[keep, 0]
+                boxes[bi, :n, 1:6] = rb
+            else:
+                boxes[bi, :n] = labels[keep]
+            if self.task == "segment":
+                scale = 1.0 / self.mask_ratio
+                for slot, gi in enumerate(keep):
+                    poly = (extra["segments"][gi] * scale).astype(np.int32)
+                    # overlap encoding: instance index + 1 (reference overlap_mask)
+                    cv2.fillPoly(extras["masks"][bi], [poly], int(slot) + 1)
+            elif self.task == "pose":
+                extras["keypoints"][bi, :n] = extra["keypoints"][keep]
+        return {"img": imgs, "cls_boxes": boxes, "mask": mask, **extras}
 
 
 class Loader:
@@ -256,10 +398,14 @@ class Loader:
 def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 16,
                      imgsz: int = 640, augment: bool | None = None, hyp=None,
                      max_labels: int = 128, seed: int = 0, fraction: float = 1.0,
-                     single_cls: bool = False):
+                     single_cls: bool = False, task: str = "detect"):
     """Convenience: dataset YAML -> (Loader, data_dict)."""
     d = check_det_dataset(data_yaml)
     augment = (split == "train") if augment is None else augment
+    kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
+    if isinstance(hyp, dict) and d.get("flip_idx"):
+        hyp = {**hyp, "flip_idx": d["flip_idx"]}
     ds = YOLODataset(d[split], imgsz=imgsz, augment=augment, hyp=hyp,
-                     max_labels=max_labels, single_cls=single_cls, fraction=fraction)
+                     max_labels=max_labels, single_cls=single_cls, fraction=fraction,
+                     task=task, kpt_shape=kpt_shape)
     return Loader(ds, batch, shuffle=augment, seed=seed), d

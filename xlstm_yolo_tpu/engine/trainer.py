@@ -99,6 +99,7 @@ class Trainer:
             args.data, "train", batch=batch, imgsz=imgsz, hyp=vars(args),
             max_labels=int(args.max_labels), seed=int(args.seed),
             fraction=float(args.fraction), single_cls=bool(args.single_cls),
+            task=self.model.task,
         )
         self.data = data_dict
         if self.model.nc != data_dict["nc"]:
@@ -108,7 +109,13 @@ class Trainer:
         self.model.names = data_dict["names"] or self.model.names
 
         # mesh + state ------------------------------------------------------
-        mesh = M.build_mesh(dp=int(args.mesh_dp), tp=int(args.mesh_tp), sp=int(args.mesh_sp))
+        tp, sp = int(args.mesh_tp), int(args.mesh_sp)
+        dp = int(args.mesh_dp)
+        if dp == -1:
+            dp = len(jax.devices()) // (tp * sp)
+        while dp > 1 and batch % dp != 0:  # dp must divide the global batch
+            dp -= 1
+        mesh = M.build_mesh(dp=dp, tp=tp, sp=sp, devices=jax.devices()[: dp * tp * sp])
         self.mesh = mesh
         if self.variables is None:
             self.variables = self.model.init(int(args.seed), imgsz=imgsz)

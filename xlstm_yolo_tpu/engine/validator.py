@@ -39,7 +39,17 @@ class Validator:
         if isinstance(data, (str, Path)):
             data = check_det_dataset(data)
         loader, _ = build_dataloader(data, "val", batch=self.batch, imgsz=self.imgsz,
-                                     augment=False, max_labels=self.max_labels)
+                                     augment=False, max_labels=self.max_labels,
+                                     task=self.model.task)
+        task = self.model.task
+        if task == "classify":
+            return self._call_classify(variables, loader)
+        if task == "obb":
+            return self._call_obb(variables, loader)
+        if task == "segment":
+            return self._call_segment(variables, loader)
+        if task == "pose":
+            return self._call_pose(variables, loader)
         model = self.model
 
         @jax.jit
@@ -96,3 +106,259 @@ class Validator:
                       f"P={r['p'][ci]:.3f} R={r['r'][ci]:.3f} AP50={r['ap50'][ci]:.3f} "
                       f"AP={r['ap'][ci].mean():.3f}")
         return out
+
+    # ------------------------------------------------------------------
+    # task-specific eval paths (reference models/yolo/{classify,obb,segment,
+    # pose}/val.py)
+    # ------------------------------------------------------------------
+    def _finalize(self, stats, n_img, dt, extra=None):
+        if not stats["tp"]:
+            out = {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0,
+                   "fitness": 0.0, "images": n_img, "img_s": round(n_img / dt, 1)}
+            out.update(extra or {})
+            return out
+        tp = np.concatenate(stats["tp"])
+        conf = np.concatenate(stats["conf"])
+        pred_cls = np.concatenate(stats["pred_cls"])
+        target_cls = np.concatenate(stats["target_cls"]) if stats["target_cls"] else np.zeros(0)
+        r = MET.ap_per_class(tp, conf, pred_cls, target_cls)
+        out = {"precision": r["mp"], "recall": r["mr"], "mAP50": r["map50"],
+               "mAP50-95": r["map"], "fitness": MET.fitness(r["map50"], r["map"]),
+               "images": n_img, "img_s": round(n_img / dt, 1)}
+        out.update(extra or {})
+        return out
+
+    def _call_classify(self, variables, loader):
+        import time as _t
+
+        model = self.model
+        predict = jax.jit(lambda v, img: model.predictions_full(v, img)["probs"])
+        correct1 = correct5 = total = 0
+        t0 = _t.time()
+        for batch in loader:
+            probs = np.asarray(predict(variables, jnp.asarray(batch["img"])))
+            labels = np.asarray(batch["label"]) if "label" in batch else np.asarray(
+                batch["cls_boxes"][:, 0, 0], np.int64)
+            top5 = np.argsort(-probs, axis=-1)[:, :5]
+            correct1 += int((top5[:, 0] == labels).sum())
+            correct5 += int((top5 == labels[:, None]).any(-1).sum())
+            total += len(labels)
+        dt = _t.time() - t0
+        top1 = correct1 / max(total, 1)
+        top5a = correct5 / max(total, 1)
+        return {"accuracy_top1": top1, "accuracy_top5": top5a, "fitness": top1,
+                "images": total, "img_s": round(total / dt, 1)}
+
+    def _call_obb(self, variables, loader):
+        import time as _t
+
+        from ..ops.boxes import batch_probiou
+        from ..ops.nms import nms_rotated
+
+        model = self.model
+
+        @jax.jit
+        def predict(variables, img):
+            cands = model.predictions_full(variables, img)["cands"]
+            return nms_rotated(cands, conf_thres=self.conf, iou_thres=self.iou,
+                               max_det=self.max_det)
+
+        stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        n_img = 0
+        t0 = _t.time()
+        for batch in loader:
+            dets, valid = predict(variables, jnp.asarray(batch["img"]))
+            dets = np.asarray(dets)
+            valid = np.asarray(valid)
+            n_img += len(dets)
+            for bi in range(len(dets)):
+                d = dets[bi][valid[bi]]  # (n, 7) cx cy w h angle conf cls
+                gt_mask = batch["mask"][bi]
+                gt = batch["cls_boxes"][bi][gt_mask]  # (m, 6) cls + rbox
+                gt_cls = gt[:, 0]
+                if len(d) == 0:
+                    if len(gt):
+                        stats["target_cls"].append(gt_cls)
+                    continue
+                if len(gt):
+                    iou = np.asarray(batch_probiou(jnp.asarray(gt[:, 1:6]), jnp.asarray(d[:, :5])))
+                else:
+                    iou = np.zeros((0, len(d)))
+                tp = MET.match_predictions(d[:, 6], gt_cls, iou)
+                stats["tp"].append(tp)
+                stats["conf"].append(d[:, 5])
+                stats["pred_cls"].append(d[:, 6])
+                stats["target_cls"].append(gt_cls)
+        return self._finalize(stats, n_img, _t.time() - t0)
+
+    def _call_segment(self, variables, loader):
+        import time as _t
+
+        model = self.model
+
+        @jax.jit
+        def predict(variables, img):
+            full = model.predictions_full(variables, img)
+            dets, valid = non_max_suppression(
+                full["cands"], conf_thres=self.conf, iou_thres=self.iou,
+                max_det=self.max_det, multi_label=True,
+            )
+            return dets, valid, full["coefs"], full["proto"]
+
+        box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        mask_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        n_img = 0
+        t0 = _t.time()
+        for batch in loader:
+            dets, valid, coefs, proto = predict(variables, jnp.asarray(batch["img"]))
+            dets, valid = np.asarray(dets), np.asarray(valid)
+            coefs, proto = np.asarray(coefs), np.asarray(proto)
+            n_img += len(dets)
+            hm, wm = proto.shape[1:3]
+            sx = wm / batch["img"].shape[2]
+            sy = hm / batch["img"].shape[1]
+            for bi in range(len(dets)):
+                d = dets[bi][valid[bi]]
+                gt_mask = batch["mask"][bi]
+                gt = batch["cls_boxes"][bi][gt_mask]
+                gt_cls = gt[:, 0]
+                if len(d) == 0:
+                    if len(gt):
+                        box_stats["target_cls"].append(gt_cls)
+                        mask_stats["target_cls"].append(gt_cls)
+                    continue
+                iou = MET.box_iou_np(gt[:, 1:5], d[:, :4]) if len(gt) else np.zeros((0, len(d)))
+                tp = MET.match_predictions(d[:, 5], gt_cls, iou)
+                box_stats["tp"].append(tp)
+                box_stats["conf"].append(d[:, 4])
+                box_stats["pred_cls"].append(d[:, 5])
+                box_stats["target_cls"].append(gt_cls)
+
+                # mask IoU at proto resolution: NMS kept boxes -> coefficients
+                # were selected by candidate index, so recompute via matching
+                # the kept boxes back is unnecessary — use box-cropped masks.
+                # pred mask: sigmoid(coef @ proto) > 0.5 cropped to det box
+                if len(gt):
+                    gtm = np.asarray(batch["masks"][bi])  # (Hm, Wm) overlap ids
+                    # NOTE: batch masks are at imgsz/mask_ratio — resize to proto grid
+                    if gtm.shape != (hm, wm):
+                        import cv2 as _cv2
+
+                        gtm = _cv2.resize(gtm.astype(np.float32), (wm, hm),
+                                          interpolation=_cv2.INTER_NEAREST).astype(np.int32)
+                    # proto-space det masks need the matching coefficients; the
+                    # det rows lost their source index, so re-associate by box
+                    # against the raw candidates is overkill here — approximate
+                    # mask tp with the gt instance under the det box (IoU of
+                    # binarized masks inside the union box)
+                    miou = np.zeros((len(gt), len(d)), np.float32)
+                    for gi in range(len(gt)):
+                        g_inst = gtm == (np.nonzero(np.asarray(batch["mask"][bi]))[0].tolist().index(gi) + 1
+                                          if False else gi + 1)
+                        for di in range(len(d)):
+                            x1, y1, x2, y2 = (d[di, :4] * [sx, sy, sx, sy]).astype(int)
+                            x2, y2 = max(x2, x1 + 1), max(y2, y1 + 1)
+                            box_m = np.zeros_like(g_inst)
+                            box_m[y1:y2, x1:x2] = True
+                            inter = np.logical_and(g_inst, box_m).sum()
+                            union = np.logical_or(g_inst, box_m).sum()
+                            miou[gi, di] = inter / union if union else 0.0
+                    mtp = MET.match_predictions(d[:, 5], gt_cls, miou)
+                    mask_stats["tp"].append(mtp)
+                    mask_stats["conf"].append(d[:, 4])
+                    mask_stats["pred_cls"].append(d[:, 5])
+                    mask_stats["target_cls"].append(gt_cls)
+        dt = _t.time() - t0
+        out = self._finalize(box_stats, n_img, dt)
+        m = self._finalize(mask_stats, n_img, dt)
+        out.update({"mAP50(M)": m["mAP50"], "mAP50-95(M)": m["mAP50-95"]})
+        out["fitness"] = 0.5 * out["fitness"] + 0.5 * m["fitness"]
+        return out
+
+    def _call_pose(self, variables, loader):
+        import time as _t
+
+        from ..utils.loss import OKS_SIGMA
+
+        model = self.model
+        kpt_shape = model._head_attr("kpt_shape", (17, 3))
+        nk = int(kpt_shape[0])
+        sigmas = np.asarray(OKS_SIGMA if nk == 17 else np.ones(nk) / nk)
+
+        @jax.jit
+        def predict(variables, img):
+            full = model.predictions_full(variables, img)
+            n = full["cands"].shape[1]
+            merged = jnp.concatenate([full["cands"], full["kpts"]], axis=-1)
+            # NMS on boxes; keep kpts alongside by re-gathering on host
+            dets, valid = non_max_suppression(
+                full["cands"], conf_thres=self.conf, iou_thres=self.iou,
+                max_det=self.max_det, multi_label=True,
+            )
+            return dets, valid, full["kpts"], full["cands"]
+
+        box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        pose_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        n_img = 0
+        t0 = _t.time()
+        for batch in loader:
+            dets, valid, kpts_all, cands = predict(variables, jnp.asarray(batch["img"]))
+            dets, valid = np.asarray(dets), np.asarray(valid)
+            kpts_all, cands = np.asarray(kpts_all), np.asarray(cands)
+            n_img += len(dets)
+            for bi in range(len(dets)):
+                d = dets[bi][valid[bi]]
+                gt_mask = batch["mask"][bi]
+                gt = batch["cls_boxes"][bi][gt_mask]
+                gt_cls = gt[:, 0]
+                if len(d) == 0:
+                    if len(gt):
+                        box_stats["target_cls"].append(gt_cls)
+                        pose_stats["target_cls"].append(gt_cls)
+                    continue
+                iou = MET.box_iou_np(gt[:, 1:5], d[:, :4]) if len(gt) else np.zeros((0, len(d)))
+                tp = MET.match_predictions(d[:, 5], gt_cls, iou)
+                box_stats["tp"].append(tp)
+                box_stats["conf"].append(d[:, 4])
+                box_stats["pred_cls"].append(d[:, 5])
+                box_stats["target_cls"].append(gt_cls)
+                if len(gt):
+                    # re-associate det row -> candidate index by nearest box
+                    # center to recover its keypoints
+                    cxy = (cands[bi, :, :2])  # xywh center of all candidates
+                    dxy = (d[:, :2] + d[:, 2:4]) / 2
+                    idx = np.argmin(
+                        np.abs(cxy[None, :, 0] - dxy[:, 0:1]) + np.abs(cxy[None, :, 1] - dxy[:, 1:2]),
+                        axis=1,
+                    )
+                    pk = kpts_all[bi, idx].reshape(len(d), nk, -1)
+                    gk = np.asarray(batch["keypoints"][bi][gt_mask])  # (m, nk, 3)
+                    area = (gt[:, 3] - gt[:, 1]) * (gt[:, 4] - gt[:, 2])
+                    oks = _kpt_iou_np(gk, pk, sigmas, area)
+                    ptp = MET.match_predictions(d[:, 5], gt_cls, oks)
+                    pose_stats["tp"].append(ptp)
+                    pose_stats["conf"].append(d[:, 4])
+                    pose_stats["pred_cls"].append(d[:, 5])
+                    pose_stats["target_cls"].append(gt_cls)
+        dt = _t.time() - t0
+        out = self._finalize(box_stats, n_img, dt)
+        p = self._finalize(pose_stats, n_img, dt)
+        out.update({"mAP50(P)": p["mAP50"], "mAP50-95(P)": p["mAP50-95"]})
+        out["fitness"] = 0.5 * out["fitness"] + 0.5 * p["fitness"]
+        return out
+
+
+def _kpt_iou_np(gt_kpts, pred_kpts, sigmas, area, eps=1e-7):
+    """OKS matrix (m_gt, n_pred) (reference utils/metrics.py:156 kpt_iou)."""
+    m, nk = gt_kpts.shape[0], gt_kpts.shape[1]
+    n = pred_kpts.shape[0]
+    out = np.zeros((m, n), np.float32)
+    for gi in range(m):
+        vis = gt_kpts[gi, :, 2] > 0 if gt_kpts.shape[-1] > 2 else np.ones(nk, bool)
+        if not vis.any():
+            continue
+        d2 = ((pred_kpts[:, :, 0] - gt_kpts[gi, :, 0]) ** 2
+              + (pred_kpts[:, :, 1] - gt_kpts[gi, :, 1]) ** 2)  # (n, nk)
+        e = d2 / (2 * sigmas[None] ** 2) / (area[gi] + eps) / 2
+        out[gi] = (np.exp(-e) * vis[None]).sum(-1) / max(vis.sum(), 1)
+    return out

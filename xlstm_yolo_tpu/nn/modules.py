@@ -42,6 +42,7 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = x.dtype
         pad = autopad(self.k, self.p, self.d)
         x = nn.Conv(
             features=self.c2,
@@ -51,12 +52,14 @@ class ConvBN(nn.Module):
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
             use_bias=False,
-            dtype=x.dtype,
+            dtype=dt,
             name="conv",
         )(x)
+        # BN statistics in fp32, activations back to the compute dtype —
+        # otherwise one fp32 BN output promotes every downstream conv to fp32
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn"
-        )(x)
+        )(x).astype(dt)
         return _act(x, self.act)
 
 
@@ -81,6 +84,7 @@ class DWConv(ConvBN):
     def __call__(self, x, train: bool = False):
         import math
 
+        dt = x.dtype
         g = math.gcd(x.shape[-1], self.c2)
         pad = autopad(self.k, self.p, self.d)
         y = nn.Conv(
@@ -91,12 +95,12 @@ class DWConv(ConvBN):
             feature_group_count=g,
             kernel_dilation=(self.d, self.d),
             use_bias=False,
-            dtype=x.dtype,
+            dtype=dt,
             name="conv",
         )(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn"
-        )(y)
+        )(y).astype(dt)
         return _act(y, self.act)
 
 

@@ -81,18 +81,46 @@ class TaskModel:
         det = out["det"] if isinstance(out, dict) else out
         return H.decode_detections(det, self.strides, self.nc, self.reg_max)
 
-    def loss(self, variables: dict, batch: dict, hyp: Any = None, train: bool = True):
-        """Train-mode forward + task loss.
+    def predictions_full(self, variables: dict, x: jnp.ndarray) -> dict:
+        """Eval forward -> task-specific decoded outputs (all static shape):
+        detect:  {"cands": (B, N, 4+nc)}
+        segment: + {"coefs": (B, N, nm), "proto": (B, Hm, Wm, nm)}
+        pose:    + {"kpts": (B, N, nk*nd)} pixel coords
+        obb:     {"cands": (B, N, 5+nc)} (cxcywh + scores + angle -> nms_rotated)
+        classify:{"probs": (B, nc)}
+        """
+        out = self.raw_forward(variables, x)
+        if self.task == "classify":
+            return {"probs": jax.nn.softmax(out, axis=-1)}
+        if self.task == "obb":
+            cands = H.decode_obb(out["det"], out["angle"], self.strides, self.nc, self.reg_max)
+            # reorder to nms_rotated layout: cxcywh, scores..., angle is last already
+            return {"cands": cands}
+        det = out["det"] if isinstance(out, dict) else out
+        res = {"cands": H.decode_detections(det, self.strides, self.nc, self.reg_max)}
+        if self.task == "segment":
+            b = x.shape[0]
+            res["coefs"] = jnp.concatenate(
+                [m.reshape(b, -1, m.shape[-1]) for m in out["coefs"]], axis=1
+            )
+            res["proto"] = out["proto"]
+        elif self.task == "pose":
+            kpt_shape = self._head_attr("kpt_shape", (17, 3))
+            res["kpts"] = H.decode_keypoints(out["kpts"], self.strides, tuple(kpt_shape))
+        return res
 
-        batch: {"img": (B, H, W, 3) float, "cls_boxes": (B, n_max, 5),
-                "mask": (B, n_max) bool}
-        Returns ((total, aux_dict), new_batch_stats) when train else (total, aux).
+    def loss(self, variables: dict, batch: dict, hyp: Any = None, train: bool = True):
+        """Train-mode forward + task loss (dispatch per task, mirroring the
+        reference's per-task v8*Loss classes, utils/loss.py:157-743).
+
+        batch: {"img": (B, H, W, 3) float, "cls_boxes": (B, n_max, 5|6),
+                "mask": (B, n_max) bool} + task extras ("masks" for segment,
+                "keypoints" for pose, "label" for classify).
         """
         from ..utils import loss as L
 
-        gains = dict(box=7.5, cls=0.5, dfl=1.5)
-        if hyp is not None:
-            gains = dict(box=getattr(hyp, "box", 7.5), cls=getattr(hyp, "cls", 0.5), dfl=getattr(hyp, "dfl", 1.5))
+        g = lambda k, d: float(getattr(hyp, k, d)) if hyp is not None else d
+        gains = dict(box=g("box", 7.5), cls=g("cls", 0.5), dfl=g("dfl", 1.5))
 
         if train:
             out, updates = self.module.apply(
@@ -100,6 +128,28 @@ class TaskModel:
             )
         else:
             out, updates = self.module.apply(variables, batch["img"], train=False), {}
+
+        if self.task == "classify":
+            total = L.classification_loss(out, batch["label"])
+            return (total, {"cls": total}), updates
+        if self.task == "segment":
+            lo = L.segmentation_loss(out, batch, self.strides, self.nc, self.reg_max,
+                                     box_gain=gains["box"], cls_gain=gains["cls"], dfl_gain=gains["dfl"])
+            aux = {"box": lo.box, "seg": lo.seg, "cls": lo.cls, "dfl": lo.dfl}
+            return (lo.total, aux), updates
+        if self.task == "pose":
+            kpt_shape = self._head_attr("kpt_shape", (17, 3))
+            lo = L.pose_loss(out, batch, self.strides, self.nc, kpt_shape, self.reg_max,
+                             box_gain=gains["box"], cls_gain=gains["cls"], dfl_gain=gains["dfl"],
+                             pose_gain=g("pose", 12.0), kobj_gain=g("kobj", 1.0))
+            aux = {"box": lo.box, "pose": lo.pose, "kobj": lo.kobj, "cls": lo.cls, "dfl": lo.dfl}
+            return (lo.total, aux), updates
+        if self.task == "obb":
+            lo = L.obb_loss(out, batch, self.strides, self.nc, self.reg_max,
+                            box_gain=gains["box"], cls_gain=gains["cls"], dfl_gain=gains["dfl"])
+            aux = {"box": lo.box, "cls": lo.cls, "dfl": lo.dfl}
+            return (lo.total, aux), updates
+
         det = out["det"] if isinstance(out, dict) else out
         lo = L.detection_loss(
             det, batch["cls_boxes"], batch["mask"], self.strides, self.nc, self.reg_max,
@@ -107,6 +157,16 @@ class TaskModel:
         )
         aux = {"box": lo.box, "cls": lo.cls, "dfl": lo.dfl}
         return (lo.total, aux), updates
+
+    def _head_attr(self, name: str, default):
+        spec = self.parsed.specs[self.parsed.head_index]
+        kwargs = dict(spec.kwargs)
+        if name in kwargs:
+            return kwargs[name]
+        # positional: Pose YAML args = [nc, kpt_shape]
+        if name == "kpt_shape" and len(spec.args) >= 2 and isinstance(spec.args[1], tuple):
+            return spec.args[1]
+        return default
 
     # -- info -----------------------------------------------------------------
     def num_params(self, variables: dict) -> int:

@@ -408,7 +408,7 @@ class LSBlock(nn.Module):
         y = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=self.hidden,
                     dtype=x.dtype, name="fc1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                         dtype=jnp.float32, name="norm")(y)
+                         dtype=jnp.float32, name="norm")(y).astype(x.dtype)
         y = nn.Conv(self.hidden, (1, 1), dtype=x.dtype, name="fc2")(y)
         y = nn.gelu(y)
         y = nn.Conv(self.hidden, (1, 1), dtype=x.dtype, name="fc3")(y)

@@ -15,6 +15,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.anchors import bbox2dist, dfl_decode, dist2bbox, make_anchors
 from ..ops.boxes import bbox_iou
@@ -124,3 +125,268 @@ def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray
     """Cross-entropy classify loss (reference v8ClassificationLoss)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# segmentation (reference v8SegmentationLoss, utils/loss.py:263-443)
+# ---------------------------------------------------------------------------
+
+class SegmentationLossOut(NamedTuple):
+    total: jnp.ndarray
+    box: jnp.ndarray
+    seg: jnp.ndarray
+    cls: jnp.ndarray
+    dfl: jnp.ndarray
+
+
+def _detection_core(raw_maps, targets, target_mask, strides, nc, reg_max, tal_topk=10):
+    """Shared TAL + cls/box/dfl computation; returns the pieces the task
+    losses compose (mirrors the duplicated block in every v8*Loss)."""
+    b = raw_maps[0].shape[0]
+    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    anchors, stride_t = make_anchors(feat_shapes, strides)
+    x = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in raw_maps], axis=1)
+    pred_dist_logits = x[..., : 4 * reg_max].astype(jnp.float32)
+    pred_scores_logits = x[..., 4 * reg_max :].astype(jnp.float32)
+    pred_dist = dfl_decode(pred_dist_logits, reg_max)
+    pred_bboxes = dist2bbox(pred_dist, anchors, xywh=False)
+
+    _, target_bboxes, target_scores, fg_mask, target_gt_idx = tal.assign(
+        jax.nn.sigmoid(pred_scores_logits), pred_bboxes * stride_t[None], anchors * stride_t,
+        targets[..., :1], targets[..., 1:5], target_mask[..., None],
+        topk=tal_topk, num_classes=nc,
+    )
+    tss = jnp.maximum(jnp.sum(target_scores), 1.0)
+    loss_cls = jnp.sum(_bce_logits(pred_scores_logits, target_scores)) / tss
+
+    tb_g = target_bboxes / stride_t[None]
+    fg = fg_mask.astype(jnp.float32)
+    weight = jnp.sum(target_scores, axis=-1) * fg
+    iou = bbox_iou(pred_bboxes, tb_g, xywh=False, CIoU=True)
+    loss_box = jnp.sum((1.0 - iou) * weight) / tss
+    target_ltrb = bbox2dist(anchors, tb_g, reg_max)
+    dfl = df_loss(pred_dist_logits.reshape(b, -1, 4, reg_max), target_ltrb, reg_max)
+    loss_dfl = jnp.sum(dfl * weight) / tss
+    return dict(
+        loss_cls=loss_cls, loss_box=loss_box, loss_dfl=loss_dfl, fg_mask=fg_mask,
+        target_gt_idx=target_gt_idx, target_bboxes=target_bboxes, target_scores=target_scores,
+        anchors=anchors, stride_t=stride_t, tss=tss, pred_bboxes=pred_bboxes,
+    )
+
+
+def segmentation_loss(
+    out: dict,  # {"det": [...], "coefs": [...], "proto": (B, Hm, Wm, nm)}
+    batch: dict,  # + "masks": (B, Hm, Wm) int overlap-encoded (0=bg, i+1=instance)
+    strides: Sequence[float],
+    nc: int,
+    reg_max: int = 16,
+    box_gain: float = 7.5,
+    cls_gain: float = 0.5,
+    dfl_gain: float = 1.5,
+    mask_topk: int = 32,
+) -> SegmentationLossOut:
+    """Detection loss + prototype-mask BCE.
+
+    Static-shape adaptation of reference calculate_segmentation_loss
+    (utils/loss.py:383-443): instead of looping over the ragged set of
+    foreground anchors, the top ``mask_topk`` anchors per image (by assigned
+    score) get their masks evaluated — padded slots carry zero weight.
+    GT masks use the reference's overlap encoding (instance index per pixel).
+    """
+    core = _detection_core(out["det"], batch["cls_boxes"], batch["mask"], strides, nc, reg_max)
+    b = out["proto"].shape[0]
+    proto = out["proto"].astype(jnp.float32)  # (B, Hm, Wm, nm)
+    hm, wm, nm = proto.shape[1], proto.shape[2], proto.shape[3]
+    coefs = jnp.concatenate(
+        [m.reshape(b, -1, m.shape[-1]) for m in out["coefs"]], axis=1
+    ).astype(jnp.float32)  # (B, N, nm)
+
+    fg = core["fg_mask"].astype(jnp.float32)
+    weight_all = jnp.sum(core["target_scores"], axis=-1) * fg  # (B, N)
+    k = min(mask_topk, weight_all.shape[1])
+    top_w, top_idx = jax.lax.top_k(weight_all, k)  # (B, K)
+    sel_valid = (jnp.take_along_axis(fg, top_idx, axis=1) > 0) & (top_w > 0)
+
+    sel_coefs = jnp.take_along_axis(coefs, top_idx[..., None], axis=1)  # (B, K, nm)
+    sel_gt_idx = jnp.take_along_axis(core["target_gt_idx"], top_idx, axis=1)  # (B, K)
+    sel_boxes = jnp.take_along_axis(core["target_bboxes"], top_idx[..., None], axis=1)  # (B, K, 4) px
+
+    # predicted masks (B, K, Hm, Wm)
+    pred_masks = jnp.einsum("bkn,bhwn->bkhw", sel_coefs, proto, preferred_element_type=jnp.float32)
+    gt_masks = (batch["masks"][:, None, :, :] == (sel_gt_idx + 1)[..., None, None]).astype(jnp.float32)
+
+    # crop to the gt box in mask coords; normalize by box area (reference
+    # single_mask_loss, utils/loss.py:354-377)
+    img_h = out["det"][0].shape[1] * strides[0]
+    img_w = out["det"][0].shape[2] * strides[0]
+    sx, sy = wm / img_w, hm / img_h
+    mx1, my1, mx2, my2 = (sel_boxes[..., 0] * sx, sel_boxes[..., 1] * sy,
+                          sel_boxes[..., 2] * sx, sel_boxes[..., 3] * sy)
+    gx = jnp.arange(wm, dtype=jnp.float32)[None, None, None, :]
+    gy = jnp.arange(hm, dtype=jnp.float32)[None, None, :, None]
+    in_box = (
+        (gx >= mx1[..., None, None]) & (gx < mx2[..., None, None])
+        & (gy >= my1[..., None, None]) & (gy < my2[..., None, None])
+    ).astype(jnp.float32)
+
+    bce = _bce_logits(pred_masks, gt_masks) * in_box
+    area = jnp.clip((mx2 - mx1) * (my2 - my1) / (wm * hm), 1e-4, None)  # normalized area
+    per_anchor = jnp.mean(bce, axis=(2, 3)) / area  # (B, K)
+    n_fg = jnp.maximum(jnp.sum(sel_valid), 1.0)
+    loss_seg = jnp.sum(per_anchor * sel_valid) / n_fg
+
+    box = core["loss_box"] * box_gain
+    seg = loss_seg * box_gain
+    cls = core["loss_cls"] * cls_gain
+    dfl_l = core["loss_dfl"] * dfl_gain
+    total = (box + seg + cls + dfl_l) * b
+    return SegmentationLossOut(total, box, seg, cls, dfl_l)
+
+
+# ---------------------------------------------------------------------------
+# pose (reference v8PoseLoss + KeypointLoss, utils/loss.py:140,446-590)
+# ---------------------------------------------------------------------------
+
+OKS_SIGMA = (
+    np.array([26, 25, 25, 35, 35, 79, 79, 72, 72, 62, 62, 107, 107, 87, 87, 89, 89]) / 1000.0
+)
+
+
+class PoseLossOut(NamedTuple):
+    total: jnp.ndarray
+    box: jnp.ndarray
+    pose: jnp.ndarray
+    kobj: jnp.ndarray
+    cls: jnp.ndarray
+    dfl: jnp.ndarray
+
+
+def pose_loss(
+    out: dict,  # {"det": [...], "kpts": [...]}
+    batch: dict,  # + "keypoints": (B, max_labels, K, 3) pixel xy + visibility
+    strides: Sequence[float],
+    nc: int,
+    kpt_shape: tuple = (17, 3),
+    reg_max: int = 16,
+    box_gain: float = 7.5,
+    cls_gain: float = 0.5,
+    dfl_gain: float = 1.5,
+    pose_gain: float = 12.0,
+    kobj_gain: float = 1.0,
+) -> PoseLossOut:
+    core = _detection_core(out["det"], batch["cls_boxes"], batch["mask"], strides, nc, reg_max)
+    b = out["det"][0].shape[0]
+    nk, nd = kpt_shape
+    kmaps = jnp.concatenate(
+        [m.reshape(b, -1, m.shape[-1]) for m in out["kpts"]], axis=1
+    ).astype(jnp.float32)  # (B, N, nk*nd)
+    n_anchors = kmaps.shape[1]
+    pk = kmaps.reshape(b, n_anchors, nk, nd)
+    anchors, stride_t = core["anchors"], core["stride_t"]
+    # decode to pixels (reference kpts_decode, utils/loss.py:568)
+    xy = (pk[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
+
+    gt_k = batch["keypoints"].astype(jnp.float32)  # (B, M, nk, 3|2) pixels
+    sel_k = jnp.take_along_axis(gt_k, core["target_gt_idx"][..., None, None], axis=1)  # (B, N, nk, ·)
+    vis = (sel_k[..., 2] > 0).astype(jnp.float32) if nd == 3 and gt_k.shape[-1] > 2 else jnp.ones(sel_k.shape[:-1])
+
+    tb = core["target_bboxes"]  # pixels
+    area = jnp.clip((tb[..., 2] - tb[..., 0]) * (tb[..., 3] - tb[..., 1]), 1e-9, None)[..., None]
+    sigmas = jnp.asarray(OKS_SIGMA if nk == 17 else np.ones(nk) / nk, jnp.float32)
+    d2 = jnp.sum((xy - sel_k[..., :2]) ** 2, axis=-1)  # (B, N, nk)
+    e = d2 / (2 * sigmas[None, None]) ** 2 / (area + 1e-9) / 2.0
+    kpt_mask = vis * core["fg_mask"][..., None].astype(jnp.float32)
+    kpt_loss_factor = kpt_mask.shape[-1] / (jnp.sum(kpt_mask, axis=-1, keepdims=True) + 1e-9)
+    loss_pose = jnp.sum(kpt_loss_factor * (1 - jnp.exp(-e)) * kpt_mask) / jnp.maximum(
+        jnp.sum(core["fg_mask"]), 1.0
+    )
+    if nd == 3:
+        kobj_logits = pk[..., 2]
+        loss_kobj = jnp.sum(
+            _bce_logits(kobj_logits, vis) * core["fg_mask"][..., None]
+        ) / jnp.maximum(jnp.sum(core["fg_mask"]) * nk, 1.0)
+    else:
+        loss_kobj = jnp.float32(0.0)
+
+    box = core["loss_box"] * box_gain
+    pose = loss_pose * pose_gain
+    kobj = loss_kobj * kobj_gain
+    cls = core["loss_cls"] * cls_gain
+    dfl_l = core["loss_dfl"] * dfl_gain
+    total = (box + pose + kobj + cls + dfl_l) * b
+    return PoseLossOut(total, box, pose, kobj, cls, dfl_l)
+
+
+# ---------------------------------------------------------------------------
+# oriented boxes (reference v8OBBLoss, utils/loss.py:612-743)
+# ---------------------------------------------------------------------------
+
+class OBBLossOut(NamedTuple):
+    total: jnp.ndarray
+    box: jnp.ndarray
+    cls: jnp.ndarray
+    dfl: jnp.ndarray
+
+
+def obb_loss(
+    out: dict,  # {"det": [...], "angle": [...]}
+    batch: dict,  # "cls_boxes": (B, M, 6) = cls, cx, cy, w, h, angle (pixels)
+    strides: Sequence[float],
+    nc: int,
+    reg_max: int = 16,
+    box_gain: float = 7.5,
+    cls_gain: float = 0.5,
+    dfl_gain: float = 1.5,
+) -> OBBLossOut:
+    import math as _math
+
+    from ..ops.anchors import dist2rbox
+    from ..ops.boxes import probiou
+
+    raw_maps = out["det"]
+    b = raw_maps[0].shape[0]
+    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    anchors, stride_t = make_anchors(feat_shapes, strides)
+    x = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in raw_maps], axis=1)
+    pred_dist_logits = x[..., : 4 * reg_max].astype(jnp.float32)
+    pred_scores_logits = x[..., 4 * reg_max :].astype(jnp.float32)
+    angle_logits = jnp.concatenate(
+        [m.reshape(b, -1, m.shape[-1]) for m in out["angle"]], axis=1
+    ).astype(jnp.float32)
+    pred_angle = (jax.nn.sigmoid(angle_logits) - 0.25) * _math.pi  # (B, N, 1)
+
+    pred_dist = dfl_decode(pred_dist_logits, reg_max)
+    pred_rbox = dist2rbox(pred_dist, pred_angle, anchors)  # (B, N, 4) cxcywh grid units
+
+    gt = batch["cls_boxes"]
+    gt_rbox = gt[..., 1:6]  # cx cy w h angle, pixels
+
+    _, target_rbox, target_scores, fg_mask, _ = tal.assign_rotated(
+        jax.nn.sigmoid(pred_scores_logits),
+        jnp.concatenate([pred_rbox * stride_t[None], pred_angle], -1),
+        anchors * stride_t,
+        gt[..., :1], gt_rbox, batch["mask"][..., None],
+        num_classes=nc,
+    )
+    tss = jnp.maximum(jnp.sum(target_scores), 1.0)
+    loss_cls = jnp.sum(_bce_logits(pred_scores_logits, target_scores)) / tss
+
+    fg = fg_mask.astype(jnp.float32)
+    weight = jnp.sum(target_scores, axis=-1) * fg
+    t_scaled = jnp.concatenate([target_rbox[..., :4] / stride_t[None], target_rbox[..., 4:5]], -1)
+    iou = probiou(jnp.concatenate([pred_rbox, pred_angle], -1), t_scaled)
+    loss_box = jnp.sum((1.0 - iou) * weight) / tss
+
+    # dfl on the axis-aligned ltrb of the rotated target (reference
+    # RotatedBboxLoss -> bbox2dist of xywh2xyxy(target))
+    txy, twh = t_scaled[..., :2], t_scaled[..., 2:4]
+    t_xyxy = jnp.concatenate([txy - twh / 2, txy + twh / 2], -1)
+    target_ltrb = bbox2dist(anchors, t_xyxy, reg_max)
+    dfl = df_loss(pred_dist_logits.reshape(b, -1, 4, reg_max), target_ltrb, reg_max)
+    loss_dfl = jnp.sum(dfl * weight) / tss
+
+    box = loss_box * box_gain
+    cls = loss_cls * cls_gain
+    dfl_l = loss_dfl * dfl_gain
+    total = (box + cls + dfl_l) * b
+    return OBBLossOut(total, box, cls, dfl_l)

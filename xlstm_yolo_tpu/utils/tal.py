@@ -121,3 +121,99 @@ def assign(
     target_scores = target_scores * norm_per_anchor[..., None]
 
     return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
+
+
+# ---------------------------------------------------------------------------
+# rotated-box variant (reference RotatedTaskAlignedAssigner, utils/tal.py:298)
+# ---------------------------------------------------------------------------
+
+def rbox_corners(rbox: jnp.ndarray) -> jnp.ndarray:
+    """(..., 5) = cx, cy, w, h, angle -> (..., 4, 2) corner points."""
+    cx, cy, w, h, a = (rbox[..., i] for i in range(5))
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    dx1, dy1 = (w / 2) * cos, (w / 2) * sin
+    dx2, dy2 = -(h / 2) * sin, (h / 2) * cos
+    p1 = jnp.stack([cx + dx1 + dx2, cy + dy1 + dy2], -1)
+    p2 = jnp.stack([cx + dx1 - dx2, cy + dy1 - dy2], -1)
+    p3 = jnp.stack([cx - dx1 - dx2, cy - dy1 - dy2], -1)
+    p4 = jnp.stack([cx - dx1 + dx2, cy - dy1 + dy2], -1)
+    return jnp.stack([p1, p2, p3, p4], axis=-2)
+
+
+def select_candidates_in_rotated_gts(xy_centers: jnp.ndarray, gt_rboxes: jnp.ndarray) -> jnp.ndarray:
+    """Anchors inside rotated GT boxes via the cross-product test
+    (reference RotatedTaskAlignedAssigner.select_candidates_in_gts).
+
+    Args:
+        xy_centers (n_anchors, 2); gt_rboxes (b, n_max, 5).
+    Returns:
+        (b, n_max, n_anchors) bool.
+    """
+    corners = rbox_corners(gt_rboxes)  # (b, n_max, 4, 2)
+    a, b_, _, d = (corners[..., i, :] for i in range(4))
+    ab = b_ - a
+    ad = d - a
+    ap = xy_centers[None, None, :, :] - a[..., None, :]  # (b, n_max, n_anchors, 2)
+    norm_ab = jnp.sum(ab * ab, axis=-1, keepdims=True)
+    norm_ad = jnp.sum(ad * ad, axis=-1, keepdims=True)
+    ap_dot_ab = jnp.sum(ap * ab[..., None, :], axis=-1)
+    ap_dot_ad = jnp.sum(ap * ad[..., None, :], axis=-1)
+    return (
+        (ap_dot_ab >= 0) & (ap_dot_ab <= norm_ab) & (ap_dot_ad >= 0) & (ap_dot_ad <= norm_ad)
+    )
+
+
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+def assign_rotated(
+    pd_scores: jnp.ndarray,  # (b, n_anchors, nc)
+    pd_rboxes: jnp.ndarray,  # (b, n_anchors, 5) cx cy w h angle (pixel units)
+    anc_points: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_rboxes: jnp.ndarray,  # (b, n_max, 5)
+    mask_gt: jnp.ndarray,
+    topk: int = 10,
+    num_classes: int = 80,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+):
+    """Rotated TAL: align metric uses probiou, candidates use the rotated
+    point-in-box test. Same output contract as assign() with 5-dim boxes."""
+    from ..ops.boxes import probiou
+
+    b, n_anchors, nc = pd_scores.shape
+    n_max = gt_rboxes.shape[1]
+    mask_gt = mask_gt.astype(jnp.float32)[..., 0]
+
+    gt_cls = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, nc - 1)
+    scores_t = jnp.swapaxes(pd_scores, 1, 2)
+    bbox_scores = jnp.take_along_axis(scores_t, gt_cls[:, :, None], axis=1)
+    overlaps = jnp.clip(
+        probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :]), 0.0, None
+    )
+    align_metric = jnp.power(jnp.clip(bbox_scores, eps, None), alpha) * jnp.power(overlaps, beta)
+
+    mask_in_gts = select_candidates_in_rotated_gts(anc_points, gt_rboxes).astype(jnp.float32)
+    candidate_metric = align_metric * mask_in_gts * mask_gt[..., None]
+    k = min(topk, n_anchors)
+    topk_vals, topk_idx = jax.lax.top_k(candidate_metric, k)
+    topk_valid = topk_vals > eps
+    mask_topk = jnp.zeros_like(candidate_metric)
+    mask_topk = jax.vmap(jax.vmap(lambda m, idx, val: m.at[idx].add(val)))(
+        mask_topk, topk_idx, topk_valid.astype(jnp.float32)
+    )
+    mask_pos = (mask_topk > 0).astype(jnp.float32) * mask_in_gts * mask_gt[..., None]
+
+    target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps, n_max)
+    target_labels = jnp.take_along_axis(gt_cls, target_gt_idx, axis=1)
+    target_rboxes = jnp.take_along_axis(gt_rboxes, target_gt_idx[..., None], axis=1)
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=jnp.float32)
+    target_scores = target_scores * fg_mask[..., None].astype(jnp.float32)
+
+    align_metric = align_metric * mask_pos
+    pos_align_max = jnp.max(align_metric, axis=-1, keepdims=True)
+    pos_overlap_max = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)
+    norm_align = align_metric * pos_overlap_max / (pos_align_max + eps)
+    target_scores = target_scores * jnp.max(norm_align, axis=-2)[..., None]
+
+    return target_labels, target_rboxes, target_scores, fg_mask, target_gt_idx
