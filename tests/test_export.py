@@ -1,0 +1,66 @@
+"""Export + AutoBackend parity tests (StableHLO / SavedModel / TFLite)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    return m, v
+
+
+def test_stablehlo_roundtrip(small_model, tmp_path):
+    from xlstm_yolo_tpu.engine.exporter import Exporter
+    from xlstm_yolo_tpu.nn.autobackend import AutoBackend
+
+    m, v = small_model
+    path = Exporter(m, v, format="stablehlo", imgsz=64, batch=2, output_dir=str(tmp_path))()
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.random((2, 64, 64, 3)), np.float32)
+    want = np.asarray(jax.jit(m.predictions)(v, jnp.asarray(x)))
+    backend = AutoBackend(path, imgsz=64)
+    got = backend.forward(x)
+    assert backend.meta["nc"] == 3
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_stablehlo_with_nms(small_model, tmp_path):
+    from xlstm_yolo_tpu.engine.exporter import Exporter, load_stablehlo
+
+    m, v = small_model
+    path = Exporter(m, v, format="stablehlo", imgsz=64, batch=1, nms=True,
+                    conf=0.0001, output_dir=str(tmp_path))()
+    call, meta = load_stablehlo(path)
+    dets, valid = call(np.zeros((1, 64, 64, 3), np.float32))
+    assert dets.shape == (1, 300, 6)
+    assert meta["nms"] is True
+
+
+def test_savedmodel_parity(small_model, tmp_path):
+    from xlstm_yolo_tpu.engine.exporter import Exporter
+    from xlstm_yolo_tpu.nn.autobackend import AutoBackend
+
+    m, v = small_model
+    path = Exporter(m, v, format="savedmodel", imgsz=64, batch=1, output_dir=str(tmp_path))()
+    rng = np.random.default_rng(1)
+    x = np.asarray(rng.random((1, 64, 64, 3)), np.float32)
+    want = np.asarray(jax.jit(m.predictions)(v, jnp.asarray(x)))
+    got = AutoBackend(path, imgsz=64).forward(x)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_autobackend_ckpt(small_model, tmp_path):
+    from xlstm_yolo_tpu.nn.autobackend import AutoBackend
+    from xlstm_yolo_tpu.utils.checkpoint import save_checkpoint
+
+    m, v = small_model
+    save_checkpoint(tmp_path / "m.ckpt", m, v)
+    backend = AutoBackend(tmp_path / "m.ckpt", imgsz=64).warmup()
+    out = backend.forward(np.zeros((1, 64, 64, 3), np.float32))
+    assert out.shape[-1] == 4 + 3

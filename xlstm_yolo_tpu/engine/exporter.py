@@ -1,0 +1,142 @@
+"""Exporter — serialize the jitted inference pipeline to deployment formats.
+
+Re-design of reference ``engine/exporter.py`` (Exporter :207, 14-format
+table :111-131). The torch export zoo (ONNX/TensorRT/CoreML/...) is replaced
+by the JAX-native export surface:
+
+  * stablehlo   — portable compiler IR via jax.export (the analogue of ONNX
+                  in the XLA ecosystem); reloadable with jax.export.deserialize
+  * savedmodel  — TensorFlow SavedModel via jax2tf (serving / TF ecosystems)
+  * tflite      — TFLite flatbuffer converted from the SavedModel (edge)
+  * nms         — optionally embed the fixed-shape NMS in the exported graph
+                  (the reference's NMSModel wrapper, exporter.py:1550)
+
+Every export wraps the same function the predictor jits: normalize ->
+forward -> decode (-> NMS), so exported and native outputs are bit-identical
+modulo backend math.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+FORMATS = ("stablehlo", "savedmodel", "tflite")
+
+
+class Exporter:
+    def __init__(self, model, variables, format: str = "stablehlo", imgsz: int = 640,
+                 batch: int = 1, nms: bool = False, conf: float = 0.25, iou: float = 0.7,
+                 max_det: int = 300, half: bool = False, output_dir: str = "runs/export",
+                 **kwargs):
+        self.model = model
+        self.variables = variables
+        self.format = format
+        self.imgsz = imgsz
+        self.batch = batch
+        self.nms = nms
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.half = half
+        self.output_dir = Path(output_dir)
+
+    def _infer_fn(self):
+        model, variables = self.model, self.variables
+        if self.half:
+            variables = {
+                "params": jax.tree.map(lambda x: x.astype(jnp.bfloat16), variables["params"]),
+                "batch_stats": variables["batch_stats"],
+            }
+        nms = self.nms
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+
+        def fn(img):  # (B, H, W, 3) float32 in [0, 1]
+            pred = model.predictions(variables, img)
+            if nms:
+                from ..ops.nms import non_max_suppression
+
+                dets, valid = non_max_suppression(
+                    pred, conf_thres=conf, iou_thres=iou, max_det=max_det
+                )
+                return dets, valid
+            return pred
+
+        return fn
+
+    def __call__(self) -> str:
+        t0 = time.time()
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        fn = self._infer_fn()
+        shape = (self.batch, self.imgsz, self.imgsz, 3)
+        if self.format == "stablehlo":
+            out = self._export_stablehlo(fn, shape)
+        elif self.format == "savedmodel":
+            out = self._export_savedmodel(fn, shape)
+        elif self.format == "tflite":
+            out = self._export_tflite(fn, shape)
+        else:
+            raise ValueError(f"unknown export format {self.format!r}; choose from {FORMATS}")
+        print(f"export {self.format} done in {time.time() - t0:.1f}s -> {out}")
+        return str(out)
+
+    def _export_stablehlo(self, fn, shape) -> Path:
+        from jax import export as jexport
+
+        exp = jexport.export(jax.jit(fn))(jax.ShapeDtypeStruct(shape, jnp.float32))
+        out = self.output_dir / f"{self._stem()}.stablehlo"
+        out.write_bytes(exp.serialize())
+        meta = {
+            "imgsz": self.imgsz, "batch": self.batch, "task": self.model.task,
+            "nc": self.model.nc, "names": self.model.names, "nms": self.nms,
+            "strides": list(self.model.strides), "format": "stablehlo",
+        }
+        out.with_suffix(".json").write_text(json.dumps(meta, indent=2))
+        return out
+
+    def _export_savedmodel(self, fn, shape) -> Path:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        tf_fn = tf.function(
+            jax2tf.convert(fn, with_gradient=False),
+            input_signature=[tf.TensorSpec(shape, tf.float32, name="images")],
+            autograph=False,
+        )
+        module = tf.Module()
+        module.serve = tf_fn
+        out = self.output_dir / f"{self._stem()}_savedmodel"
+        tf.saved_model.save(module, str(out), signatures={"serving_default": tf_fn})
+        return out
+
+    def _export_tflite(self, fn, shape) -> Path:
+        import tensorflow as tf
+
+        sm = self._export_savedmodel(fn, shape)
+        converter = tf.lite.TFLiteConverter.from_saved_model(str(sm))
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS,
+        ]
+        blob = converter.convert()
+        out = self.output_dir / f"{self._stem()}.tflite"
+        out.write_bytes(blob)
+        return out
+
+    def _stem(self) -> str:
+        return f"{self.model.task}_{self.imgsz}"
+
+
+def load_stablehlo(path: str | Path):
+    """Reload an exported StableHLO artifact -> callable (the AutoBackend
+    counterpart for our own format; reference nn/autobackend.py)."""
+    from jax import export as jexport
+
+    exp = jexport.deserialize(Path(path).read_bytes())
+    meta_path = Path(path).with_suffix(".json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return exp.call, meta

@@ -45,6 +45,17 @@ class Model:
     def __call__(self, source=None, **kwargs):
         return self.predict(source, **kwargs)
 
+    def track(self, source=None, tracker: str = "bytetrack.yaml", stream: bool = False, **kwargs):
+        """Predict + multi-object tracking (reference engine/model.py:562)."""
+        from ..trackers import create_tracker, track_results
+        from .predictor import Predictor
+
+        kwargs.setdefault("conf", 0.1)  # tracker needs low-conf candidates
+        predictor = Predictor(self.model, self.variables, **kwargs)
+        t = create_tracker(tracker)
+        gen = track_results(t, predictor(source, stream=True))
+        return gen if stream else list(gen)
+
     def val(self, data: str | None = None, **kwargs):
         from .validator import Validator
 

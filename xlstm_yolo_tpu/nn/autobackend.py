@@ -1,0 +1,106 @@
+"""AutoBackend — one forward() over every supported runtime.
+
+Re-design of reference ``nn/autobackend.py`` (AutoBackend :54): dispatches on
+the artifact type and exposes a uniform ``forward(img) -> (B, N, 4+nc)``.
+Supported runtimes: native checkpoint (jit), StableHLO (jax.export),
+TF SavedModel, TFLite (interpreter). The reference's 14 torch-ecosystem
+formats collapse to the XLA-ecosystem set; parity checks run through
+``utils/benchmarks.py``.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class AutoBackend:
+    def __init__(self, weights: str | Path, imgsz: int = 640):
+        self.path = Path(str(weights))
+        self.imgsz = imgsz
+        self.kind = self._sniff(self.path)
+        self.meta: dict = {}
+        getattr(self, f"_init_{self.kind}")()
+
+    @staticmethod
+    def _sniff(p: Path) -> str:
+        s = str(p)
+        if s.endswith(".stablehlo"):
+            return "stablehlo"
+        if s.endswith(".tflite"):
+            return "tflite"
+        if s.endswith("_savedmodel") or (p / "saved_model.pb").exists():
+            return "savedmodel"
+        if s.endswith(".ckpt") or (p / "meta.yaml").exists() or (p.with_suffix("") / "meta.yaml").exists():
+            return "ckpt"
+        if s.endswith((".yaml", ".yml")):
+            return "yaml"
+        raise ValueError(f"cannot determine backend for {p}")
+
+    # -- init per kind ----------------------------------------------------
+    def _init_ckpt(self):
+        from ..utils.checkpoint import load_checkpoint
+
+        model, variables, meta = load_checkpoint(self.path)
+        self.meta = {"task": model.task, "nc": model.nc, "names": model.names}
+        self._fn = jax.jit(lambda img: model.predictions(variables, img))
+
+    def _init_yaml(self):
+        from .tasks import TaskModel
+
+        model = TaskModel(str(self.path))
+        variables = model.init(0, imgsz=64)
+        self.meta = {"task": model.task, "nc": model.nc, "names": model.names}
+        self._fn = jax.jit(lambda img: model.predictions(variables, img))
+
+    def _init_stablehlo(self):
+        from ..engine.exporter import load_stablehlo
+
+        call, meta = load_stablehlo(self.path)
+        self.meta = meta
+        self._fn = jax.jit(call)
+
+    def _init_savedmodel(self):
+        import tensorflow as tf
+
+        self._sm = tf.saved_model.load(str(self.path))
+        fn = self._sm.signatures["serving_default"]
+
+        def call(img):
+            out = fn(images=tf.constant(np.asarray(img, np.float32)))
+            return np.asarray(next(iter(out.values())))
+
+        self._fn = call
+
+    def _init_tflite(self):
+        import tensorflow as tf
+
+        self._interp = tf.lite.Interpreter(model_path=str(self.path))
+        self._interp.allocate_tensors()
+        inp = self._interp.get_input_details()[0]
+        outs = self._interp.get_output_details()
+
+        def call(img):
+            self._interp.set_tensor(inp["index"], np.asarray(img, np.float32))
+            self._interp.invoke()
+            return self._interp.get_tensor(outs[0]["index"])
+
+        self._fn = call
+
+    # -- uniform API -------------------------------------------------------
+    def forward(self, img) -> np.ndarray:
+        """img: (B, H, W, 3) float32 [0, 1] -> (B, N, 4+nc) candidates."""
+        out = self._fn(img if self.kind in ("savedmodel", "tflite") else jnp.asarray(img))
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        return np.asarray(out)
+
+    def warmup(self, batch: int = 1):
+        self.forward(np.zeros((batch, self.imgsz, self.imgsz, 3), np.float32))
+        return self
+
+    __call__ = forward
