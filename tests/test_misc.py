@@ -1,0 +1,114 @@
+"""Solutions, callbacks, CLI parsing, benchmarks harness tests."""
+import numpy as np
+import pytest
+
+
+def _result_with_tracks(boxes, ids):
+    from xlstm_yolo_tpu.engine.results import Results
+
+    img = np.zeros((200, 200, 3), np.uint8)
+    r = Results(img, boxes=np.asarray(boxes, np.float32))
+    r.track_ids = np.asarray(ids, int)
+    return r
+
+
+def test_object_counter_in_out():
+    from xlstm_yolo_tpu.solutions import ObjectCounter
+
+    region = [[100, 0], [200, 0], [200, 200], [100, 200]]  # right half
+    oc = ObjectCounter(region=region)
+    # track 1 moves left -> right (enters region)
+    for x in [50, 80, 120, 150]:
+        r = _result_with_tracks([[x - 10, 90, x + 10, 110, 0.9, 0]], [1])
+        out = oc.process(r)
+    assert out == {"in": 1, "out": 0}
+    # moves back out
+    for x in [120, 80, 40]:
+        r = _result_with_tracks([[x - 10, 90, x + 10, 110, 0.9, 0]], [1])
+        out = oc.process(r)
+    assert out == {"in": 1, "out": 1}
+
+
+def test_region_counter_and_queue():
+    from xlstm_yolo_tpu.solutions import QueueManager
+
+    region = [[0, 0], [100, 0], [100, 100], [0, 100]]
+    q = QueueManager(region=region)
+    r = _result_with_tracks([[10, 10, 30, 30, 0.9, 0], [150, 150, 170, 170, 0.9, 0]], [1, 2])
+    assert q.process(r) == 1
+    assert q.max_queue == 1
+
+
+def test_heatmap_and_speed():
+    from xlstm_yolo_tpu.solutions import Heatmap, SpeedEstimator
+
+    hm = Heatmap(shape=(200, 200))
+    r = _result_with_tracks([[10, 10, 30, 30, 0.9, 0]], [1])
+    heat = hm.process(r)
+    assert heat[20, 20] == 1.0 and heat[100, 100] == 0.0
+
+    sp = SpeedEstimator(fps=30, meters_per_pixel=0.1)
+    sp.process(_result_with_tracks([[0, 0, 20, 20, 0.9, 0]], [5]))
+    speeds = sp.process(_result_with_tracks([[30, 0, 50, 20, 0.9, 0]], [5]))
+    assert 5 in speeds and speeds[5] > 0
+
+
+def test_callbacks_registry(tmp_path):
+    from xlstm_yolo_tpu.utils.callbacks import Callbacks, jsonl_integration
+
+    cbs = Callbacks()
+    seen = []
+    cbs.add("on_train_start", lambda t: seen.append(t))
+    cbs.run("on_train_start", "x")
+    assert seen == ["x"]
+    with pytest.raises(KeyError):
+        cbs.add("not_a_hook", lambda: None)
+
+    class T:
+        epoch = 3
+        metrics = {"mAP50": 0.5}
+
+    cbs.merge(jsonl_integration(tmp_path / "log.jsonl"))
+    cbs.run("on_fit_epoch_end", T())
+    import json
+
+    row = json.loads((tmp_path / "log.jsonl").read_text().strip())
+    assert row["epoch"] == 3 and row["mAP50"] == 0.5
+
+
+def test_cli_parse():
+    from xlstm_yolo_tpu.__main__ import _coerce, parse_kv
+
+    kv = parse_kv(["epochs=10", "lr0=0.01", "save=True", "data=a.yaml", "conf=", "0.3"])
+    assert kv == {"epochs": 10, "lr0": 0.01, "save": True, "data": "a.yaml", "conf": 0.3}
+    assert _coerce("none") is None
+
+
+def test_cli_help(capsys):
+    from xlstm_yolo_tpu.__main__ import entrypoint
+
+    assert entrypoint(["--help"]) == 0
+    assert "usage" in capsys.readouterr().out
+
+
+def test_tuner_mutation():
+    from xlstm_yolo_tpu.engine.tuner import SPACE, Tuner
+
+    t = Tuner(lambda: None, {"lr0": 0.01}, save_dir="/tmp/_tune_test")
+    h1 = t._mutate(None)
+    assert set(h1) == set(SPACE)
+    h2 = t._mutate(h1)
+    for k, (gain, lo, hi) in SPACE.items():
+        assert lo <= h2[k] <= hi
+
+
+def test_profile_model():
+    import jax
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils.benchmarks import profile_model
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    out = profile_model(m, v, imgsz=64, batch=1, n=3, warmup=1)
+    assert out["ms_mean"] > 0 and out["img_s"] > 0

@@ -1,0 +1,180 @@
+"""Post-inference solution apps (reference ``solutions/``): region-aware
+analytics built on the tracker output stream.
+
+Each solution consumes Results (with ``track_ids`` from Model.track) and
+maintains host-side state. Implemented: ObjectCounter, RegionCounter,
+Heatmap, SpeedEstimator, QueueManager, TrackZone, DistanceCalculation,
+Analytics (the workhorse set of the reference's 13; reference
+solutions/solutions.py:12 BaseSolution).
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+
+class BaseSolution:
+    """Track extraction + region utilities (reference solutions/solutions.py:12)."""
+
+    def __init__(self, region: list | None = None, classes: list | None = None):
+        self.region = np.asarray(region, np.float32) if region is not None else None
+        self.classes = set(classes) if classes else None
+        self.track_history: dict[int, list] = defaultdict(list)
+
+    def extract_tracks(self, result):
+        """-> (boxes (n,4), ids (n,), clss (n,), confs (n,))."""
+        if result.boxes is None or len(result.boxes) == 0:
+            return (np.zeros((0, 4)), np.zeros(0, int), np.zeros(0, int), np.zeros(0))
+        boxes = result.boxes.xyxy
+        clss = result.boxes.cls.astype(int)
+        confs = result.boxes.conf
+        ids = getattr(result, "track_ids", None)
+        if ids is None or len(ids) != len(boxes):
+            ids = -np.ones(len(boxes), int)
+        if self.classes is not None:
+            keep = np.isin(clss, list(self.classes))
+            boxes, ids, clss, confs = boxes[keep], ids[keep], clss[keep], confs[keep]
+        for i, tid in enumerate(ids):
+            if tid >= 0:
+                cx = (boxes[i, 0] + boxes[i, 2]) / 2
+                cy = (boxes[i, 1] + boxes[i, 3]) / 2
+                self.track_history[int(tid)].append((float(cx), float(cy)))
+                if len(self.track_history[int(tid)]) > 30:
+                    self.track_history[int(tid)].pop(0)
+        return boxes, ids, clss, confs
+
+    def point_in_region(self, pt) -> bool:
+        import cv2
+
+        assert self.region is not None, "solution requires a region"
+        return cv2.pointPolygonTest(self.region.astype(np.float32), (float(pt[0]), float(pt[1])), False) >= 0
+
+
+class ObjectCounter(BaseSolution):
+    """In/out counting across a line or polygon region (reference
+    solutions/object_counter.py)."""
+
+    def __init__(self, region, **kw):
+        super().__init__(region=region, **kw)
+        self.in_count = 0
+        self.out_count = 0
+        self.counted: dict[int, bool] = {}
+        self.classwise: dict[int, dict] = defaultdict(lambda: {"in": 0, "out": 0})
+
+    def process(self, result):
+        boxes, ids, clss, _ = self.extract_tracks(result)
+        for tid, cls in zip(ids, clss):
+            if tid < 0 or len(self.track_history[int(tid)]) < 2:
+                continue
+            prev, cur = self.track_history[int(tid)][-2], self.track_history[int(tid)][-1]
+            was_in, is_in = self.point_in_region(prev), self.point_in_region(cur)
+            if was_in == is_in or self.counted.get(int(tid)) == is_in:
+                continue
+            if is_in:
+                self.in_count += 1
+                self.classwise[int(cls)]["in"] += 1
+            else:
+                self.out_count += 1
+                self.classwise[int(cls)]["out"] += 1
+            self.counted[int(tid)] = is_in
+        return {"in": self.in_count, "out": self.out_count}
+
+
+class RegionCounter(BaseSolution):
+    """Live occupancy count per region (reference solutions/region_counter.py)."""
+
+    def process(self, result) -> int:
+        boxes, ids, clss, _ = self.extract_tracks(result)
+        n = 0
+        for b in boxes:
+            c = ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2)
+            if self.region is None or self.point_in_region(c):
+                n += 1
+        return n
+
+
+class QueueManager(RegionCounter):
+    """Queue length tracking (reference solutions/queue_management.py)."""
+
+    def __init__(self, region, **kw):
+        super().__init__(region=region, **kw)
+        self.max_queue = 0
+
+    def process(self, result) -> int:
+        n = super().process(result)
+        self.max_queue = max(self.max_queue, n)
+        return n
+
+
+class Heatmap(BaseSolution):
+    """Accumulated presence heatmap (reference solutions/heatmap.py)."""
+
+    def __init__(self, shape: tuple, **kw):
+        super().__init__(**kw)
+        self.heat = np.zeros(shape, np.float32)
+
+    def process(self, result):
+        boxes, *_ = self.extract_tracks(result)
+        for x1, y1, x2, y2 in boxes.astype(int):
+            self.heat[max(y1, 0) : y2, max(x1, 0) : x2] += 1.0
+        return self.heat
+
+
+class SpeedEstimator(BaseSolution):
+    """Pixel-velocity speed estimates per track (reference
+    solutions/speed_estimation.py; px/frame * meters_per_pixel * fps)."""
+
+    def __init__(self, fps: float = 30.0, meters_per_pixel: float = 0.05, **kw):
+        super().__init__(**kw)
+        self.fps = fps
+        self.mpp = meters_per_pixel
+        self.speeds: dict[int, float] = {}
+
+    def process(self, result) -> dict:
+        self.extract_tracks(result)
+        for tid, hist in self.track_history.items():
+            if len(hist) >= 2:
+                d = np.hypot(hist[-1][0] - hist[-2][0], hist[-1][1] - hist[-2][1])
+                self.speeds[tid] = float(d * self.mpp * self.fps * 3.6)  # km/h
+        return self.speeds
+
+
+class TrackZone(BaseSolution):
+    """Restrict tracking analytics to a zone (reference solutions/trackzone.py)."""
+
+    def process(self, result):
+        boxes, ids, clss, confs = self.extract_tracks(result)
+        keep = [i for i, b in enumerate(boxes)
+                if self.point_in_region(((b[0] + b[2]) / 2, (b[1] + b[3]) / 2))]
+        return boxes[keep], ids[keep], clss[keep], confs[keep]
+
+
+class DistanceCalculation(BaseSolution):
+    """Pairwise centroid distance between two selected tracks (reference
+    solutions/distance_calculation.py)."""
+
+    def process(self, result, id_a: int, id_b: int, meters_per_pixel: float = 0.05):
+        self.extract_tracks(result)
+        ha, hb = self.track_history.get(id_a), self.track_history.get(id_b)
+        if not ha or not hb:
+            return None
+        d = np.hypot(ha[-1][0] - hb[-1][0], ha[-1][1] - hb[-1][1])
+        return float(d * meters_per_pixel)
+
+
+class Analytics(BaseSolution):
+    """Per-frame class-count time series (reference solutions/analytics.py)."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.series: list[dict] = []
+
+    def process(self, result) -> dict:
+        _, _, clss, _ = self.extract_tracks(result)
+        counts: dict[int, int] = defaultdict(int)
+        for c in clss:
+            counts[int(c)] += 1
+        frame = dict(counts)
+        self.series.append(frame)
+        return frame

@@ -1,0 +1,85 @@
+"""Benchmark harness: export-parity sweep + latency profiling.
+
+Re-design of reference ``utils/benchmarks.py`` (benchmark :51, ProfileModels
+:338): export the model to every supported format, reload through
+AutoBackend, check numeric parity and mAP floor, time inference.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def benchmark(model, variables, data: str | dict | None = None, imgsz: int = 640,
+              formats: tuple = ("stablehlo", "savedmodel", "tflite"),
+              output_dir: str = "runs/benchmark", verbose: bool = True,
+              floor: float | None = None) -> list:
+    """Export -> reload -> parity + speed per format. Returns rows of
+    {format, ok, max_abs_diff, ms_per_image, mAP50_95?}."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.exporter import Exporter
+    from ..nn.autobackend import AutoBackend
+
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.random((1, imgsz, imgsz, 3)), np.float32)
+    want = np.asarray(jax.jit(model.predictions)(variables, jnp.asarray(x)))
+
+    rows = []
+    for fmt in formats:
+        row = {"format": fmt, "ok": False, "max_abs_diff": float("nan"), "ms_per_image": float("nan")}
+        try:
+            path = Exporter(model, variables, format=fmt, imgsz=imgsz, batch=1,
+                            output_dir=output_dir)()
+            backend = AutoBackend(path, imgsz=imgsz).warmup()
+            got = backend.forward(x)
+            row["max_abs_diff"] = float(np.abs(got - want).max())
+            n = 5
+            t0 = time.perf_counter()
+            for _ in range(n):
+                backend.forward(x)
+            row["ms_per_image"] = (time.perf_counter() - t0) / n * 1e3
+            row["ok"] = row["max_abs_diff"] < 0.05
+
+            if data is not None:
+                from ..engine.validator import Validator
+
+                m = Validator(model, imgsz=imgsz, batch=1)(variables, data=data)
+                row["mAP50-95"] = m["mAP50-95"]
+                if floor is not None:
+                    row["ok"] = row["ok"] and m["mAP50-95"] >= floor
+        except Exception as e:  # noqa: BLE001 — a failed format is a result row
+            row["error"] = str(e)[:120]
+        rows.append(row)
+        if verbose:
+            print(row)
+    return rows
+
+
+def profile_model(model, variables, imgsz: int = 640, batch: int = 1, n: int = 10,
+                  warmup: int = 2) -> dict:
+    """Sigma-clipped latency profile of the jitted forward (reference
+    ProfileModels timing method, utils/benchmarks.py:500)."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda v, x: model.predictions(v, x))
+    x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+    for _ in range(warmup):
+        _ = float(jnp.sum(fn(variables, x)))
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(fn(variables, x)))
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    mu, sigma = times.mean(), times.std()
+    clipped = times[np.abs(times - mu) <= 2 * sigma] if sigma > 0 else times
+    return {
+        "ms_mean": float(clipped.mean() * 1e3),
+        "ms_std": float(clipped.std() * 1e3),
+        "img_s": float(batch / clipped.mean()),
+    }
