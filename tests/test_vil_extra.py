@@ -1,0 +1,90 @@
+"""Extended ViL family: large layer, fusion MLPs, hierarchical, classifier."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xlstm_yolo_tpu.nn import vil_extra as VE
+
+
+def test_vil_layer_large_and_state_carry():
+    m = VE.ViLLayerLarge(dim=32, num_heads=4, chunk_size=8, seqlens=(4, 4))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 32)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+    y2, state = m.apply(v, x, return_last_state=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+    assert state[0].shape == (2, 4, 4, 8)  # (B, NH, DQK, DV) — qk_dim_factor 0.5
+
+
+def test_mlstm_vision_block():
+    m = VE.mLSTMVisionBlock(dim=32, num_heads=4, chunk_size=8, seqlens=(4, 4))
+    x = jnp.ones((1, 16, 32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == x.shape
+
+
+@pytest.mark.parametrize("mlp_type", list(VE.MLP_REGISTRY))
+def test_fusion_mlp_registry(mlp_type):
+    m = VE.FusionViLLayer(dim=32, mlp_type=mlp_type, seqlens=(4, 4), chunk_size=8,
+                          seq_len=16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 16, 32)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(1, 16, 32)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, ctx)
+    y = m.apply(v, x, ctx)
+    assert y.shape == x.shape
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_hierarchical_vision_lstm():
+    m = VE.HierarchicalVisionLSTM(dims=(32, 64), depths=(1, 1), patch_size=4,
+                                  qkv_block_size=16, chunk_size=8)
+    x = jnp.ones((1, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape for o in outs] == [(1, 8, 8, 32), (1, 4, 4, 64)]
+
+
+@pytest.mark.parametrize("pooling,shape", [
+    ("bilateral_flatten", (2, 10)),
+    ("bilateral_avg", (2, 10)),
+])
+def test_vision_lstm2_classifier(pooling, shape):
+    m = VE.VisionLSTM2(dim=32, depth=2, patch_size=8, output_shape=(10,),
+                       pooling=pooling, qkv_block_size=16, chunk_size=8)
+    x = jnp.ones((2, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    logits = m.apply(v, x)
+    assert logits.shape == shape
+
+
+def test_vision_lstm2_features():
+    m = VE.VisionLSTM2(dim=32, depth=1, patch_size=8, mode="features",
+                       pooling="to_image", qkv_block_size=16, chunk_size=8)
+    x = jnp.ones((1, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    f = m.apply(v, x)
+    assert f.shape == (1, 4, 4, 32)
+
+
+def test_fusion_block_in_graph():
+    from xlstm_yolo_tpu.nn.graph import GraphModel, parse_model
+
+    cfg = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "FusionViLLayerBlock", [32, 32, {"mlp_type": "swiglu", "chunk_size": 8}]],
+            [-1, 1, "VilLayerUpdated", [32, 32, {"num_heads": 4, "chunk_size": 8}]],
+        ],
+    }
+    parsed = parse_model(cfg, ch=3)
+    gm = GraphModel(parsed)
+    x = jnp.ones((1, 16, 16, 3))
+    v = gm.init(jax.random.PRNGKey(0), x, train=False)
+    y = gm.apply(v, x, train=False)
+    assert y.shape == (1, 8, 8, 32)

@@ -178,8 +178,13 @@ def mlstm_chunkwise(
     re-derived for jax: per-chunk summaries computed batched, the (C, n, m)
     inter-chunk recurrence carried by a lax.scan emitting carry-in states,
     then intra + inter contributions combined fully vectorized.
+
+    Supports distinct q/k vs v head dims (DQK != DV — used by the
+    xLSTM-large-style layer with qk_dim_factor 0.5): C is (DQK, DV),
+    n is (DQK,).
     """
     B, NH, S, DH = q.shape
+    DV = v.shape[-1]
     CS = chunk_size
     assert S % CS == 0, f"sequence length {S} must be divisible by chunk_size {CS}"
     NS = S // CS
@@ -187,7 +192,7 @@ def mlstm_chunkwise(
 
     qc = q.astype(f32).reshape(B, NH, NS, CS, DH) / jnp.sqrt(f32(DH))
     kc = k.astype(f32).reshape(B, NH, NS, CS, DH)
-    vc = v.astype(f32).reshape(B, NH, NS, CS, DH)
+    vc = v.astype(f32).reshape(B, NH, NS, CS, DV)
     logf = jax.nn.log_sigmoid(f_preact.astype(f32)).reshape(B, NH, NS, CS)
     logi = _log_igate(i_preact.astype(f32), igate_act).reshape(B, NH, NS, CS)
 
@@ -203,7 +208,7 @@ def mlstm_chunkwise(
     ksum = jnp.sum(kc * gw[..., None], axis=-2)  # (B, NH, NS, DH)
 
     if initial_state is None:
-        c0 = jnp.zeros((B, NH, DH, DH), f32)
+        c0 = jnp.zeros((B, NH, DH, DV), f32)
         n0 = jnp.zeros((B, NH, DH), f32)
         m0 = jnp.zeros((B, NH), f32)
     else:
@@ -226,7 +231,7 @@ def mlstm_chunkwise(
         jnp.moveaxis(m_loc, 2, 0),
     )
     last_state, prev_states = jax.lax.scan(chunk_step, (c0, n0, m0), xs)
-    c_prev = jnp.moveaxis(prev_states[0], 0, 2)  # (B, NH, NS, DH, DH) carry-in per chunk
+    c_prev = jnp.moveaxis(prev_states[0], 0, 2)  # (B, NH, NS, DH, DV) carry-in per chunk
     n_prev = jnp.moveaxis(prev_states[1], 0, 2)  # (B, NH, NS, DH)
     m_prev = jnp.moveaxis(prev_states[2], 0, 2)  # (B, NH, NS)
 
@@ -253,7 +258,7 @@ def mlstm_chunkwise(
     )[..., None] + eps
     intra_num = jnp.einsum("bncst,bnctd->bncsd", e, vc, preferred_element_type=f32)
     h = (intra_num + inter_num) / normalizer
-    h = h.reshape(B, NH, S, DH)
+    h = h.reshape(B, NH, S, DV)
     if return_last_state:
         return h, last_state
     return h

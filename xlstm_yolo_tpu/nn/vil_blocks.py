@@ -494,6 +494,65 @@ class VisionLSTMBlock(nn.Module, _Custom):
         )(x, train)
 
 
+class FusionViLLayerBlock(nn.Module, _Custom):
+    """Graph adapter for FusionViLLayer (reference YAML:
+    [-1, 1, FusionViLLayerBlock, [dim, {mlp_type, seq_len, use_mlp}]])."""
+
+    dim: int
+    config: tuple = ()
+
+    @classmethod
+    def parse(cls, args, channels, fs, **kw):
+        dim = args[1] if len(args) >= 2 and isinstance(args[1], int) else args[0]
+        config = next((a for a in args if isinstance(a, (dict, tuple)) and not isinstance(a, int)), {})
+        return dim, [dim], {"config": config}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .vil_extra import FusionViLLayer
+
+        cfg = _cfg(self.config)
+        shp = x.shape
+        seqlens = tuple(x.shape[1:-1]) if x.ndim >= 4 else _t(cfg.get("seqlens"))
+        x = x.reshape(x.shape[0], -1, x.shape[-1])
+        y = FusionViLLayer(
+            dim=self.dim, mlp_type=str(cfg.get("mlp_type", "baseline")),
+            use_mlp=bool(cfg.get("use_mlp", True)), seqlens=seqlens,
+            chunk_size=int(cfg.get("chunk_size", 64)),
+            qkv_block_size=int(cfg.get("qkv_block_size", 16)),
+            seq_len=int(cfg.get("seq_len", x.shape[1])), name="fusion",
+        )(x)
+        return y.reshape(shp)
+
+
+class mLSTMVisionBlockWrap(nn.Module, _Custom):
+    """Graph adapter for the xLSTM-7B-style vision block (reference
+    VilLayerUpdated, mlstm_large.py:411). YAML: [c1, dim, {num_heads, chunk_size}]."""
+
+    dim: int
+    config: tuple = ()
+
+    @classmethod
+    def parse(cls, args, channels, fs, **kw):
+        dim = args[1] if len(args) >= 2 and isinstance(args[1], int) else args[0]
+        config = next((a for a in args if isinstance(a, (dict, tuple)) and not isinstance(a, int)), {})
+        return dim, [dim], {"config": config}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .vil_extra import mLSTMVisionBlock
+
+        cfg = _cfg(self.config)
+        shp = x.shape
+        seqlens = tuple(x.shape[1:-1]) if x.ndim >= 4 else _t(cfg.get("seqlens"))
+        x = x.reshape(x.shape[0], -1, x.shape[-1])
+        y = mLSTMVisionBlock(
+            dim=self.dim, num_heads=int(cfg.get("num_heads", 4)),
+            chunk_size=int(cfg.get("chunk_size", 64)), seqlens=seqlens, name="block",
+        )(x)
+        return y.reshape(shp)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -515,5 +574,8 @@ for _name, _cls in [
     ("MultiScaleFusionBlock", MultiScaleFusionBlock),
     ("ViLFusionBlock", ViLFusionBlock),
     ("VisionLSTM", VisionLSTMBlock),
+    ("FusionViLLayerBlock", FusionViLLayerBlock),
+    ("VilLayerUpdated", mLSTMVisionBlockWrap),
+    ("mLSTMVisionBlock", mLSTMVisionBlockWrap),
 ]:
     register(_name, _cls, "custom")
