@@ -182,7 +182,8 @@ class C3k2(nn.Module):
             if self.c3k:
                 ys.append(C3k(c, 2, self.shortcut, self.g, name=f"m{i}")(ys[-1], train))
             else:
-                ys.append(Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m{i}")(ys[-1], train))
+                # C3k2's inner bottleneck keeps the default e=0.5 (C2f uses 1.0)
+                ys.append(Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=0.5, name=f"m{i}")(ys[-1], train))
         return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
 
 
@@ -238,7 +239,10 @@ class Concat(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest-neighbor 2x upsample (torch nn.Upsample equivalent)."""
+    """Nearest-neighbor 2x upsample (torch nn.Upsample equivalent).
+
+    Nearest mode uses broadcast+reshape (pure data movement XLA handles as a
+    cheap copy) instead of jax.image.resize's gather."""
 
     scale: int = 2
     mode: str = "nearest"
@@ -246,9 +250,11 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
+        s = self.scale
         if self.mode == "nearest":
-            return jax.image.resize(x, (b, h * self.scale, w * self.scale, c), method="nearest")
-        return jax.image.resize(x, (b, h * self.scale, w * self.scale, c), method="bilinear")
+            y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, s, w, s, c))
+            return y.reshape(b, h * s, w * s, c)
+        return jax.image.resize(x, (b, h * s, w * s, c), method="bilinear")
 
 
 class MaxPool(nn.Module):
