@@ -201,6 +201,35 @@ class YOLODataset:
             out[:, 4] = cy + bh / 2
         return out
 
+    # -- native fast path (eval) ------------------------------------------------
+    def collate_native(self, idxs) -> dict | None:
+        """Fused C++ letterbox+normalize batch assembly for the no-augment
+        detect path (native/imgproc.cpp); None if the library is unavailable."""
+        from .. import native
+
+        if not native.available():
+            return None
+        imgs = [self.load_image(int(i)) for i in idxs]
+        batch_imgs, metas = native.letterbox_batch(imgs, self.imgsz, scaleup=False)
+        b = len(idxs)
+        boxes = np.zeros((b, self.max_labels, 5), np.float32)
+        mask = np.zeros((b, self.max_labels), bool)
+        for bi, i in enumerate(idxs):
+            lb = self.labels_px(int(i), imgs[bi].shape[:2])
+            r, px, py = metas[bi]
+            if len(lb):
+                lb = lb.copy()
+                lb[:, 1:5] *= r
+                lb[:, [1, 3]] += px
+                lb[:, [2, 4]] += py
+                wh = lb[:, 3:5] - lb[:, 1:3]
+                lb = lb[(wh > 1).all(-1)][: self.max_labels]
+            n = len(lb)
+            if n:
+                boxes[bi, :n] = lb
+                mask[bi, :n] = True
+        return {"img": batch_imgs, "cls_boxes": boxes, "mask": mask}
+
     # -- sample assembly ------------------------------------------------------
     def get_sample(self, i: int, rng: np.random.Generator):
         if self.task != "detect":
@@ -378,11 +407,16 @@ class Loader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
+        use_native = (not self.ds.augment) and self.ds.task == "detect"
+
         def producer():
             for b in range(nb):
                 batch_idx = idxs[b * self.bs : (b + 1) * self.bs]
-                samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
-                q.put(self.ds.collate(samples))
+                batch = self.ds.collate_native(batch_idx) if use_native else None
+                if batch is None:
+                    samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
+                    batch = self.ds.collate(samples)
+                q.put(batch)
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
