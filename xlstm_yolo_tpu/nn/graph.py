@@ -69,6 +69,18 @@ for _n, _c, _k in [
     register(_n, _c, _k)
 
 
+def _register_rtdetr():
+    from . import rtdetr as R
+
+    register("HGStem", R.HGStem, "hg")
+    register("HGBlock", R.HGBlock, "hg")
+    register("AIFI", R.AIFI, "plain_args")
+    register("RTDETRDecoder", R.RTDETRDecoder, "head")
+
+
+_register_rtdetr()
+
+
 def make_divisible(x: float, divisor: int = 8) -> int:
     """Round channels up to the nearest multiple (reference utils/ops.py make_divisible)."""
     return int(math.ceil(x / divisor) * divisor)
@@ -160,9 +172,31 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
                     kwargs["mode"] = str(args[2])
             else:
                 margs = args
+        elif kind == "hg":
+            # HGStem [cm, c2] / HGBlock [cm, c2, k, light, shortcut]
+            cm = make_divisible(min(args[0], max_ch) * width, 8)
+            c2 = make_divisible(min(args[1], max_ch) * width, 8)
+            margs = [cm, c2, *args[2:]]
+            if name == "HGBlock" and n_rep > 1:
+                kwargs["n"] = 6  # HGBlock repeats are internal convs, not block repeats
+            n_rep = 1
+        elif kind == "plain_args":
+            c2 = c1
+            if name == "AIFI":
+                margs = [c1]
+                if args:
+                    kwargs["cm"] = make_divisible(min(args[0], max_ch) * width, 8)
+                if len(args) > 1:
+                    kwargs["num_heads"] = int(args[1])
+            else:
+                margs = args
         elif kind == "head":
             in_ch = tuple(channels[x + 1] for x in fs)
             head_index = i
+            if name == "RTDETRDecoder":
+                task = "rtdetr"
+                margs = [args[0] if args else nc]
+                kwargs["ch"] = in_ch
             if name == "Detect":
                 task = "detect"
                 margs = [args[0] if args else nc]

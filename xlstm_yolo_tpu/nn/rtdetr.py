@@ -1,0 +1,408 @@
+"""RT-DETR — real-time detection transformer (reference ``models/rtdetr/`` +
+``nn/modules/transformer.py`` + ``nn/modules/block.py`` HGStem/HGBlock).
+
+NMS-free detector: HGNetv2-style backbone, AIFI transformer encoder on P5,
+a deformable-attention decoder refining a top-k query set, Hungarian-matched
+loss (reference ``models/utils/loss.py:13`` DETRLoss,
+``models/utils/ops.py:12`` HungarianMatcher). TPU notes:
+  * everything static-shape: queries fixed at num_queries; GT padded;
+  * the Hungarian assignment runs on host through ``jax.pure_callback``
+    (it returns indices only, so no gradients flow through it — same role
+    as the reference's scipy call inside the loss);
+  * deformable attention's grid_sample becomes a manual bilinear gather.
+Contrastive denoising (get_cdn_group) is not yet implemented.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .modules import ConvBN
+
+
+# ---------------------------------------------------------------------------
+# backbone blocks (reference block.py HGStem / HGBlock)
+# ---------------------------------------------------------------------------
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 convs + maxpool (reference block.py HGStem)."""
+
+    cm: int
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.cm, 3, 2, act="relu", name="stem1")(x, train)
+        x2 = ConvBN(self.cm // 2, 2, 1, p=0, act="relu", name="stem2a")(
+            jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0))), train)
+        x2 = ConvBN(self.cm, 2, 1, p=0, act="relu", name="stem2b")(
+            jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0))), train)
+        x1 = nn.max_pool(x, (2, 2), strides=(1, 1), padding=((0, 1), (0, 1)))
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = ConvBN(self.c2, 3, 2, act="relu", name="stem3")(x, train)
+        return ConvBN(self.c2, 1, 1, act="relu", name="stem4")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block: n chained convs, concat, squeeze/excite convs
+    (reference block.py HGBlock)."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ys = [x]
+        for i in range(self.n):
+            ys.append(ConvBN(self.cm, self.k, 1, act="relu", name=f"m{i}")(ys[-1], train))
+        y = jnp.concatenate(ys, axis=-1)
+        y = ConvBN(self.c2 // 2, 1, 1, act="relu", name="sc")(y, train)
+        y = ConvBN(self.c2, 1, 1, act="relu", name="ec")(y, train)
+        return y + x if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+# ---------------------------------------------------------------------------
+# AIFI encoder (reference transformer.py AIFI)
+# ---------------------------------------------------------------------------
+
+class AIFI(nn.Module):
+    """Single transformer encoder layer over the flattened P5 map with 2D
+    sincos position embedding."""
+
+    c: int
+    num_heads: int = 8
+    cm: int = 1024
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        pos = _sincos_2d(h, w, c).astype(seq.dtype)
+        q = k = seq + pos[None]
+        attn = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, dtype=seq.dtype,
+                                               name="mha")(q, k, seq)
+        seq = nn.LayerNorm(name="norm1")(seq + attn)
+        ff = nn.Dense(self.cm, dtype=seq.dtype, name="fc1")(seq)
+        ff = nn.Dense(self.c, dtype=seq.dtype, name="fc2")(nn.gelu(ff))
+        seq = nn.LayerNorm(name="norm2")(seq + ff)
+        return seq.reshape(b, h, w, c)
+
+
+def _sincos_2d(h: int, w: int, dim: int, temperature: float = 10000.0) -> jnp.ndarray:
+    """2D sincos pos embedding (reference AIFI.build_2d_sincos_position_embedding)."""
+    gw, gh = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32),
+                          indexing="xy")
+    pos_dim = dim // 4
+    omega = 1.0 / (temperature ** (jnp.arange(pos_dim, dtype=jnp.float32) / pos_dim))
+    out_w = gw.reshape(-1)[:, None] * omega[None]
+    out_h = gh.reshape(-1)[:, None] * omega[None]
+    return jnp.concatenate(
+        [jnp.sin(out_w), jnp.cos(out_w), jnp.sin(out_h), jnp.cos(out_h)], axis=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# deformable attention (reference transformer.py MSDeformAttn)
+# ---------------------------------------------------------------------------
+
+def deform_sample(value: jnp.ndarray, shapes: Sequence, locs: jnp.ndarray,
+                  weights: jnp.ndarray) -> jnp.ndarray:
+    """Multi-scale deformable sampling.
+
+    value: (B, L_total, NH, DH) flattened per-level features
+    shapes: list of (h, w) per level (python ints)
+    locs: (B, Q, NH, n_levels, n_points, 2) normalized [0, 1] xy
+    weights: (B, Q, NH, n_levels * n_points)
+    -> (B, Q, NH * DH)
+    """
+    b, _, nh, dh = value.shape
+    q = locs.shape[1]
+    n_points = locs.shape[4]
+    out = []
+    start = 0
+    for li, (h, w) in enumerate(shapes):
+        v = value[:, start : start + h * w].reshape(b, h, w, nh, dh)
+        start += h * w
+        xy = locs[:, :, :, li]  # (B, Q, NH, P, 2)
+        fx = xy[..., 0] * w - 0.5
+        fy = xy[..., 1] * h - 0.5
+        x0 = jnp.clip(jnp.floor(fx), 0, w - 1).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(fy), 0, h - 1).astype(jnp.int32)
+        x1 = jnp.clip(x0 + 1, 0, w - 1)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        ax = jnp.clip(fx - x0, 0.0, 1.0)[..., None]
+        ay = jnp.clip(fy - y0, 0.0, 1.0)[..., None]
+
+        def gather(yy, xx):
+            # v: (B, H, W, NH, DH); indices (B, Q, NH, P)
+            flat = v.reshape(b, h * w, nh, dh)
+            idx = yy * w + xx  # (B, Q, NH, P)
+            bidx = jnp.arange(b)[:, None, None, None]
+            hidx = jnp.arange(nh)[None, None, :, None]
+            return flat[bidx, idx, hidx]  # (B, Q, NH, P, DH)
+
+        p00, p01 = gather(y0, x0), gather(y0, x1)
+        p10, p11 = gather(y1, x0), gather(y1, x1)
+        top = p00 + ax * (p01 - p00)
+        bot = p10 + ax * (p11 - p10)
+        out.append(top + ay * (bot - top))  # (B, Q, NH, P, DH)
+    samples = jnp.concatenate(out, axis=3)  # (B, Q, NH, L*P, DH)
+    w_ = weights.reshape(b, q, nh, -1, 1)
+    return jnp.sum(samples * w_, axis=3).reshape(b, q, nh * dh)
+
+
+class MSDeformAttn(nn.Module):
+    """Multi-scale deformable attention (reference transformer.py MSDeformAttn)."""
+
+    c: int
+    num_heads: int = 8
+    n_levels: int = 3
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, query, ref_points, value, shapes):
+        """query (B, Q, C); ref_points (B, Q, 4) normalized cxcywh;
+        value (B, L_total, C); shapes list of (h, w)."""
+        b, q, c = query.shape
+        nh, nl, npnt = self.num_heads, self.n_levels, self.n_points
+        v = nn.Dense(self.c, dtype=value.dtype, name="value_proj")(value)
+        v = v.reshape(b, -1, nh, c // nh)
+        offsets = nn.Dense(nh * nl * npnt * 2, kernel_init=nn.initializers.zeros,
+                           name="sampling_offsets")(query)
+        offsets = offsets.reshape(b, q, nh, nl, npnt, 2)
+        weights = nn.Dense(nh * nl * npnt, kernel_init=nn.initializers.zeros,
+                           name="attention_weights")(query)
+        weights = jax.nn.softmax(weights.reshape(b, q, nh, nl * npnt).astype(jnp.float32), -1)
+        weights = weights.astype(query.dtype)
+        # sampling locations around reference box centers, scaled by box size
+        centers = ref_points[:, :, None, None, None, :2]
+        wh = ref_points[:, :, None, None, None, 2:]
+        locs = centers + offsets / npnt * wh * 0.5
+        out = deform_sample(v, shapes, locs, weights)
+        return nn.Dense(self.c, dtype=query.dtype, name="output_proj")(out)
+
+
+class DeformableDecoderLayer(nn.Module):
+    """Self-attn + cross deformable attn + FFN (reference
+    DeformableTransformerDecoderLayer)."""
+
+    c: int
+    num_heads: int = 8
+    n_levels: int = 3
+    n_points: int = 4
+    cm: int = 1024
+
+    @nn.compact
+    def __call__(self, x, ref_points, value, shapes, query_pos):
+        q = k = x + query_pos
+        sa = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, dtype=x.dtype,
+                                             name="self_attn")(q, k, x)
+        x = nn.LayerNorm(name="norm1")(x + sa)
+        ca = MSDeformAttn(self.c, self.num_heads, self.n_levels, self.n_points,
+                          name="cross_attn")(x + query_pos, ref_points, value, shapes)
+        x = nn.LayerNorm(name="norm2")(x + ca)
+        ff = nn.Dense(self.c, dtype=x.dtype, name="fc2")(
+            nn.relu(nn.Dense(self.cm, dtype=x.dtype, name="fc1")(x)))
+        return nn.LayerNorm(name="norm3")(x + ff)
+
+
+class MLPHead(nn.Module):
+    hidden: int
+    out: int
+    layers: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers - 1):
+            x = nn.relu(nn.Dense(self.hidden, dtype=x.dtype, name=f"l{i}")(x))
+        return nn.Dense(self.out, name=f"l{self.layers - 1}")(x)
+
+
+class RTDETRDecoder(nn.Module):
+    """Top-k query selection + iterative box refinement decoder
+    (reference head.py RTDETRDecoder)."""
+
+    nc: int = 80
+    ch: tuple = ()
+    hd: int = 256
+    nq: int = 300
+    ndl: int = 6
+    nh: int = 8
+    ndp: int = 4
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        b = feats[0].shape[0]
+        shapes = [f.shape[1:3] for f in feats]
+        # project each level to hd channels and flatten
+        proj = [
+            ConvBN(self.hd, 1, act=False, name=f"input_proj{i}")(f, train)
+            for i, f in enumerate(feats)
+        ]
+        value = jnp.concatenate([p.reshape(b, -1, self.hd) for p in proj], axis=1)
+
+        # anchors for every position/level (normalized cxcywh priors)
+        anchors, valid_mask = _build_anchors(shapes, dtype=value.dtype)
+        memory = value * valid_mask
+
+        enc_scores = nn.Dense(self.nc, name="enc_score_head")(memory)  # (B, L, nc)
+        enc_boxes_delta = MLPHead(self.hd, 4, name="enc_bbox_head")(memory)
+        enc_boxes = jax.nn.sigmoid(enc_boxes_delta + _inv_sigmoid(anchors))  # (B, L, 4)
+
+        # top-k query selection by max class score (clamped for tiny inputs)
+        nq = min(self.nq, enc_scores.shape[1])
+        topv, topi = jax.lax.top_k(jnp.max(enc_scores, axis=-1), nq)  # (B, nq)
+        ref = jnp.take_along_axis(enc_boxes, topi[..., None], axis=1)  # (B, nq, 4)
+        tgt = jnp.take_along_axis(memory, topi[..., None], axis=1)  # (B, nq, hd)
+
+        dec_out_b, dec_out_s = [], []
+        x = tgt
+        for li in range(self.ndl):
+            query_pos = MLPHead(2 * self.hd, self.hd, 2, name=f"query_pos{li}")(ref)
+            x = DeformableDecoderLayer(self.hd, self.nh, len(feats), self.ndp,
+                                       name=f"layer{li}")(x, ref, value, shapes, query_pos)
+            delta = MLPHead(self.hd, 4, name=f"bbox_head{li}")(x)
+            ref = jax.nn.sigmoid(delta + _inv_sigmoid(ref))
+            scores = nn.Dense(self.nc, name=f"score_head{li}")(x)
+            dec_out_b.append(ref)
+            dec_out_s.append(scores)
+            ref = jax.lax.stop_gradient(ref)
+
+        return {
+            "boxes": dec_out_b[-1],  # (B, nq, 4) normalized cxcywh
+            "scores": dec_out_s[-1],  # (B, nq, nc) logits
+            "aux_boxes": jnp.stack(dec_out_b[:-1]) if self.ndl > 1 else None,
+            "aux_scores": jnp.stack(dec_out_s[:-1]) if self.ndl > 1 else None,
+            "enc_boxes": enc_boxes,
+            "enc_scores": enc_scores,
+        }
+
+
+def _inv_sigmoid(x, eps: float = 1e-5):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+def _build_anchors(shapes, grid_size: float = 0.05, dtype=jnp.float32):
+    anchors = []
+    for i, (h, w) in enumerate(shapes):
+        sy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        sx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+        wh = jnp.full((h * w, 2), grid_size * (2.0**i), jnp.float32)
+        anchors.append(jnp.concatenate([jnp.stack([gx, gy], -1).reshape(-1, 2), wh], -1))
+    anchors = jnp.concatenate(anchors)[None]  # (1, L, 4)
+    valid = ((anchors > 0.01) & (anchors < 0.99)).all(-1, keepdims=True)
+    return anchors.astype(dtype), valid.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Hungarian-matched loss (reference models/utils/loss.py + ops.py)
+# ---------------------------------------------------------------------------
+
+def _host_hungarian(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """Host callback: per-image Hungarian assignment on the padded cost.
+
+    cost: (B, nq, n_max); n_valid: (B,) actual GT counts.
+    Returns (B, n_max) int32: for each GT slot, the matched query index
+    (or -1 for padding slots).
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    b, nq, n_max = cost.shape
+    out = -np.ones((b, n_max), np.int32)
+    for bi in range(b):
+        n = int(n_valid[bi])
+        if n == 0:
+            continue
+        rows, cols = linear_sum_assignment(cost[bi, :, :n])
+        out[bi, cols] = rows.astype(np.int32)
+    return out
+
+
+def rtdetr_loss(out: dict, batch: dict, nc: int, imgsz: float,
+                cls_gain: float = 1.0, l1_gain: float = 5.0, giou_gain: float = 2.0):
+    """DETR loss: Hungarian matching + varifocal-style cls + L1 + GIoU
+    (reference DETRLoss, models/utils/loss.py:13). Aux decoder layers and the
+    encoder output share the same matcher (one call per output set)."""
+    from ..ops.boxes import bbox_iou
+
+    gt = batch["cls_boxes"]  # (B, M, 5) cls + xyxy pixels
+    mask = batch["mask"].astype(jnp.float32)  # (B, M)
+    n_valid = jnp.sum(mask, axis=1).astype(jnp.int32)
+    gt_cls = gt[..., 0].astype(jnp.int32)
+    gt_xyxy_n = gt[..., 1:5] / imgsz  # normalized
+    gt_cxcywh = jnp.concatenate([
+        (gt_xyxy_n[..., :2] + gt_xyxy_n[..., 2:]) / 2,
+        gt_xyxy_n[..., 2:] - gt_xyxy_n[..., :2],
+    ], -1)
+
+    def one_level(boxes, scores):
+        b, nq, _ = scores.shape
+        m = gt.shape[1]
+        prob = jax.nn.sigmoid(scores.astype(jnp.float32))
+        cost_cls = -jnp.take_along_axis(
+            prob, jnp.broadcast_to(gt_cls[:, None, :], (b, nq, m)), axis=-1
+        )  # (B, nq, M): -p(class of gt j) at query i
+        l1 = jnp.sum(jnp.abs(boxes[:, :, None, :] - gt_cxcywh[:, None, :, :]), -1)
+        giou = bbox_iou(boxes[:, :, None, :], gt_cxcywh[:, None, :, :], xywh=True, GIoU=True)
+        cost = cls_gain * cost_cls + l1_gain * l1 + giou_gain * (1 - giou)
+        cost = jnp.where(mask[:, None, :] > 0, cost, 1e6)
+
+        match = jax.pure_callback(
+            _host_hungarian,
+            jax.ShapeDtypeStruct((b, m), jnp.int32),
+            jax.lax.stop_gradient(cost), n_valid, vmap_method="sequential",
+        )  # (B, M) query index per gt (-1 pad); assignment is non-differentiable
+        match_safe = jnp.clip(match, 0, nq - 1)
+        matched_boxes = jnp.take_along_axis(boxes, match_safe[..., None], axis=1)  # (B, M, 4)
+
+        l1_loss = jnp.sum(jnp.abs(matched_boxes - gt_cxcywh), -1)
+        giou_loss = 1 - bbox_iou(matched_boxes, gt_cxcywh, xywh=True, GIoU=True)
+        n_total = jnp.maximum(jnp.sum(mask), 1.0)
+        box_loss = jnp.sum((l1_gain * l1_loss + giou_gain * giou_loss) * mask) / n_total
+
+        # classification: one-hot targets on matched queries, bg elsewhere
+        tgt_cls = jnp.zeros((b, nq, nc), jnp.float32)
+        onehot = jax.nn.one_hot(gt_cls, nc) * mask[..., None]
+        tgt_cls = jax.vmap(lambda t, idx, oh: t.at[idx].add(oh))(tgt_cls, match_safe, onehot)
+        logits = scores.astype(jnp.float32)
+        bce = jnp.clip(logits, 0, None) - logits * tgt_cls + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        cls_loss = cls_gain * jnp.sum(bce) / jnp.maximum(jnp.sum(mask), 1.0) / nq * 100.0
+        return box_loss, cls_loss
+
+    box_l, cls_l = one_level(out["boxes"], out["scores"])
+    total = box_l + cls_l
+    aux_terms = 0.0
+    if out.get("aux_boxes") is not None:
+        for i in range(out["aux_boxes"].shape[0]):
+            bl, cl = one_level(out["aux_boxes"][i], out["aux_scores"][i])
+            aux_terms = aux_terms + bl + cl
+    total = total + aux_terms
+    return total, {"box": box_l, "cls": cls_l, "aux": aux_terms}
+
+
+def rtdetr_postprocess(out: dict, imgsz: float, max_det: int = 300):
+    """NMS-free postprocess (reference RTDETRValidator.postprocess): scores
+    are per-class sigmoid; top-k over (query, class) pairs."""
+    boxes = out["boxes"] * imgsz  # normalized cxcywh -> pixels
+    scores = jax.nn.sigmoid(out["scores"].astype(jnp.float32))
+    b, nq, nc = scores.shape
+    flat = scores.reshape(b, nq * nc)
+    k = min(max_det, nq * nc)
+    topv, topi = jax.lax.top_k(flat, k)
+    qi = topi // nc
+    ci = (topi % nc).astype(jnp.float32)
+    sel = jnp.take_along_axis(boxes, qi[..., None], axis=1)
+    x1y1 = sel[..., :2] - sel[..., 2:] / 2
+    x2y2 = sel[..., :2] + sel[..., 2:] / 2
+    return jnp.concatenate([x1y1, x2y2, topv[..., None], ci[..., None]], -1)  # (B, k, 6)

@@ -48,8 +48,8 @@ class TaskModel:
     # -- construction ---------------------------------------------------------
     def _probe_strides(self, imgsz: int = 512) -> tuple:
         """Abstract forward to find detection-scale strides (fork probes at 512)."""
-        if self.task == "classify":
-            return ()
+        if self.task in ("classify", "rtdetr"):
+            return () if self.task == "classify" else (8, 16, 32)
         dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
 
         def fwd(x):
@@ -90,6 +90,11 @@ class TaskModel:
         classify:{"probs": (B, nc)}
         """
         out = self.raw_forward(variables, x)
+        if self.task == "rtdetr":
+            from . import rtdetr as R
+
+            dets = R.rtdetr_postprocess(out, float(x.shape[1]))
+            return {"dets": dets}
         if self.task == "classify":
             return {"probs": jax.nn.softmax(out, axis=-1)}
         if self.task == "obb":
@@ -132,6 +137,12 @@ class TaskModel:
         if self.task == "classify":
             total = L.classification_loss(out, batch["label"])
             return (total, {"cls": total}), updates
+        if self.task == "rtdetr":
+            from . import rtdetr as R
+
+            imgsz = float(batch["img"].shape[1])
+            total, aux = R.rtdetr_loss(out, batch, self.nc, imgsz)
+            return (total, aux), updates
         if self.task == "segment":
             lo = L.segmentation_loss(out, batch, self.strides, self.nc, self.reg_max,
                                      box_gain=gains["box"], cls_gain=gains["cls"], dfl_gain=gains["dfl"])
