@@ -1,0 +1,74 @@
+"""FastSAM + YOLOWorld blocks + trainer resume."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_world_blocks():
+    from xlstm_yolo_tpu.models_extra import C2fAttn, ContrastiveHead, WorldDetectHead
+
+    x = jnp.ones((1, 8, 8, 32))
+    txt = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 64)), jnp.float32)
+
+    ch = ContrastiveHead()
+    v = ch.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 64)), txt)
+    logits = ch.apply(v, jnp.ones((1, 8, 8, 64)), txt)
+    assert logits.shape == (1, 8, 8, 5)
+
+    c2fa = C2fAttn(32, n=1, ec=32, nh=2)
+    v = c2fa.init(jax.random.PRNGKey(0), x, txt)
+    assert c2fa.apply(v, x, txt).shape == (1, 8, 8, 32)
+
+    head = WorldDetectHead(embed_dim=64, ch=(32, 32))
+    feats = [jnp.ones((1, 8, 8, 32)), jnp.ones((1, 4, 4, 32))]
+    v = head.init(jax.random.PRNGKey(0), feats, txt)
+    outs = head.apply(v, feats, txt)
+    assert outs[0].shape == (1, 8, 8, 64 + 5)  # 4*reg_max + nt classes
+
+
+def test_fastsam_prompts():
+    from xlstm_yolo_tpu.models_extra import FastSAM
+
+    dets = np.asarray([[10, 10, 50, 50, 0.9, 0], [100, 100, 150, 150, 0.8, 0]], np.float32)
+    valid = np.asarray([True, True])
+    masks = np.zeros((2, 32, 32), bool)
+    masks[0, 2:12, 2:12] = True
+    masks[1, 20:30, 20:30] = True
+
+    keep = FastSAM.box_prompt(dets, valid, masks, [12, 12, 48, 48], iou_thres=0.5)
+    assert keep == [0]
+    keep = FastSAM.point_prompt(dets, valid, masks, [(25, 25)], img_shape=(128, 128))
+    assert keep == [0]  # point (25,25) in 128px -> mask px (6,6) inside mask 0
+    emb = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    keep = FastSAM.text_prompt(emb, np.asarray([0.9, 0.1]), topk=1)
+    assert keep == [0]
+
+
+def test_trainer_resume(tmp_path):
+    from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
+    from xlstm_yolo_tpu.engine.trainer import Trainer
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    data_yaml = make_synthetic_dataset(tmp_path / "d", n_train=4, n_val=2, imgsz=96)
+    common = dict(data=data_yaml, imgsz=96, batch=4, val=False, max_labels=16,
+                  optimizer="SGD", lr0=0.005, warmup_epochs=0.0, nbs=4, mosaic=0.0,
+                  scale=0.0, translate=0.0, fliplr=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+                  project=str(tmp_path), name="r1")
+    model = TaskModel("yolov8n.yaml", nc=3)
+    tr = Trainer(model, overrides={**common, "epochs": 2})
+    tr.train()
+    assert (tr.save_dir / "last.ckpt" / "optimizer.msgpack").exists()
+
+    model2 = TaskModel("yolov8n.yaml", nc=3)
+    tr2 = Trainer(model2, overrides={**common, "epochs": 4,
+                                     "resume": str(tr.save_dir / "last.ckpt")})
+    tr2.train()
+    assert tr2.start_epoch == 2
+    import csv
+
+    with open(tr2.csv) as f:
+        rows = list(csv.DictReader(f))
+    epochs_seen = [int(float(r["epoch"])) for r in rows]
+    assert epochs_seen == [0, 1, 2, 3]  # 2 original + 2 resumed

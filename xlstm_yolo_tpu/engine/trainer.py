@@ -124,10 +124,29 @@ class Trainer:
         self.iterations = math.ceil(nb / max(round(args.nbs / batch), 1)) * epochs
         accumulate = max(round(args.nbs / batch), 1)
 
+        # resume (reference check_resume/resume_training, trainer.py:697-754)
+        resume_opt = None
+        if args.resume:
+            from ..utils.checkpoint import load_checkpoint, load_optimizer_state
+
+            rp = Path(args.resume) if isinstance(args.resume, str) else self.save_dir / "last.ckpt"
+            _, state, meta = load_checkpoint(rp, use_ema=False)
+            self.variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.best_fitness = float(meta.get("best_fitness", 0.0))
+            resume_opt = rp
+            print(f"resuming from {rp} at epoch {self.start_epoch}")
+
         step_fn, tx = self._build_step(mesh, accumulate)
         params = M.shard_params(mesh, self.variables["params"])
         batch_stats = M.shard_params(mesh, self.variables["batch_stats"])
         opt_state = tx.init(params)
+        if resume_opt is not None:
+            from ..utils.checkpoint import load_optimizer_state
+
+            restored = load_optimizer_state(resume_opt, opt_state)
+            if restored is not None:
+                opt_state = restored
         ema_params = jax.tree.map(jnp.copy, params)  # real copy: params are donated separately
         n_updates = jnp.zeros((), jnp.int32)
 
@@ -172,7 +191,7 @@ class Trainer:
                 fitness = val_metrics.get("fitness", 0.0)
                 if fitness >= self.best_fitness:
                     self.best_fitness = fitness
-                    self._save("best", params, batch_stats, opt_state, ema_params, epoch)
+                    self._save("best", params, batch_stats, ema_params, epoch)
             row = {"epoch": epoch, **{f"train/{k}": v for k, v in means.items()},
                    **{f"metrics/{k}": v for k, v in val_metrics.items()}, "lr": lr,
                    "img_s": round(imps, 1)}
@@ -182,7 +201,7 @@ class Trainer:
                   f"dfl {means.get('dfl', 0):.3f}) {imps:.0f} img/s"
                   + (f" | fitness {fitness:.4f}" if fitness is not None else ""))
 
-            self._save("last", params, batch_stats, opt_state, ema_params, epoch)
+            self._save("last", params, batch_stats, ema_params, epoch, opt_state=opt_state)
             if stopper(epoch, fitness):
                 print(f"early stopping at epoch {epoch} (best {stopper.best_epoch})")
                 break
@@ -193,7 +212,7 @@ class Trainer:
         return self.metrics
 
     # ------------------------------------------------------------------
-    def _save(self, name, params, batch_stats, opt_state, ema_params, epoch):
+    def _save(self, name, params, batch_stats, ema_params, epoch, opt_state=None):
         if not self.args.save:
             return
         save_checkpoint(
@@ -204,6 +223,7 @@ class Trainer:
             best_fitness=self.best_fitness,
             train_args={k: v for k, v in vars(self.args).items() if isinstance(v, (int, float, str, bool))},
             ema_params=jax.device_get(ema_params),
+            optimizer_state=jax.device_get(opt_state) if opt_state is not None else None,
         )
 
     def _log_csv(self, row: dict):

@@ -1,0 +1,195 @@
+"""Additional model families: FastSAM (prompted everything-segmentation) and
+YOLOWorld (open-vocabulary detection).
+
+FastSAM (reference ``models/fastsam/``): a single-class YOLOv8-seg run as an
+"everything" segmenter + host-side prompt filtering (boxes / points / text).
+The text prompt path accepts precomputed text embeddings: in the reference it
+calls the CLIP package at runtime; in a zero-egress deployment you embed the
+vocabulary offline and pass the vectors in.
+
+YOLOWorld (reference ``models/yolo/world/`` + ``nn/tasks.py:737`` WorldModel):
+vision-language detection where class logits are similarities between image
+features and text embeddings (ContrastiveHead). The text encoder is external
+(precomputed embeddings), matching how the exported reference models embed
+their vocabulary.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .nn.modules import C2f, ConvBN
+
+
+# ---------------------------------------------------------------------------
+# FastSAM
+# ---------------------------------------------------------------------------
+
+class FastSAM:
+    """Everything-segmentation + prompt filtering (reference
+    models/fastsam/model.py + predict.py:14)."""
+
+    def __init__(self, model=None, variables=None, imgsz: int = 640):
+        from .nn.tasks import TaskModel
+
+        self.model = model or TaskModel("yolov8s-seg.yaml", nc=1)
+        self.variables = variables
+        self.imgsz = imgsz
+
+    def everything(self, variables, img, conf: float = 0.4, iou: float = 0.9,
+                   max_det: int = 100):
+        """Run the segmenter; returns (dets (B, max_det, 6), valid, masks
+        (B, max_det, Hm, Wm) binary)."""
+        from .ops.nms import non_max_suppression
+
+        full = jax.jit(self.model.predictions_full)(variables, img)
+        dets, valid = non_max_suppression(full["cands"], conf_thres=conf, iou_thres=iou,
+                                          max_det=max_det)
+        # re-associate kept boxes -> candidate coefficients by box-center match
+        cands = np.asarray(full["cands"])
+        coefs = np.asarray(full["coefs"])
+        proto = np.asarray(full["proto"])
+        dets_np = np.asarray(dets)
+        masks = np.zeros((dets_np.shape[0], dets_np.shape[1], proto.shape[1], proto.shape[2]), bool)
+        for bi in range(len(dets_np)):
+            cxy = cands[bi, :, :2]
+            for di in range(dets_np.shape[1]):
+                if not valid[bi, di]:
+                    continue
+                d = dets_np[bi, di]
+                dxy = (d[:2] + d[2:4]) / 2
+                idx = int(np.argmin(np.abs(cxy[:, 0] - dxy[0]) + np.abs(cxy[:, 1] - dxy[1])))
+                m = 1 / (1 + np.exp(-(coefs[bi, idx] @ proto[bi].reshape(-1, coefs.shape[-1]).T)))
+                masks[bi, di] = (m > 0.5).reshape(proto.shape[1], proto.shape[2])
+        return dets_np, np.asarray(valid), masks
+
+    # -- prompts (reference FastSAMPredictor.prompt) --------------------------
+    @staticmethod
+    def box_prompt(dets, valid, masks, box, iou_thres: float = 0.5):
+        """Keep instances whose box IoU with the prompt box exceeds thres."""
+        from .utils.metrics import box_iou_np
+
+        keep = []
+        for di in range(len(dets)):
+            if not valid[di]:
+                continue
+            iou = box_iou_np(np.asarray([box], np.float32), dets[di : di + 1, :4])[0, 0]
+            if iou > iou_thres:
+                keep.append(di)
+        return keep
+
+    @staticmethod
+    def point_prompt(dets, valid, masks, points, labels=None, img_shape=None, mask_shape=None):
+        """Keep instances whose mask contains the prompt point(s)."""
+        keep = []
+        mh, mw = masks.shape[1:3]
+        ih, iw = img_shape if img_shape else (mh, mw)
+        for di in range(len(dets)):
+            if not valid[di]:
+                continue
+            for pi, (px, py) in enumerate(points):
+                inside = masks[di, int(py * mh / ih), int(px * mw / iw)]
+                want = True if labels is None else bool(labels[pi])
+                if inside == want and inside:
+                    keep.append(di)
+                    break
+        return keep
+
+    @staticmethod
+    def text_prompt(crop_embeddings: np.ndarray, text_embedding: np.ndarray, topk: int = 1):
+        """Rank instances by cosine similarity of their crop embeddings to a
+        text embedding (embeddings computed offline — the reference calls
+        CLIP here)."""
+        c = crop_embeddings / np.clip(np.linalg.norm(crop_embeddings, axis=-1, keepdims=True), 1e-7, None)
+        t = text_embedding / np.clip(np.linalg.norm(text_embedding), 1e-7, None)
+        sims = c @ t
+        return np.argsort(-sims)[:topk].tolist()
+
+
+# ---------------------------------------------------------------------------
+# YOLOWorld blocks
+# ---------------------------------------------------------------------------
+
+class ContrastiveHead(nn.Module):
+    """Region-text similarity logits (reference nn/modules/head.py
+    ContrastiveHead): cosine(image feature, text embedding) * logit_scale + bias."""
+
+    @nn.compact
+    def __call__(self, x, txt):  # x (B, H, W, C); txt (B, nt, C)
+        bias = self.param("bias", nn.initializers.constant(-10.0), ())
+        logit_scale = self.param("logit_scale", nn.initializers.constant(1.0 / 0.07), ())
+        xn = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6, None)
+        tn = txt / jnp.clip(jnp.linalg.norm(txt, axis=-1, keepdims=True), 1e-6, None)
+        sim = jnp.einsum("bhwc,btc->bhwt", xn, tn)
+        return sim * logit_scale + bias
+
+
+class MaxSigmoidAttnBlock(nn.Module):
+    """Text-guided spatial attention (reference block.py MaxSigmoidAttnBlock)."""
+
+    c2: int
+    nh: int = 1
+    ec: int = 128
+
+    @nn.compact
+    def __call__(self, x, guide, train: bool = False):
+        b, h, w, c = x.shape
+        embed = ConvBN(self.ec, 1, act=False, name="ec")(x, train) if c != self.ec else x
+        gl = nn.Dense(self.ec, name="gl")(guide)  # (B, nt, ec)
+        e = embed.reshape(b, h, w, self.nh, self.ec // self.nh)
+        g = gl.reshape(b, -1, self.nh, self.ec // self.nh)
+        aw = jnp.einsum("bhwnd,btnd->bhwnt", e, g)
+        aw = jnp.max(aw, axis=-1) / (self.ec // self.nh) ** 0.5  # (B, H, W, nh)
+        bias = self.param("bias", nn.initializers.zeros, (self.nh,))
+        aw = jax.nn.sigmoid(aw + bias) * 2.0
+        pf = ConvBN(self.c2, 3, act=False, name="proj_conv")(x, train)
+        pf = pf.reshape(b, h, w, self.nh, self.c2 // self.nh) * aw[..., None]
+        return pf.reshape(b, h, w, self.c2)
+
+
+class C2fAttn(nn.Module):
+    """C2f with a text-guided attention branch (reference block.py C2fAttn)."""
+
+    c2: int
+    n: int = 1
+    ec: int = 128
+    nh: int = 1
+
+    @nn.compact
+    def __call__(self, x, guide, train: bool = False):
+        from .nn.modules import Bottleneck
+
+        c = int(self.c2 * 0.5)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(Bottleneck(c, True, 1, k=(3, 3), e=1.0, name=f"m{i}")(ys[-1], train))
+        ys.append(MaxSigmoidAttnBlock(c, self.nh, self.ec, name="attn")(ys[-1], guide, train))
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class WorldDetectHead(nn.Module):
+    """Open-vocab detect head: box branch like Detect, cls logits from
+    ContrastiveHead against the text embeddings (reference head.py WorldDetect)."""
+
+    embed_dim: int = 512
+    ch: tuple = ()
+    reg_max: int = 16
+
+    @nn.compact
+    def __call__(self, feats, txt_feats, train: bool = False):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], self.embed_dim)
+        outs = []
+        for i, x in enumerate(feats):
+            b = ConvBN(c2, 3, name=f"cv2_{i}_0")(x, train)
+            b = ConvBN(c2, 3, name=f"cv2_{i}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{i}_2")(b)
+            e = ConvBN(c3, 3, name=f"cv4_{i}_0")(x, train)
+            e = ConvBN(self.embed_dim, 1, act=False, name=f"cv4_{i}_1")(e, train)
+            cls = ContrastiveHead(name=f"cv4_{i}_attn")(e, txt_feats)
+            outs.append(jnp.concatenate([b, cls], axis=-1))
+        return outs
