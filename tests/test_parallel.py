@@ -1,0 +1,73 @@
+"""Mesh / sharding tests on the 8-device virtual CPU platform."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xlstm_yolo_tpu.parallel import mesh as M
+
+
+def test_mesh_shapes():
+    m = M.build_mesh(dp=4, tp=2, sp=1)
+    assert m.shape == {"dp": 4, "tp": 2, "sp": 1}
+    m = M.build_mesh()  # all dp
+    assert m.shape["dp"] == 8
+
+
+def test_shard_batch_and_params():
+    mesh = M.build_mesh(dp=8)
+    batch = {"img": np.zeros((8, 16, 16, 3), np.float32)}
+    db = M.shard_batch(mesh, batch)
+    assert db["img"].sharding.spec == jax.sharding.PartitionSpec("dp")
+    params = {"w": jnp.zeros((256, 512)), "b": jnp.zeros((4,))}
+    sp = M.shard_params(mesh, params)
+    # tp=1 -> all replicated
+    assert sp["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_dp_training_matches_single_device():
+    """A dp=8 jitted loss must equal the single-device loss on the same batch."""
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": np.asarray(rng.random((8, 64, 64, 3)), np.float32),
+        "cls_boxes": np.tile(np.asarray([[1.0, 8, 8, 40, 40]], np.float32), (8, 4, 1)),
+        "mask": np.ones((8, 4), bool),
+    }
+    (single, _), _ = jax.jit(lambda v, b: m.loss(v, b))(v, jax.tree.map(jnp.asarray, batch))
+
+    mesh = M.build_mesh(dp=8)
+    db = M.shard_batch(mesh, batch)
+    vp = {"params": M.shard_params(mesh, v["params"]),
+          "batch_stats": M.shard_params(mesh, v["batch_stats"])}
+    (sharded, _), _ = jax.jit(lambda v, b: m.loss(v, b))(vp, db)
+    np.testing.assert_allclose(float(single), float(sharded), rtol=1e-4)
+
+
+def test_sequence_parallel_mlstm():
+    """sp-sharded chunkwise mLSTM must match the single-shard result."""
+    from xlstm_yolo_tpu.kernels.mlstm_native import mlstm_chunkwise
+    from xlstm_yolo_tpu.kernels.mlstm_sp import mlstm_chunkwise_sp
+
+    mesh = M.build_mesh(dp=1, tp=1, sp=8)
+    rng = np.random.default_rng(0)
+    B, NH, S, DH = 2, 4, 8 * 32, 16
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    q, k, v = mk(B, NH, S, DH), mk(B, NH, S, DH), mk(B, NH, S, DH)
+    i, f = mk(B, NH, S), mk(B, NH, S) + 2.0
+
+    want = mlstm_chunkwise(q, k, v, i, f, chunk_size=16)
+    got = jax.jit(
+        lambda *a: mlstm_chunkwise_sp(*a, mesh=mesh, axis="sp", chunk_size=16)
+    )(q, k, v, i, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
