@@ -105,16 +105,29 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
     m_prev = m_scr[pl.ds(row0, g)]  # (G, 1, 1)
 
     # ---- intra-chunk D matrix ----------------------------------------------
-    log_fg = b - jnp.swapaxes(b, 1, 2)  # (G, CS, CS): b[s] - b[t]
-    log_d = jnp.where(causal[None], log_fg + jnp.swapaxes(logi, 1, 2), NEG_INF)
-    d_max = jnp.max(log_d, axis=2, keepdims=True)  # (G, CS, 1)
+    # rowwise max of log_d equals b_s + cummax_t<=s(logi_t - b_t): a cheap
+    # sublane cumulative max (log2(CS) roll+max steps) replaces the full
+    # (CS, CS) materialize-and-reduce.
+    w_vec = logi - b  # (G, CS, 1)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (g, cs, 1), 1)
+    cm = w_vec
+    sh = 1
+    while sh < cs:
+        rolled = pltpu.roll(cm, shift=sh, axis=1)
+        rolled = jnp.where(sub_ids >= sh, rolled, NEG_INF)
+        cm = jnp.maximum(cm, rolled)
+        sh *= 2
+    d_max = b + cm  # (G, CS, 1)
 
     inter_decay_log = m_prev + b  # (G, CS, 1)
     stab = jnp.maximum(d_max, inter_decay_log)
 
-    d = jnp.exp(log_d - stab)
+    # log_d[s, t] = (b_s - stab_s) + (logi_t - b_t): column + row broadcast;
+    # mask BEFORE exp (the t > s half can overflow)
+    arg = (b - stab) + jnp.swapaxes(w_vec, 1, 2)  # (G, CS, CS)
+    arg = jnp.where(causal[None], arg, NEG_INF)
     qk = bdot(q, k, transpose_b=True)  # (G, CS, CS)
-    e = qk * d
+    e = qk * jnp.exp(arg)
 
     q_inter = q * jnp.exp(inter_decay_log - stab)  # (G, CS, DH)
     inter_num = bdot(q_inter, c_prev)  # (G, CS, DH)

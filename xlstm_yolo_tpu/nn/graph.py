@@ -54,6 +54,11 @@ for _n, _c, _k in [
     ("C3", M.C3, "csp"),
     ("C3k2", M.C3k2, "csp"),
     ("C2PSA", M.C2PSA, "csp"),
+    ("C2fCIB", M.C2fCIB, "csp"),
+    ("A2C2f", M.A2C2f, "csp"),
+    ("PSA", M.PSA, "conv"),
+    ("RepConv", M.RepConv, "conv"),
+    ("RepNCSPELAN4", M.RepNCSPELAN4, "elan"),
     ("SPPF", M.SPPF, "conv"),
     ("Concat", M.Concat, "concat"),
     ("Index", M.Index, "index"),
@@ -172,6 +177,13 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
                     kwargs["mode"] = str(args[2])
             else:
                 margs = args
+        elif kind == "elan":
+            # RepNCSPELAN4 [c2, c3, c4, n]: all channel args width-scaled
+            c2 = make_divisible(min(args[0], max_ch) * width, 8)
+            c3 = make_divisible(min(args[1], max_ch) * width, 8)
+            c4 = make_divisible(min(args[2], max_ch) * width, 8)
+            margs = [c2, c3, c4, args[3] if len(args) > 3 else 1]
+            n_rep = 1
         elif kind == "hg":
             # HGStem [cm, c2] / HGBlock [cm, c2, k, light, shortcut]
             cm = make_divisible(min(args[0], max_ch) * width, 8)

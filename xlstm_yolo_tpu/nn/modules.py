@@ -412,3 +412,197 @@ class Classify(nn.Module):
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.nc, name="linear")(x)
         return x
+
+
+class RepConv(nn.Module):
+    """Re-parameterizable conv: 3x3 + 1x1 branches summed (train form;
+    deploy fuse folds them — reference nn/modules/conv.py RepConv)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: bool | str = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y1 = ConvBN(self.c2, self.k, self.s, act=False, name="conv1")(x, train)
+        y2 = ConvBN(self.c2, 1, self.s, act=False, name="conv2")(x, train)
+        return _act(y1 + y2, self.act)
+
+
+class RepBottleneck(nn.Module):
+    """Bottleneck with a RepConv first conv (reference block.py RepBottleneck)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = RepConv(c_, 3, 1, name="cv1")(x, train)
+        y = ConvBN(self.c2, 3, 1, name="cv2")(y, train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class RepCSP(nn.Module):
+    """C3 with RepBottlenecks (reference block.py RepCSP)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = RepBottleneck(c_, True, e=1.0, name=f"m{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class RepNCSPELAN4(nn.Module):
+    """YOLOv9 ELAN block (reference block.py RepNCSPELAN4).
+    YAML args: [c2, c3, c4, n]."""
+
+    c2: int
+    c3: int = 64
+    c4: int = 32
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c3, 1, 1, name="cv1")(x, train)
+        y1, y2 = jnp.split(y, 2, axis=-1)
+        y3 = RepCSP(self.c4, self.n, name="csp1")(y2, train)
+        y3 = ConvBN(self.c4, 3, 1, name="cv2")(y3, train)
+        y4 = RepCSP(self.c4, self.n, name="csp2")(y3, train)
+        y4 = ConvBN(self.c4, 3, 1, name="cv3")(y4, train)
+        return ConvBN(self.c2, 1, 1, name="cv4")(jnp.concatenate([y1, y2, y3, y4], -1), train)
+
+
+class CIB(nn.Module):
+    """Cheap inverted block (reference block.py CIB, YOLOv10)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c1, 3, 1, g=c1, name="cv0")(x, train)
+        y = ConvBN(2 * c_, 1, 1, name="cv1")(y, train)
+        y = ConvBN(2 * c_, 3, 1, g=2 * c_, name="cv2")(y, train)
+        y = ConvBN(self.c2, 1, 1, name="cv3")(y, train)
+        y = ConvBN(self.c2, 3, 1, g=self.c2, act=False, name="cv4")(y, train)
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB inner blocks (reference block.py C2fCIB, YOLOv10)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(CIB(c, self.shortcut, name=f"m{i}")(ys[-1], train))
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, -1), train)
+
+
+class PSA(nn.Module):
+    """Position-sensitive attention block (reference block.py PSA, YOLOv10)."""
+
+    c2: int
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        b = b + Attention(c, num_heads=max(1, c // 64), attn_ratio=0.5, name="attn")(b, train)
+        ff = ConvBN(c * 2, 1, name="ffn0")(b, train)
+        b = b + ConvBN(c, 1, act=False, name="ffn1")(ff, train)
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate([a, b], -1), train)
+
+
+class AAttn(nn.Module):
+    """Area attention (reference block.py AAttn, YOLOv12): full attention
+    within `area` horizontal strips of the feature map."""
+
+    dim: int
+    num_heads: int = 8
+    area: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = ConvBN(self.dim * 3, 1, act=False, name="qkv")(x, train)
+        n = h * w
+        area = self.area if (n % self.area == 0) else 1
+        qkv = qkv.reshape(b * area, n // area, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn / (head_dim**0.5), axis=-1).astype(v.dtype)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, self.dim)
+        pe = ConvBN(self.dim, 7, 1, g=self.dim, act=False, name="pe")(
+            v.reshape(b, h, w, self.dim), train)
+        return ConvBN(self.dim, 1, act=False, name="proj")(y + pe, train)
+
+
+class ABlock(nn.Module):
+    """Area-attention block + MLP (reference block.py ABlock)."""
+
+    dim: int
+    num_heads: int = 8
+    mlp_ratio: float = 1.2
+    area: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + AAttn(self.dim, self.num_heads, self.area, name="attn")(x, train)
+        h = ConvBN(int(self.dim * self.mlp_ratio), 1, name="mlp0")(x, train)
+        return x + ConvBN(self.dim, 1, act=False, name="mlp1")(h, train)
+
+
+class A2C2f(nn.Module):
+    """YOLOv12 area-attention CSP block (reference block.py A2C2f).
+    YAML args: [c2, n, a2, area, residual]."""
+
+    c2: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    residual: bool = False
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(c, 1, 1, name="cv1")(x, train)
+        ys = [y]
+        area = self.area if self.area and self.area > 0 else 1
+        for i in range(self.n):
+            if self.a2:
+                z = ABlock(c, max(1, c // 32), area=area, name=f"m{i}a")(ys[-1], train)
+                z = ABlock(c, max(1, c // 32), area=area, name=f"m{i}b")(z, train)
+            else:
+                z = C3k(c, 2, True, name=f"m{i}")(ys[-1], train)
+            ys.append(z)
+        out = ConvBN(self.c2, 1, name="cv2")(jnp.concatenate(ys, -1), train)
+        if self.residual and self.a2 and x.shape[-1] == self.c2:
+            gamma = self.param("gamma", nn.initializers.constant(0.01), (self.c2,))
+            out = x + gamma.astype(out.dtype) * out
+        return out
