@@ -112,3 +112,36 @@ def test_profile_model():
     v = m.init(0, imgsz=64)
     out = profile_model(m, v, imgsz=64, batch=1, n=3, warmup=1)
     assert out["ms_mean"] > 0 and out["img_s"] > 0
+
+
+def test_classification_dataset(tmp_path):
+    import cv2
+    import numpy as np
+
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for cls in ("cat", "dog"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(3):
+                img = rng.integers(0, 255, (80, 100, 3)).astype(np.uint8)
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+    loader, meta = build_dataloader(str(tmp_path), "train", batch=4, imgsz=64, task="classify")
+    assert meta["nc"] == 2 and meta["names"] == {0: "cat", 1: "dog"}
+    batch = next(iter(loader))
+    assert batch["img"].shape == (4, 64, 64, 3)
+    assert set(np.unique(batch["label"])) <= {0, 1}
+
+    # end-to-end classify val through the Validator
+    import jax
+
+    from xlstm_yolo_tpu.engine.validator import Validator
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("yolov8n-cls.yaml", nc=2)
+    v = m.init(0, imgsz=64)
+    m.names = meta["names"]
+    out = Validator(m, imgsz=64, batch=4)(v, data=str(tmp_path))
+    assert "accuracy_top1" in out and 0.0 <= out["accuracy_top1"] <= 1.0

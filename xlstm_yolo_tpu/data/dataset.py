@@ -433,9 +433,17 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
                      imgsz: int = 640, augment: bool | None = None, hyp=None,
                      max_labels: int = 128, seed: int = 0, fraction: float = 1.0,
                      single_cls: bool = False, task: str = "detect"):
-    """Convenience: dataset YAML -> (Loader, data_dict)."""
-    d = check_det_dataset(data_yaml)
+    """Convenience: dataset YAML/dir -> (Loader, data_dict)."""
     augment = (split == "train") if augment is None else augment
+    if task == "classify":
+        # classify datasets are plain directories: root/{train,val}/{class}/
+        root = Path(str(data_yaml))
+        split_dir = root / split if (root / split).exists() else root
+        ds = ClassificationDataset(str(split_dir), imgsz=imgsz, augment=augment,
+                                   hyp=hyp, fraction=fraction)
+        d = {"names": ds.names, "nc": len(ds.names), "path": root}
+        return Loader(ds, batch, shuffle=augment, seed=seed), d
+    d = check_det_dataset(data_yaml)
     kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
     if isinstance(hyp, dict) and d.get("flip_idx"):
         hyp = {**hyp, "flip_idx": d["flip_idx"]}
@@ -443,3 +451,60 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
                      max_labels=max_labels, single_cls=single_cls, fraction=fraction,
                      task=task, kpt_shape=kpt_shape)
     return Loader(ds, batch, shuffle=augment, seed=seed), d
+
+
+class ClassificationDataset:
+    """Folder-per-class dataset (reference data/dataset.py:389
+    ClassificationDataset; torchvision ImageFolder layout)."""
+
+    def __init__(self, root: str, imgsz: int = 224, augment: bool = False, hyp=None,
+                 fraction: float = 1.0):
+        self.root = Path(root)
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp or {}
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.names = dict(enumerate(classes))
+        self.samples = []
+        for c in classes:
+            for f in sorted((self.root / c).rglob("*")):
+                if f.suffix.lower() in IMG_FORMATS:
+                    self.samples.append((str(f), self.class_to_idx[c]))
+        if fraction < 1.0:
+            self.samples = self.samples[: max(1, round(len(self.samples) * fraction))]
+        self.ni = len(self.samples)
+        if self.ni == 0:
+            raise FileNotFoundError(f"no class folders with images under {root}")
+        self.task = "classify"
+
+    def __len__(self):
+        return self.ni
+
+    def get_sample(self, i: int, rng: np.random.Generator):
+        path, label = self.samples[i]
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        if self.augment:
+            # RandomResizedCrop-ish: random scale + square crop + flip
+            scale = rng.uniform(0.6, 1.0)
+            ch = int(min(h, w) * scale)
+            y0 = int(rng.integers(0, h - ch + 1))
+            x0 = int(rng.integers(0, w - ch + 1))
+            img = img[y0 : y0 + ch, x0 : x0 + ch]
+            if rng.random() < 0.5:
+                img = np.ascontiguousarray(img[:, ::-1])
+        else:
+            ch = min(h, w)
+            y0, x0 = (h - ch) // 2, (w - ch) // 2
+            img = img[y0 : y0 + ch, x0 : x0 + ch]
+        img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+        return img, label
+
+    def collate(self, samples: list) -> dict:
+        imgs = np.stack([s[0] for s in samples]).astype(np.float32) / 255.0
+        labels = np.asarray([s[1] for s in samples], np.int64)
+        return {"img": imgs, "label": labels}
+
+    def collate_native(self, idxs):
+        return None

@@ -36,7 +36,7 @@ class Validator:
         from ..data.dataset import build_dataloader, check_det_dataset
 
         data = data or self.data
-        if isinstance(data, (str, Path)):
+        if isinstance(data, (str, Path)) and self.model.task != "classify":
             data = check_det_dataset(data)
         loader, _ = build_dataloader(data, "val", batch=self.batch, imgsz=self.imgsz,
                                      augment=False, max_labels=self.max_labels,
