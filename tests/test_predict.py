@@ -93,3 +93,48 @@ def test_facade_predict_and_val(trained_setup, tmp_path):
     assert len(results) == 1
     m2 = y.val(data=data_yaml, imgsz=96, max_labels=16, batch=4)
     assert 0.0 <= m2["mAP50"] <= 1.0
+
+
+def test_predict_segment_and_pose_tasks():
+    """Task-aware predictor paths: segment masks + pose keypoints."""
+    import numpy as np
+
+    from xlstm_yolo_tpu.engine.predictor import Predictor
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+
+    m = TaskModel("yolov8n-seg.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    res = Predictor(m, v, imgsz=64, conf=1e-5, verbose=False)(img)[0]
+    if len(res):
+        assert res.masks is not None
+        assert res.masks.shape[1:] == (96, 96)
+
+    m = TaskModel("yolov8n-pose.yaml")
+    v = m.init(0, imgsz=64)
+    res = Predictor(m, v, imgsz=64, conf=1e-5, verbose=False)(img)[0]
+    if len(res):
+        assert res.keypoints is not None
+        assert res.keypoints.shape[1:] == (17, 3)
+
+
+def test_predict_obb_and_classify_tasks():
+    import numpy as np
+
+    from xlstm_yolo_tpu.engine.predictor import Predictor
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+
+    m = TaskModel("yolov8n-obb.yaml")
+    v = m.init(0, imgsz=64)
+    res = Predictor(m, v, imgsz=64, conf=1e-5, verbose=False)(img)[0]
+    assert hasattr(res, "obb")
+
+    m = TaskModel("yolov8n-cls.yaml", nc=4)
+    v = m.init(0, imgsz=64)
+    res = Predictor(m, v, imgsz=64, verbose=False)(img)[0]
+    assert res.probs is not None and np.asarray(res.probs).reshape(-1).shape == (4,)

@@ -85,42 +85,138 @@ class Predictor:
         self._trackers = None
 
     def _device_fn(self, variables, img):
-        pred = self.model.predictions(variables, img)
-        return non_max_suppression(
-            pred, conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
+        task = self.model.task
+        if task == "classify":
+            return self.model.predictions_full(variables, img)["probs"]
+        if task == "rtdetr":
+            return self.model.predictions_full(variables, img)["dets"]
+        if task == "obb":
+            from ..ops.nms import nms_rotated
+
+            cands = self.model.predictions_full(variables, img)["cands"]
+            return nms_rotated(cands, conf_thres=self.conf, iou_thres=self.iou,
+                               max_det=self.max_det)
+        full = self.model.predictions_full(variables, img)
+        dets, valid = non_max_suppression(
+            full["cands"], conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
             class_agnostic=self.agnostic,
         )
+        if task == "segment":
+            return dets, valid, full["cands"], full["coefs"], full["proto"]
+        if task == "pose":
+            return dets, valid, full["cands"], full["kpts"]
+        return dets, valid
 
     def __call__(self, source, stream: bool = False):
         gen = self._run(source)
         return gen if stream else list(gen)
 
     def _run(self, source):
+        task = self.model.task
         frames = load_source(source if source is not None else _default_asset())
         for path, orig in frames:
             t0 = time.perf_counter()
             img, _, (r, px, py) = letterbox(orig, self.imgsz)
             x = jnp.asarray(img, jnp.float32)[None] / 255.0
             t1 = time.perf_counter()
-            dets, valid = self._jit(self.variables, x)
-            jax.block_until_ready(dets)
+            out = self._jit(self.variables, x)
+            jax.block_until_ready(out)
             t2 = time.perf_counter()
-            d = np.asarray(dets[0])[np.asarray(valid[0])]
-            if self.classes is not None and len(d):
-                d = d[np.isin(d[:, 5].astype(int), list(self.classes))]
-            if len(d):
-                d[:, [0, 2]] = np.clip((d[:, [0, 2]] - px) / r, 0, orig.shape[1])
-                d[:, [1, 3]] = np.clip((d[:, [1, 3]] - py) / r, 0, orig.shape[0])
+            kw = {}
+            if task == "classify":
+                probs = np.asarray(out[0])
+                d = None
+                kw["probs"] = probs
+            elif task == "rtdetr":
+                dets = np.asarray(out[0])
+                d = dets[dets[:, 4] > self.conf]
+            elif task == "obb":
+                dets, valid = out
+                d7 = np.asarray(dets[0])[np.asarray(valid[0])]
+                # map rotated dets to axis-aligned xyxy for the Results box API;
+                # raw rboxes attached as .obb
+                if len(d7):
+                    d7c = d7.copy()
+                    d7c[:, 0] = (d7[:, 0] - px) / r
+                    d7c[:, 1] = (d7[:, 1] - py) / r
+                    d7c[:, 2:4] = d7[:, 2:4] / r
+                    kw_obb = d7c
+                    x1 = d7c[:, 0] - d7c[:, 2] / 2
+                    y1 = d7c[:, 1] - d7c[:, 3] / 2
+                    x2 = d7c[:, 0] + d7c[:, 2] / 2
+                    y2 = d7c[:, 1] + d7c[:, 3] / 2
+                    d = np.stack([x1, y1, x2, y2, d7c[:, 5], d7c[:, 6]], 1)
+                else:
+                    kw_obb = d7
+                    d = np.zeros((0, 6), np.float32)
+            else:
+                dets, valid = out[0], out[1]
+                d = np.asarray(dets[0])[np.asarray(valid[0])]
+                if task == "segment" and len(d):
+                    cands, coefs, proto = (np.asarray(o) for o in out[2:])
+                    kw["masks"] = self._assemble_masks(d, cands[0], coefs[0], proto[0],
+                                                       orig.shape[:2], r, px, py)
+                elif task == "pose" and len(d):
+                    cands, kpts = np.asarray(out[2]), np.asarray(out[3])
+                    kw["keypoints"] = self._gather_kpts(d, cands[0], kpts[0], r, px, py)
+                if self.classes is not None and len(d):
+                    d = d[np.isin(d[:, 5].astype(int), list(self.classes))]
+                if len(d):
+                    d[:, [0, 2]] = np.clip((d[:, [0, 2]] - px) / r, 0, orig.shape[1])
+                    d[:, [1, 3]] = np.clip((d[:, [1, 3]] - py) / r, 0, orig.shape[0])
             t3 = time.perf_counter()
             res = Results(
                 orig, path=path, names=self.model.names, boxes=d,
                 speed={"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3,
-                       "postprocess": (t3 - t2) * 1e3},
+                       "postprocess": (t3 - t2) * 1e3}, **kw,
             )
+            if task == "obb":
+                res.obb = kw_obb
             if self.verbose:
                 print(f"{path}: {res.verbose()} "
                       f"({res.speed['inference']:.1f}ms inference)")
             yield res
+
+    @staticmethod
+    def _match_candidates(d, cands):
+        """Re-associate NMS-kept boxes to candidate indices by center distance."""
+        cxy = cands[:, :2]
+        dxy = (d[:, :2] + d[:, 2:4]) / 2
+        return np.argmin(
+            np.abs(cxy[None, :, 0] - dxy[:, 0:1]) + np.abs(cxy[None, :, 1] - dxy[:, 1:2]), axis=1
+        )
+
+    def _assemble_masks(self, d, cands, coefs, proto, orig_shape, r, px, py):
+        """Mask assembly: sigmoid(coef @ proto), crop to box, upsample to the
+        original image (reference utils/ops.py:679 process_mask)."""
+        import cv2
+
+        idx = self._match_candidates(d, cands)
+        hm, wm, nm = proto.shape
+        masks = []
+        sx, sy = wm / self.imgsz, hm / self.imgsz
+        for di, ci in enumerate(idx):
+            m = 1 / (1 + np.exp(-(proto.reshape(-1, nm) @ coefs[ci])))
+            m = m.reshape(hm, wm)
+            x1, y1, x2, y2 = d[di, :4]
+            crop = np.zeros_like(m)
+            xs, ys = int(x1 * sx), int(y1 * sy)
+            xe, ye = max(int(x2 * sx), xs + 1), max(int(y2 * sy), ys + 1)
+            crop[ys:ye, xs:xe] = m[ys:ye, xs:xe]
+            # unletterbox: crop pad region then resize to original
+            pxm, pym = int(px * sx), int(py * sy)
+            hm_c = crop[pym : hm - pym or hm, pxm : wm - pxm or wm]
+            full = cv2.resize(hm_c, (orig_shape[1], orig_shape[0]), interpolation=cv2.INTER_LINEAR)
+            masks.append(full > 0.5)
+        return np.stack(masks) if masks else np.zeros((0, *orig_shape), bool)
+
+    def _gather_kpts(self, d, cands, kpts, r, px, py):
+        idx = self._match_candidates(d, cands)
+        nd = 3 if kpts.shape[-1] % 3 == 0 else 2
+        k = kpts[idx].reshape(len(d), -1, nd).copy()
+        k[..., 0] = (k[..., 0] - px) / r
+        k[..., 1] = (k[..., 1] - py) / r
+        return k
 
 
 def _default_asset():
