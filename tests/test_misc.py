@@ -145,3 +145,69 @@ def test_classification_dataset(tmp_path):
     m.names = meta["names"]
     out = Validator(m, imgsz=64, batch=4)(v, data=str(tmp_path))
     assert "accuracy_top1" in out and 0.0 <= out["accuracy_top1"] <= 1.0
+
+
+def test_fuse_conv_bn_identity():
+    """Fused model output must match unfused at eval."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlstm_yolo_tpu.nn.fuse import fuse_conv_bn
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    # perturb BN stats so the fold is non-trivial
+    rng = np.random.default_rng(0)
+    v = jax.tree.map(lambda x: x + jnp.asarray(rng.normal(0, 0.01, x.shape), x.dtype), v)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    want = jax.jit(m.predictions)(v, x)
+    fused = fuse_conv_bn(v)
+    got = jax.jit(m.predictions)(fused, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_coco_converter(tmp_path):
+    import json
+
+    import numpy as np
+
+    from xlstm_yolo_tpu.data.converter import convert_coco, split_dota_image
+
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 100, "height": 50}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "iscrowd": 0},
+            {"image_id": 1, "category_id": 3, "bbox": [50, 5, 10, 40], "iscrowd": 0},
+        ],
+        "categories": [{"id": 1, "name": "person"}, {"id": 3, "name": "car"}],
+    }
+    jf = tmp_path / "instances.json"
+    jf.write_text(json.dumps(coco))
+    out = convert_coco(jf, tmp_path / "yolo")
+    lines = (out / "labels" / "a.txt").read_text().strip().splitlines()
+    assert len(lines) == 2
+    c, cx, cy, w, h = lines[0].split()
+    assert c == "0" and float(cx) == 0.2 and float(w) == 0.2
+
+    # dota tiling
+    img = np.zeros((300, 300, 3), np.uint8)
+    labels = np.asarray([[0, 10, 10, 60, 10, 60, 60, 10, 60]], np.float32)
+    tiles = list(split_dota_image(img, labels, crop_size=200, gap=100))
+    assert len(tiles) == 4
+    with_label = [t for t in tiles if len(t[1])]
+    assert len(with_label) >= 1
+    assert with_label[0][1][0, 1] == 10  # corner carried over
+
+
+def test_lm_generate():
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.nn.xlstm import generate, xLSTMLMModel
+
+    m = xLSTMLMModel(vocab_size=20, embedding_dim=16, num_blocks=1, num_heads=2, chunk_size=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray([[1, 2, 3, 4]]))
+    out = generate(m, v, [1, 2, 3, 4], max_new_tokens=4)
+    assert len(out) == 8 and all(0 <= t < 20 for t in out)

@@ -78,6 +78,13 @@ class Model:
 
         return Exporter(self.model, self.variables, **kwargs)()
 
+    def fuse(self):
+        """Fold Conv+BN pairs (reference BaseModel.fuse, nn/tasks.py:212)."""
+        from ..nn.fuse import fuse_conv_bn
+
+        self.variables = fuse_conv_bn(self.variables)
+        return self
+
     def info(self):
         return self.model.info(self.variables)
 

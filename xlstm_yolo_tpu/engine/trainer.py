@@ -151,7 +151,12 @@ class Trainer:
         n_updates = jnp.zeros((), jnp.int32)
 
         sched = TU.lr_schedule(self.lr0, args.lrf, epochs, cos_lr=bool(args.cos_lr))
-        warmup_steps = max(round(args.warmup_epochs * nb), 100) if args.warmup_epochs > 0 else 0
+        # reference floors warmup at 100 steps (trainer.py:340); cap it at half
+        # the run so tiny datasets don't spend the whole schedule warming up
+        warmup_steps = (
+            min(max(round(args.warmup_epochs * nb), 100), max(epochs * nb // 2, 1))
+            if args.warmup_epochs > 0 else 0
+        )
         stopper = TU.EarlyStopping(patience=int(args.patience))
 
         print(f"training {self.model.task} model: {epochs} epochs x {nb} batches "

@@ -234,3 +234,24 @@ class xLSTMLMModel(nn.Module):
         if self.tie_weights:
             return x @ emb.embedding.T
         return nn.Dense(self.vocab_size, use_bias=False, name="lm_head")(x)
+
+
+def generate(model: xLSTMLMModel, variables: dict, prompt, max_new_tokens: int = 20,
+             temperature: float = 0.0, rng=None):
+    """Greedy/sampled autoregressive generation (reference
+    xlstm_large/generate.py prefill+step; here a full re-forward per token —
+    O(n·S) with the chunkwise kernel, fine for short continuations)."""
+    import numpy as np
+
+    tokens = list(np.asarray(prompt).reshape(-1).tolist())
+    fwd = jax.jit(model.apply)
+    for i in range(max_new_tokens):
+        logits = fwd(variables, jnp.asarray([tokens]))[0, -1]
+        if temperature > 0:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            rng, sub = jax.random.split(rng)
+            nxt = int(jax.random.categorical(sub, logits / temperature))
+        else:
+            nxt = int(jnp.argmax(logits))
+        tokens.append(nxt)
+    return tokens
