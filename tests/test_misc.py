@@ -211,3 +211,63 @@ def test_lm_generate():
     v = m.init(jax.random.PRNGKey(0), jnp.asarray([[1, 2, 3, 4]]))
     out = generate(m, v, [1, 2, 3, 4], max_new_tokens=4)
     assert len(out) == 8 and all(0 <= t < 20 for t in out)
+
+
+def test_torch_weight_import_roundtrip():
+    """Inverse-map our params to a torch-style state dict, re-import, and
+    check bit equality — validates the name mapping both ways."""
+    import numpy as np
+
+    import jax
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils import torch_import as TI
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    names = TI.export_torch_names(v)
+    rng = np.random.default_rng(0)
+
+    # build a fake torch state dict with fresh values (inverse transposes)
+    sd = {}
+    flat = TI._flatten(v)
+    for key, tname in names.items():
+        arr = rng.normal(size=flat[key].shape).astype(np.float32)
+        t = arr
+        if key[-1] == "kernel" and arr.ndim == 4:
+            t = np.transpose(arr, (3, 2, 0, 1))
+        elif key[-1] == "kernel" and arr.ndim == 2:
+            t = arr.T
+        sd[tname] = t
+
+    class FakeTensor:
+        def __init__(self, a):
+            self.a = a
+
+        def detach(self):
+            return self
+
+        def float(self):
+            return self
+
+        def numpy(self):
+            return self.a
+
+    out, matched, missed = TI.load_torch_state_dict(v, sd, verbose=False)
+    assert not missed, f"unmatched: {missed[:5]}"
+    assert matched == len(sd)
+    flat_out = TI._flatten(out)
+    for key, tname in names.items():
+        want = sd[tname]
+        got = np.asarray(flat_out[key])
+        if key[-1] == "kernel" and got.ndim == 4:
+            want = np.transpose(want, (2, 3, 1, 0))
+        elif key[-1] == "kernel" and got.ndim == 2:
+            want = want.T
+        np.testing.assert_array_equal(got, want, err_msg=str(key))
+
+    # spot-check canonical ultralytics names
+    assert names[("params", "l0", "conv", "kernel")] == "model.0.conv.weight"
+    assert names[("params", "l2", "m0", "cv1", "conv", "kernel")] == "model.2.m.0.cv1.conv.weight"
+    assert names[("params", "l22", "cv2_0_2", "kernel")] == "model.22.cv2.0.2.weight"
+    assert names[("batch_stats", "l0", "bn", "mean")] == "model.0.bn.running_mean"

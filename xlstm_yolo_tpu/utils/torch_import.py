@@ -1,0 +1,186 @@
+"""Import Ultralytics/PyTorch checkpoints into our parameter trees.
+
+Replaces the reference's pickle-based weight loading
+(``nn/tasks.py:928-1068`` torch_safe_load / attempt_load_one_weight) with a
+tensors-only path: ``torch.load(weights_only=True)`` (no arbitrary code
+execution — the reference needs a SafeUnpickler allowlist for the same
+reason), then a name-mapped conversion into the flax layout:
+
+  torch ``model.{i}.<sub>.weight``  ->  params ``l{i}/<sub'>/kernel``
+  conv   (cout, cin, kh, kw)        ->  (kh, kw, cin, cout)
+  bn     weight/bias                ->  bn/{scale, bias}
+  stats  running_mean/var           ->  batch_stats ``.../bn/{mean, var}``
+  linear (out, in)                  ->  (in, out)
+
+Sub-module naming: sequential children like ``cv2.0.1`` (per-scale branches
+in Detect) become ``cv2_0_1``; bottleneck lists ``m.3`` become ``m3``.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def torch_state_dict(pt_path: str | Path) -> dict:
+    """Load a .pt checkpoint to {name: numpy array} without unpickling code."""
+    import torch
+
+    obj = torch.load(str(pt_path), map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
+        sd = obj["model"].state_dict()
+    elif isinstance(obj, dict) and all(hasattr(v, "numpy") for v in obj.values()):
+        sd = obj
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        sd = obj["state_dict"]
+    else:
+        raise ValueError(f"unrecognized checkpoint structure in {pt_path}")
+    return {k: v.detach().float().numpy() for k, v in sd.items()}
+
+
+def _flax_path(torch_name: str) -> tuple | None:
+    """Map a torch param name to (collection, path tuple, kind)."""
+    parts = torch_name.split(".")
+    if parts[0] == "model":
+        parts = parts[1:]
+        layer = f"l{parts[0]}"
+        parts = parts[1:]
+    else:
+        layer = None
+    leaf = parts[-1]
+    mods = parts[:-1]
+
+    # merge numeric sequential indices into their parent name:
+    #   m.2 (CSP bottleneck list)        -> m2
+    #   cv2.0.1 (per-scale head branch)  -> cv2_0_1
+    merged: list[str] = []
+    for p in mods:
+        if p.isdigit() and merged:
+            base = merged[-1]
+            if base == "m" or (base[0] == "m" and base[1:].isdigit()):
+                merged[-1] = base + p if base == "m" else base  # m -> m2 (only first digit)
+                if base != "m":
+                    merged.append(p)  # unexpected deeper nesting
+            else:
+                merged[-1] = f"{base}_{p}"
+        else:
+            merged.append(p)
+
+    if leaf in ("weight", "bias") and merged and merged[-1] == "bn":
+        coll = "params"
+        name = "scale" if leaf == "weight" else "bias"
+        kind = "bn_affine"
+    elif leaf in ("running_mean", "running_var"):
+        coll = "batch_stats"
+        name = "mean" if leaf == "running_mean" else "var"
+        kind = "bn_stats"
+    elif leaf == "num_batches_tracked":
+        return None
+    elif leaf == "weight" and merged and merged[-1] == "conv":
+        coll, name, kind = "params", "kernel", "conv"
+    elif leaf == "weight":
+        coll, name, kind = "params", "kernel", "linear"
+    elif leaf == "bias":
+        coll, name, kind = "params", "bias", "bias"
+    else:
+        coll, name, kind = "params", leaf, "raw"
+
+    path = ([layer] if layer else []) + merged + [name]
+    return coll, tuple(path), kind
+
+
+def load_torch_weights(variables: dict, pt_path: str | Path, verbose: bool = True):
+    """Fill our variables from a torch checkpoint; returns
+    (new_variables, matched, missed_torch_keys)."""
+    sd = torch_state_dict(pt_path)
+    return load_torch_state_dict(variables, sd, verbose=verbose)
+
+
+def load_torch_state_dict(variables: dict, sd: dict, verbose: bool = True):
+    import jax
+
+    flat = _flatten(variables)
+    matched, missed = 0, []
+    import copy
+
+    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, variables))
+
+    for tname, arr in sd.items():
+        mapped = _flax_path(tname)
+        if mapped is None:
+            continue
+        coll, path, kind = mapped
+        key = (coll,) + path
+        if key not in flat:
+            # bottleneck lists inside CSP blocks: torch "m.0.cv1..." already
+            # merged to "m0"; detect branches "cv2.0.0" -> "cv2_0_0"
+            missed.append(tname)
+            continue
+        want_shape = flat[key].shape
+        if kind in ("conv", "linear") and arr.ndim == 4:
+            arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+        elif kind == "linear" and arr.ndim == 2:
+            arr = arr.T
+        if arr.shape != tuple(want_shape):
+            missed.append(tname)
+            continue
+        _set(out, key, arr.astype(np.asarray(flat[key]).dtype))
+        matched += 1
+
+    if verbose:
+        print(f"torch import: {matched} tensors matched, {len(missed)} unmatched")
+        for m in missed[:10]:
+            print("  unmatched:", m)
+    return out, matched, missed
+
+
+def export_torch_names(variables: dict) -> dict:
+    """Inverse map: our flat paths -> ultralytics-style torch names (for
+    building test fixtures and exporting back)."""
+    out = {}
+    for key in _flatten(variables):
+        coll, *path = key
+        name = list(path)
+        leaf = name[-1]
+        mods = name[:-1]
+        tparts = []
+        for p in mods:
+            if p.startswith("l") and p[1:].isdigit():
+                tparts.extend(["model", p[1:]])
+            elif "_" in p:
+                head, *idxs = p.split("_")
+                tparts.append(head)
+                tparts.extend(idxs)
+            elif p[-1].isdigit() and not p[-2:].isdigit() and p[0] == "m":
+                tparts.extend([p[0], p[1:]])
+            else:
+                tparts.append(p)
+        if leaf == "kernel":
+            tleaf = "weight"
+        elif leaf == "scale":
+            tleaf = "weight"
+        elif leaf in ("mean", "var"):
+            tleaf = f"running_{leaf}"
+        else:
+            tleaf = leaf
+        out[key] = ".".join(tparts + [tleaf])
+    return out
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _set(tree, key, value):
+    node = tree
+    for k in key[:-1]:
+        node = node[k]
+    import jax.numpy as jnp
+
+    node[key[-1]] = jnp.asarray(value)
