@@ -97,3 +97,20 @@ def test_nc_override():
     v = m.init(0, imgsz=64)
     pred = jax.jit(m.predictions)(v, jnp.zeros((1, 64, 64, 3)))
     assert pred.shape[-1] == 4 + 7
+
+
+def test_v10_e2e_head():
+    """v10Detect: one2one+one2many training, NMS-free inference."""
+    from xlstm_yolo_tpu.nn.heads import v10_postprocess
+
+    m = TaskModel("yolov10n.yaml", nc=3)
+    assert m.e2e
+    v = m.init(0, imgsz=64)
+    x = jnp.ones((1, 64, 64, 3)) * 0.4
+    cands = jax.jit(m.predictions)(v, x)
+    dets = v10_postprocess(cands, max_det=30)
+    assert dets.shape == (1, 30, 6)
+    batch = {"img": x, "cls_boxes": jnp.asarray([[[0.0, 8, 8, 40, 40]]]),
+             "mask": jnp.ones((1, 1), bool)}
+    (tot, aux), _ = jax.jit(lambda v, b: m.loss(v, b))(v, batch)
+    assert bool(jnp.isfinite(tot))

@@ -66,6 +66,7 @@ for _n, _c, _k in [
     ("Upsample", M.Upsample, "plain"),
     ("MaxPool", M.MaxPool, "plain"),
     ("Detect", H.Detect, "head"),
+    ("v10Detect", H.v10Detect, "head"),
     ("Segment", H.Segment, "head"),
     ("Pose", H.Pose, "head"),
     ("OBB", H.OBB, "head"),
@@ -209,7 +210,7 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
                 task = "rtdetr"
                 margs = [args[0] if args else nc]
                 kwargs["ch"] = in_ch
-            if name == "Detect":
+            if name in ("Detect", "v10Detect"):
                 task = "detect"
                 margs = [args[0] if args else nc]
                 kwargs["ch"] = in_ch

@@ -212,3 +212,60 @@ def decode_keypoints(
     else:
         y = xy
     return y.reshape(b, n, nk * nd)
+
+
+class v10Detect(nn.Module):
+    """YOLOv10 end-to-end head (reference head.py v10Detect): a one2many
+    branch (NMS-trained the usual way) plus a one2one branch (top-1 TAL,
+    NMS-free inference). cv3 uses the lightweight depthwise structure."""
+
+    nc: int = 80
+    ch: tuple = ()
+    reg_max: int = 16
+    strides: tuple = (8, 16, 32)
+
+    def _branch(self, feats, tag: str, train: bool):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            s = self.strides[i] if i < len(self.strides) else 8 * 2**i
+            b = ConvBN(c2, 3, name=f"{tag}_cv2_{i}_0")(x, train)
+            b = ConvBN(c2, 3, name=f"{tag}_cv2_{i}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, bias_init=_box_bias_init,
+                        name=f"{tag}_cv2_{i}_2")(b)
+            # lightweight cls branch: dw3x3+pw per stage (reference v10Detect)
+            c = ConvBN(x.shape[-1], 3, g=x.shape[-1], name=f"{tag}_cv3_{i}_0dw")(x, train)
+            c = ConvBN(c3, 1, name=f"{tag}_cv3_{i}_0pw")(c, train)
+            c = ConvBN(c3, 3, g=c3, name=f"{tag}_cv3_{i}_1dw")(c, train)
+            c = ConvBN(c3, 1, name=f"{tag}_cv3_{i}_1pw")(c, train)
+            c = nn.Conv(self.nc, (1, 1), use_bias=True,
+                        bias_init=_cls_bias_init(self.nc, s), name=f"{tag}_cv3_{i}_2")(c)
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        one2one = self._branch(feats, "one2one", train)
+        if train or self.is_initializing():  # both branches must exist in params
+            one2many = self._branch(feats, "one2many", train)
+            return {"one2one": one2one, "one2many": one2many}
+        return {"one2one": one2one}
+
+
+def v10_postprocess(cands: jnp.ndarray, max_det: int = 300) -> jnp.ndarray:
+    """NMS-free top-k over (anchor, class) pairs (reference head.py
+    v10Detect/Detect.postprocess :151-172). cands: (B, N, 4+nc) xywh+scores.
+    Returns (B, max_det, 6) xyxy conf cls."""
+    from ..ops.boxes import xywh2xyxy
+
+    b, n, no = cands.shape
+    nc = no - 4
+    scores = cands[..., 4:]
+    flat = scores.reshape(b, n * nc)
+    k = min(max_det, n * nc)
+    topv, topi = jax.lax.top_k(flat, k)
+    anchor = topi // nc
+    cls = (topi % nc).astype(jnp.float32)
+    boxes = jnp.take_along_axis(cands[..., :4], anchor[..., None], axis=1)
+    return jnp.concatenate([xywh2xyxy(boxes), topv[..., None], cls[..., None]], -1)

@@ -42,6 +42,8 @@ class TaskModel:
         self.task = self.parsed.task
         self.reg_max = 16
         self.ch = ch
+        self.e2e = self.parsed.specs[self.parsed.head_index].name == "v10Detect" \
+            if self.parsed.head_index >= 0 else False
         self.strides = self._probe_strides()
         self.names = {i: f"{i}" for i in range(self.nc)}
 
@@ -57,7 +59,10 @@ class TaskModel:
             return self.module.apply(variables, x, train=False)
 
         out = jax.eval_shape(fwd, dummy)
-        det = out["det"] if isinstance(out, dict) else out
+        if isinstance(out, dict):
+            det = out.get("det") or out.get("one2one")
+        else:
+            det = out
         return tuple(imgsz // m.shape[1] for m in det)
 
     def init(self, key: jax.Array | int = 0, imgsz: int = 64) -> dict:
@@ -78,7 +83,10 @@ class TaskModel:
     def predictions(self, variables: dict, x: jnp.ndarray) -> jnp.ndarray:
         """Eval forward -> decoded (B, N, 4+nc) candidates (pixel xywh + scores)."""
         out = self.raw_forward(variables, x)
-        det = out["det"] if isinstance(out, dict) else out
+        if isinstance(out, dict):
+            det = out.get("det") or out.get("one2one")
+        else:
+            det = out
         return H.decode_detections(det, self.strides, self.nc, self.reg_max)
 
     def predictions_full(self, variables: dict, x: jnp.ndarray) -> dict:
@@ -160,6 +168,20 @@ class TaskModel:
                             box_gain=gains["box"], cls_gain=gains["cls"], dfl_gain=gains["dfl"])
             aux = {"box": lo.box, "cls": lo.cls, "dfl": lo.dfl}
             return (lo.total, aux), updates
+        if self.e2e and isinstance(out, dict) and "one2one" in out:
+            # E2EDetectLoss (reference utils/loss.py:700): one2many (topk 10)
+            # + one2one (topk 1)
+            lm = L.detection_loss(out["one2many"], batch["cls_boxes"], batch["mask"],
+                                  self.strides, self.nc, self.reg_max,
+                                  box_gain=gains["box"], cls_gain=gains["cls"],
+                                  dfl_gain=gains["dfl"], tal_topk=10)
+            lo = L.detection_loss(out["one2one"], batch["cls_boxes"], batch["mask"],
+                                  self.strides, self.nc, self.reg_max,
+                                  box_gain=gains["box"], cls_gain=gains["cls"],
+                                  dfl_gain=gains["dfl"], tal_topk=1)
+            total = lm.total + lo.total
+            aux = {"box": lm.box + lo.box, "cls": lm.cls + lo.cls, "dfl": lm.dfl + lo.dfl}
+            return (total, aux), updates
 
         det = out["det"] if isinstance(out, dict) else out
         lo = L.detection_loss(
