@@ -114,3 +114,17 @@ def test_v10_e2e_head():
              "mask": jnp.ones((1, 1), bool)}
     (tot, aux), _ = jax.jit(lambda v, b: m.loss(v, b))(v, batch)
     assert bool(jnp.isfinite(tot))
+
+
+@pytest.mark.parametrize("name,params", [
+    ("yolo11n.yaml", None), ("yolov5n.yaml", 2_654_800), ("yolov3.yaml", None),
+    ("yolov9.yaml", None), ("yolo12n.yaml", None),
+])
+def test_model_zoo_builds(name, params):
+    m = TaskModel(name)
+    assert m.strides == (8, 16, 32)
+    v = m.init(0, imgsz=64)
+    if params:
+        assert m.num_params(v) == params
+    pred = jax.jit(m.predictions)(v, jnp.zeros((1, 64, 64, 3)))
+    assert pred.shape == (1, 84, 84) and bool(jnp.isfinite(pred).all())
