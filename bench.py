@@ -33,7 +33,7 @@ def main():
     from xlstm_yolo_tpu.nn.tasks import TaskModel
     from xlstm_yolo_tpu.ops.nms import non_max_suppression
 
-    imgsz, batch, iters = 640, 64, 5
+    imgsz, batch, iters = 640, 128, 5
     model = TaskModel("yolov8n.yaml")
     variables = model.init(0, imgsz=imgsz)
     # bf16 params for MXU-friendly inference (BN stats stay fp32)
