@@ -106,3 +106,36 @@ def test_classify_pipeline(tmp_path):
     probs = jax.jit(lambda v, x: model.predictions_full(v, x)["probs"])(v, batch["img"])
     assert probs.shape == (4, 3)
     np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("task", ["segment", "pose", "obb"])
+def test_point_task_mosaic(tmp_path, task):
+    """Mosaic for point-carrying tasks keeps annotations aligned with boxes."""
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+
+    data_yaml = make_synthetic_dataset(tmp_path / "d", n_train=6, n_val=2, imgsz=96, task=task)
+    hyp = {"mosaic": 1.0, "fliplr": 0.5, "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
+           "copy_paste": 0.5 if task == "segment" else 0.0}
+    loader, _ = build_dataloader(data_yaml, "train", batch=4, imgsz=96, max_labels=32,
+                                 task=task, hyp=hyp, augment=True)
+    batch = next(iter(loader))
+    n_valid = int(batch["mask"].sum())
+    assert n_valid > 0
+    valid_boxes = batch["cls_boxes"][batch["mask"]]
+    if task == "obb":
+        assert batch["cls_boxes"].shape[-1] == 6
+        assert (valid_boxes[:, 3] > 0).all() and (valid_boxes[:, 4] > 0).all()
+    elif task == "segment":
+        # every valid instance must own at least one mask pixel
+        for bi in range(4):
+            n = int(batch["mask"][bi].sum())
+            for slot in range(n):
+                assert (batch["masks"][bi] == slot + 1).sum() > 0
+    elif task == "pose":
+        k = batch["keypoints"][batch["mask"]]
+        boxes = valid_boxes
+        # center keypoint must sit inside its (mosaic-transformed) box
+        cx, cy = k[:, 4, 0], k[:, 4, 1]
+        inside = ((cx >= boxes[:, 1] - 2) & (cx <= boxes[:, 3] + 2)
+                  & (cy >= boxes[:, 2] - 2) & (cy <= boxes[:, 4] + 2))
+        assert inside.mean() > 0.9, f"{inside.mean()} of centers inside boxes"

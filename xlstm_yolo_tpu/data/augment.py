@@ -183,3 +183,115 @@ def mixup(img1, labels1, img2, labels2, rng: np.random.Generator | None = None):
     r = rng.beta(32.0, 32.0)
     img = (img1.astype(np.float32) * r + img2.astype(np.float32) * (1 - r)).astype(np.uint8)
     return img, np.concatenate([labels1, labels2], 0)
+
+
+def _shift_points(extra: dict, scale: float, dx: float, dy: float) -> dict:
+    """Scale+translate every point set in a task-extra dict."""
+    out = {}
+    if "segments" in extra:
+        out["segments"] = [p * scale + np.asarray([dx, dy], np.float32) for p in extra["segments"]]
+    if "keypoints" in extra:
+        k = extra["keypoints"].copy()
+        k[..., 0] = k[..., 0] * scale + dx
+        k[..., 1] = k[..., 1] * scale + dy
+        out["keypoints"] = k
+    if "corners" in extra:
+        out["corners"] = extra["corners"] * scale + np.asarray([dx, dy], np.float32)
+    return out
+
+
+def _cat_extras(extras: list) -> dict:
+    out = {}
+    keys = set().union(*[e.keys() for e in extras]) if extras else set()
+    if "segments" in keys:
+        out["segments"] = [p for e in extras for p in e.get("segments", [])]
+    if "keypoints" in keys:
+        ks = [e["keypoints"] for e in extras if "keypoints" in e and len(e["keypoints"])]
+        out["keypoints"] = np.concatenate(ks, 0) if ks else np.zeros((0, 1, 3), np.float32)
+    if "corners" in keys:
+        cs = [e["corners"] for e in extras if "corners" in e and len(e["corners"])]
+        out["corners"] = np.concatenate(cs, 0) if cs else np.zeros((0, 4, 2), np.float32)
+    return out
+
+
+def mosaic4_points(samples: list, imgsz: int, rng: np.random.Generator | None = None):
+    """4-image mosaic carrying point annotations (segments / keypoints / obb
+    corners) alongside the boxes — the point-task extension of mosaic4.
+
+    samples: list of 4 (img, labels (n, 5) px, extra dict).
+    Returns (canvas 2s x 2s, labels, extra) in canvas pixels.
+    """
+    rng = rng or np.random.default_rng()
+    s = imgsz
+    yc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    xc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    canvas = np.full((s * 2, s * 2, 3), 114, np.uint8)
+    out_labels, out_extras = [], []
+    for i, (img, labels, extra) in enumerate(samples):
+        h, w = img.shape[:2]
+        r = min(s / h, s / w)
+        nh, nw = int(h * r), int(w * r)
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if i == 0:
+            x1a, y1a, x2a, y2a = max(xc - nw, 0), max(yc - nh, 0), xc, yc
+            x1b, y1b = nw - (x2a - x1a), nh - (y2a - y1a)
+        elif i == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - nh, 0), min(xc + nw, s * 2), yc
+            x1b, y1b = 0, nh - (y2a - y1a)
+        elif i == 2:
+            x1a, y1a, x2a, y2a = max(xc - nw, 0), yc, xc, min(s * 2, yc + nh)
+            x1b, y1b = nw - (x2a - x1a), 0
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + nw, s * 2), min(s * 2, yc + nh)
+            x1b, y1b = 0, 0
+        canvas[y1a:y2a, x1a:x2a] = img[y1b : y1b + (y2a - y1a), x1b : x1b + (x2a - x1a)]
+        dx, dy = x1a - x1b, y1a - y1b
+        if len(labels):
+            lb = labels.copy()
+            lb[:, 1:5] = lb[:, 1:5] * r
+            lb[:, [1, 3]] += dx
+            lb[:, [2, 4]] += dy
+            out_labels.append(lb)
+            out_extras.append(_shift_points(extra, r, dx, dy))
+    labels = np.concatenate(out_labels, 0) if out_labels else np.zeros((0, 5), np.float32)
+    extra = _cat_extras(out_extras)
+    np.clip(labels[:, 1:5:2], 0, 2 * s, out=labels[:, 1:5:2])
+    np.clip(labels[:, 2:5:2], 0, 2 * s, out=labels[:, 2:5:2])
+    return canvas, labels, extra
+
+
+def copy_paste_flip(img: np.ndarray, labels: np.ndarray, segments: list, p: float = 0.5,
+                    rng: np.random.Generator | None = None):
+    """Copy-paste augmentation, "flip" mode (reference CopyPaste,
+    data/augment.py:1636): paste horizontally-mirrored instances whose boxes
+    don't collide with existing ones."""
+    rng = rng or np.random.default_rng()
+    if not len(labels) or p <= 0:
+        return img, labels, segments
+    h, w = img.shape[:2]
+    n = max(1, round(len(labels) * p))
+    new_labels, new_segments = [], []
+    im2 = img[:, ::-1]  # mirrored source
+    for i in rng.permutation(len(labels))[:n]:
+        box = labels[i, 1:5].copy()
+        fbox = np.asarray([w - box[2], box[1], w - box[0], box[3]], np.float32)
+        # reject if the mirrored box overlaps any existing box strongly
+        x1 = np.maximum(fbox[0], labels[:, 1])
+        y1 = np.maximum(fbox[1], labels[:, 2])
+        x2 = np.minimum(fbox[2], labels[:, 3])
+        y2 = np.minimum(fbox[3], labels[:, 4])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area = np.clip((fbox[2] - fbox[0]) * (fbox[3] - fbox[1]), 1e-6, None)
+        if (inter / area).max() > 0.3:
+            continue
+        poly = segments[i]
+        fpoly = np.stack([w - poly[:, 0], poly[:, 1]], -1)
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, [fpoly.astype(np.int32)], 1)
+        img = np.where(mask[..., None] > 0, im2, img)
+        new_labels.append(np.concatenate([[labels[i, 0]], fbox]))
+        new_segments.append(fpoly)
+    if new_labels:
+        labels = np.concatenate([labels, np.stack(new_labels)], 0)
+        segments = list(segments) + new_segments
+    return img, labels, segments

@@ -236,39 +236,58 @@ class YOLODataset:
             return self._get_sample_points(i, rng)
         return self._get_sample_detect(i, rng)
 
+    def _points_px(self, i: int, shape) -> dict:
+        """Task point annotations in pixel coords of ``shape`` (h, w)."""
+        lb = self.labels[i]
+        h0, w0 = shape
+        wh = np.asarray([w0, h0], np.float32)
+        if self.task == "segment":
+            return {"segments": [p * wh for p in lb["segments"]]}
+        if self.task == "pose":
+            k = lb["keypoints"].copy()
+            k[..., 0] *= w0
+            k[..., 1] *= h0
+            return {"keypoints": k}
+        if self.task == "obb":
+            return {"corners": lb["obb_corners"] * wh}
+        return {}
+
     def _get_sample_points(self, i: int, rng: np.random.Generator):
         """Sample assembly for point-carrying tasks (segment/pose/obb):
-        letterbox + HSV + horizontal flip, with all point sets transformed."""
+        mosaic (optional) or letterbox, copy-paste (segment), HSV, flip —
+        every point set transformed consistently with the boxes."""
         hyp = self.hyp
         g = lambda k, d: float(hyp.get(k, d)) if isinstance(hyp, dict) else float(getattr(hyp, k, d))
-        img = self.load_image(i)
-        h0, w0 = img.shape[:2]
-        lb = self.labels[i]
-        labels = self.labels_px(i, (h0, w0))
-        img, labels, (r, px, py) = A.letterbox(img, self.imgsz, labels, scaleup=self.augment)
-        extra = {}
-        if self.task == "segment":
-            extra["segments"] = [
-                p * np.asarray([w0, h0], np.float32) * r + np.asarray([px, py], np.float32)
-                for p in lb["segments"]
-            ]
-        elif self.task == "pose":
-            k = lb["keypoints"].copy()
-            k[..., 0] = k[..., 0] * w0 * r + px
-            k[..., 1] = k[..., 1] * h0 * r + py
-            extra["keypoints"] = k
-        elif self.task == "obb":
-            # corners (normalized) -> pixels of the letterboxed canvas ->
-            # minAreaRect per instance (angle computed in pixel space so
-            # aspect-ratio distortion of normalized coords never enters)
-            corners = lb["obb_corners"] * np.asarray([w0, h0], np.float32) * r + np.asarray(
-                [px, py], np.float32
+
+        if self.augment and rng.random() < g("mosaic", 1.0):
+            idxs = [i] + [int(rng.integers(self.ni)) for _ in range(3)]
+            samples = []
+            for j in idxs:
+                im = self.load_image(j)
+                samples.append((im, self.labels_px(j, im.shape[:2]),
+                                self._points_px(j, im.shape[:2])))
+            img, labels, extra = A.mosaic4_points(samples, self.imgsz, rng)
+            # mosaic canvas is 2*imgsz; scale everything down by half
+            img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+            labels = labels.copy()
+            labels[:, 1:5] *= 0.5
+            extra = A._shift_points(extra, 0.5, 0.0, 0.0)
+        else:
+            img = self.load_image(i)
+            h0, w0 = img.shape[:2]
+            labels = self.labels_px(i, (h0, w0))
+            pts = self._points_px(i, (h0, w0))
+            img, labels, (r, px, py) = A.letterbox(img, self.imgsz, labels, scaleup=self.augment)
+            extra = A._shift_points(pts, r, px, py)
+
+        if self.task == "segment" and self.augment and g("copy_paste", 0.0) > 0:
+            img, labels, segs = A.copy_paste_flip(
+                img, labels, extra.get("segments", []), p=g("copy_paste", 0.0), rng=rng
             )
-            rb = np.zeros((len(corners), 5), np.float32)
-            for ci, pts in enumerate(corners):
-                (cx, cy), (w, h), ang = cv2.minAreaRect(pts.astype(np.float32))
-                rb[ci] = [cx, cy, w, h, ang * math.pi / 180.0]
-            extra["rbox"] = rb
+            extra["segments"] = segs
+            if "keypoints" in extra:  # keep parallel arrays aligned (segment-only path)
+                pass
+
         if self.augment:
             img = A.random_hsv(img, g("hsv_h", 0.015), g("hsv_s", 0.7), g("hsv_v", 0.4), rng)
             if g("fliplr", 0.5) and rng.random() < g("fliplr", 0.5):
@@ -287,10 +306,19 @@ class YOLODataset:
                     if flip_idx:
                         k = k[:, list(flip_idx)]
                     extra["keypoints"] = k
-                if "rbox" in extra:
-                    rb = extra["rbox"]
-                    rb[:, 0] = W - rb[:, 0]
-                    rb[:, 4] = -rb[:, 4]
+                if "corners" in extra:
+                    c = extra["corners"]
+                    c[..., 0] = W - c[..., 0]
+                    extra["corners"] = c
+        if self.task == "obb":
+            # corners -> (cx, cy, w, h, angle) via minAreaRect in final pixel
+            # space (the angle is only well-defined after all geometry is done)
+            corners = extra.pop("corners", np.zeros((0, 4, 2), np.float32))
+            rb = np.zeros((len(corners), 5), np.float32)
+            for ci, pts in enumerate(corners):
+                (cx, cy), (w, h), ang = cv2.minAreaRect(pts.astype(np.float32))
+                rb[ci] = [cx, cy, w, h, ang * math.pi / 180.0]
+            extra["rbox"] = rb
         return img, labels, extra
 
     def _get_sample_detect(self, i: int, rng: np.random.Generator) -> tuple:
