@@ -271,3 +271,43 @@ def test_torch_weight_import_roundtrip():
     assert names[("params", "l2", "m0", "cv1", "conv", "kernel")] == "model.2.m.0.cv1.conv.weight"
     assert names[("params", "l22", "cv2_0_2", "kernel")] == "model.22.cv2.0.2.weight"
     assert names[("batch_stats", "l0", "bn", "mean")] == "model.0.bn.running_mean"
+
+
+def test_aigym_and_parking_solutions():
+    import numpy as np
+
+    from xlstm_yolo_tpu.engine.results import Results
+    from xlstm_yolo_tpu.solutions import AIGym, ParkingManagement, SecurityAlarm
+
+    def pose_result(angle_deg):
+        img = np.zeros((200, 200, 3), np.uint8)
+        r = Results(img, boxes=np.asarray([[50, 50, 150, 150, 0.9, 0]], np.float32))
+        r.track_ids = np.asarray([1])
+        # joints 5(shoulder) 7(elbow) 9(wrist): build a bent arm of given angle
+        k = np.zeros((1, 17, 3), np.float32)
+        k[0, 5] = [100, 100, 2]
+        k[0, 7] = [100, 140, 2]
+        th = np.radians(180 - angle_deg)
+        k[0, 9] = [100 + 40 * np.sin(th), 140 + 40 * np.cos(th), 2]
+        r.keypoints = k
+        return r
+
+    gym = AIGym()
+    for ang in [170, 60, 170, 60, 170]:  # two full reps
+        counts = gym.process(pose_result(ang))
+    assert counts[1] == 2
+
+    pm = ParkingManagement(slots=[[[0, 0], [100, 0], [100, 100], [0, 100]],
+                                  [[100, 0], [200, 0], [200, 100], [100, 100]]])
+    img = np.zeros((200, 200, 3), np.uint8)
+    r = Results(img, boxes=np.asarray([[10, 10, 50, 50, 0.9, 0]], np.float32))
+    out = pm.process(r)
+    assert out == {"occupied": 1, "available": 1, "slots": [True, False]}
+
+    fired = []
+    sa = SecurityAlarm(records=2, on_alarm=lambda res: fired.append(1))
+    sa.process(Results(img, boxes=np.asarray([[10, 10, 50, 50, 0.9, 0]], np.float32)))
+    assert not fired
+    sa.process(Results(img, boxes=np.asarray([[10, 10, 50, 50, 0.9, 0],
+                                              [60, 60, 90, 90, 0.8, 0]], np.float32)))
+    assert fired == [1]

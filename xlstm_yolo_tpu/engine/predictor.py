@@ -41,6 +41,23 @@ def load_source(source) -> list:
         for s in source:
             out.extend(load_source(s))
         return out
+    if isinstance(source, int) or (isinstance(source, str)
+                                   and source.split("://")[0] in ("rtsp", "rtmp", "http", "https")
+                                   and not source.rsplit(".", 1)[-1].lower() in ("jpg", "png", "jpeg")):
+        # webcam index or network stream (reference data/loaders.py LoadStreams)
+        cap = cv2.VideoCapture(source)
+        frames = []
+        fi = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append((f"stream#{fi}", cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
+            fi += 1
+            if fi >= 10_000:  # stream safety bound
+                break
+        cap.release()
+        return frames
     p = Path(str(source))
     if p.is_dir():
         out = []

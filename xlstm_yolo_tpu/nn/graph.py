@@ -59,6 +59,10 @@ for _n, _c, _k in [
     ("PSA", M.PSA, "conv"),
     ("RepConv", M.RepConv, "conv"),
     ("RepNCSPELAN4", M.RepNCSPELAN4, "elan"),
+    ("CBAM", M.CBAM, "plain"),
+    ("ChannelAttention", M.ChannelAttention, "plain"),
+    ("SpatialAttention", M.SpatialAttention, "plain"),
+    ("ConvTranspose", M.ConvTransposeBN, "conv"),
     ("SPPF", M.SPPF, "conv"),
     ("Concat", M.Concat, "concat"),
     ("Index", M.Index, "index"),
@@ -100,10 +104,30 @@ class LayerSpec:
     args: tuple = ()
     kwargs: tuple = ()  # tuple of (k, v) pairs, hashable
     c2: int = 0
+    n: int = 1  # module-level repeats (non-CSP rows with n > 1)
 
     def build(self) -> nn.Module:
+        if self.n > 1:
+            return Repeat(self.name, self.args, self.kwargs, self.n, name=f"l{self.i}")
         cls, _kind = REGISTRY[self.name]
         return cls(*self.args, **dict(self.kwargs), name=f"l{self.i}")
+
+
+class Repeat(nn.Module):
+    """Chain n copies of a registered module (YAML repeats on non-CSP rows,
+    e.g. YOLOv6's stacked plain convs)."""
+
+    inner: str
+    args: tuple
+    kw: tuple
+    count: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cls, _ = REGISTRY[self.inner]
+        for i in range(self.count):
+            x = cls(*self.args, **dict(self.kw), name=f"r{i}")(x, train=train)
+        return x
 
 
 @dataclass
@@ -238,7 +262,6 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
             )
             n_rep = 1
 
-        # repeats > 1 for non-csp modules: not used by v8-family; unroll if present
         spec = LayerSpec(
             i=i,
             f=fs,
@@ -246,6 +269,7 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
             args=tuple(_hashable(a) for a in margs),
             kwargs=tuple(sorted((k, _hashable(v)) for k, v in kwargs.items())),
             c2=c2,
+            n=n_rep if isinstance(n_rep, int) and n_rep > 1 else 1,
         )
         layers.append(spec)
         channels.append(c2)

@@ -606,3 +606,58 @@ class A2C2f(nn.Module):
             gamma = self.param("gamma", nn.initializers.constant(0.01), (self.c2,))
             out = x + gamma.astype(out.dtype) * out
         return out
+
+
+class ChannelAttention(nn.Module):
+    """Squeeze-excite style channel attention (reference conv.py ChannelAttention)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        w = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=x.dtype, name="fc")(pooled)
+        return x * nn.sigmoid(w)
+
+
+class SpatialAttention(nn.Module):
+    """Spatial attention over channel-pooled maps (reference conv.py SpatialAttention)."""
+
+    k: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pooled = jnp.concatenate(
+            [jnp.mean(x, axis=-1, keepdims=True), jnp.max(x, axis=-1, keepdims=True)], -1
+        )
+        p = self.k // 2
+        w = nn.Conv(1, (self.k, self.k), padding=((p, p), (p, p)), dtype=x.dtype, name="conv")(pooled)
+        return x * nn.sigmoid(w)
+
+
+class CBAM(nn.Module):
+    """Convolutional block attention module (reference conv.py CBAM)."""
+
+    c2: int = 0  # unused; kept for YAML arg parity
+    k: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ChannelAttention(name="channel")(x, train)
+        return SpatialAttention(self.k, name="spatial")(x, train)
+
+
+class ConvTransposeBN(nn.Module):
+    """Transposed conv + BN + act (reference conv.py ConvTranspose)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    act: bool | str = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = x.dtype
+        y = nn.ConvTranspose(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                             use_bias=False, dtype=dt, name="conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, name="bn")(y).astype(dt)
+        return _act(y, self.act)

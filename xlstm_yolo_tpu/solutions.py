@@ -178,3 +178,86 @@ class Analytics(BaseSolution):
         frame = dict(counts)
         self.series.append(frame)
         return frame
+
+
+class AIGym(BaseSolution):
+    """Repetition counting from pose keypoints (reference solutions/ai_gym.py):
+    angle at a joint triple crosses up/down thresholds -> one rep."""
+
+    def __init__(self, kpts: tuple = (5, 7, 9), up_angle: float = 145.0,
+                 down_angle: float = 90.0, **kw):
+        super().__init__(**kw)
+        self.kpts = kpts
+        self.up_angle = up_angle
+        self.down_angle = down_angle
+        self.count: dict[int, int] = defaultdict(int)
+        self.stage: dict[int, str] = {}
+
+    @staticmethod
+    def joint_angle(a, b, c) -> float:
+        a, b, c = (np.asarray(p, np.float32) for p in (a, b, c))
+        v1, v2 = a - b, c - b
+        cos = np.dot(v1, v2) / (np.linalg.norm(v1) * np.linalg.norm(v2) + 1e-7)
+        return float(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+
+    def process(self, result) -> dict:
+        self.extract_tracks(result)
+        if result.keypoints is None:
+            return dict(self.count)
+        ids = getattr(result, "track_ids", np.arange(len(result.keypoints)))
+        for ki, k in enumerate(result.keypoints):
+            tid = int(ids[ki]) if ki < len(ids) else ki
+            i1, i2, i3 = self.kpts
+            ang = self.joint_angle(k[i1, :2], k[i2, :2], k[i3, :2])
+            if ang > self.up_angle:
+                if self.stage.get(tid) == "down":
+                    self.count[tid] += 1
+                self.stage[tid] = "up"
+            elif ang < self.down_angle:
+                self.stage[tid] = "down"
+        return dict(self.count)
+
+
+class ParkingManagement(BaseSolution):
+    """Occupancy of predefined parking slots (reference
+    solutions/parking_management.py): each slot is a polygon region."""
+
+    def __init__(self, slots: list, **kw):
+        super().__init__(**kw)
+        self.slots = [np.asarray(s, np.float32) for s in slots]
+
+    def process(self, result) -> dict:
+        import cv2
+
+        boxes, *_ = self.extract_tracks(result)
+        occupied = 0
+        status = []
+        for slot in self.slots:
+            occ = False
+            for b in boxes:
+                c = (float((b[0] + b[2]) / 2), float((b[1] + b[3]) / 2))
+                if cv2.pointPolygonTest(slot, c, False) >= 0:
+                    occ = True
+                    break
+            status.append(occ)
+            occupied += occ
+        return {"occupied": occupied, "available": len(self.slots) - occupied, "slots": status}
+
+
+class SecurityAlarm(BaseSolution):
+    """Threshold-triggered alert on detections (reference
+    solutions/security_alarm.py; the email hook becomes a callback)."""
+
+    def __init__(self, records: int = 5, on_alarm=None, **kw):
+        super().__init__(**kw)
+        self.records = records
+        self.on_alarm = on_alarm
+        self.triggered = False
+
+    def process(self, result) -> bool:
+        boxes, *_ = self.extract_tracks(result)
+        if len(boxes) >= self.records and not self.triggered:
+            self.triggered = True
+            if self.on_alarm:
+                self.on_alarm(result)
+        return self.triggered
