@@ -88,3 +88,14 @@ def test_fusion_block_in_graph():
     v = gm.init(jax.random.PRNGKey(0), x, train=False)
     y = gm.apply(v, x, train=False)
     assert y.shape == (1, 8, 8, 32)
+
+
+def test_vit_baseline():
+    m = VE.VisionTransformer(dim=32, depth=2, num_heads=2, patch_size=8, num_classes=10)
+    x = jnp.ones((2, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    logits = m.apply(v, x)
+    assert logits.shape == (2, 10)
+    mf = VE.VisionTransformer(dim=32, depth=1, num_heads=2, patch_size=8, mode="features")
+    v = mf.init(jax.random.PRNGKey(0), x)
+    assert mf.apply(v, x).shape == (2, 4, 4, 32)

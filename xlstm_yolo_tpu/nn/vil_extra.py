@@ -354,3 +354,39 @@ class VisionLSTM2(nn.Module):
         if self.mode == "classifier":
             return nn.Dense(self.output_shape[0], name="head")(out)
         return out
+
+
+class VisionTransformer(nn.Module):
+    """Plain ViT classifier baseline (reference vision_transformer.py:8 wraps
+    torch-hub; here a native flax implementation for apples-to-apples
+    ViL-vs-ViT comparisons)."""
+
+    dim: int = 192
+    depth: int = 12
+    num_heads: int = 3
+    patch_size: int = 16
+    num_classes: int = 1000
+    mlp_ratio: float = 4.0
+    mode: str = "classifier"  # classifier | features
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = VitPatchEmbed(self.dim, self.patch_size, name="patch_embed")(x)
+        b, h, w, d = x.shape
+        x = VitPosEmbed2d(self.dim, (h, w), name="pos_embed")(x)
+        seq = x.reshape(b, h * w, d)
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, d))
+        seq = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, d)), seq], axis=1)
+        for i in range(self.depth):
+            y = nn.LayerNorm(name=f"norm1_{i}")(seq)
+            y = nn.MultiHeadDotProductAttention(self.num_heads, dtype=seq.dtype,
+                                                name=f"attn_{i}")(y, y, y)
+            seq = seq + y
+            y = nn.LayerNorm(name=f"norm2_{i}")(seq)
+            y = nn.Dense(int(d * self.mlp_ratio), dtype=seq.dtype, name=f"mlp1_{i}")(y)
+            y = nn.Dense(d, dtype=seq.dtype, name=f"mlp2_{i}")(nn.gelu(y))
+            seq = seq + y
+        seq = nn.LayerNorm(name="norm")(seq)
+        if self.mode == "features":
+            return seq[:, 1:].reshape(b, h, w, d)
+        return nn.Dense(self.num_classes, name="head")(seq[:, 0])
