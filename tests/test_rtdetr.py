@@ -73,3 +73,88 @@ def test_rtdetr_loss_grad_small():
     leaves = jax.tree.leaves(g)
     assert all(bool(jnp.isfinite(t).all()) for t in leaves)
     assert sum(float(jnp.abs(t).sum()) for t in leaves) > 0
+
+
+def test_cdn_group_static_shapes():
+    """get_cdn_group (reference models/utils/ops.py:150): static slot count,
+    positives keep centers near gt, negatives pushed outside the box."""
+    key = jax.random.PRNGKey(0)
+    gt_cls = jnp.asarray([[1, 2, 0]])
+    gt_box = jnp.asarray([[[0.5, 0.5, 0.2, 0.2], [0.3, 0.3, 0.1, 0.1], [0, 0, 0, 0]]])
+    mask = jnp.asarray([[1.0, 1.0, 0.0]])
+    dn_cls, dn_box, dn_pos, dn_valid, dn_gt_idx = R.get_cdn_group(
+        gt_cls, gt_box, mask, nc=3, key=key, num_group=2)
+    d = 2 * 3 * 2
+    assert dn_cls.shape == (1, d) and dn_box.shape == (1, d, 4)
+    assert dn_pos.shape == (1, d) and dn_gt_idx.shape == (1, d)
+    # padding gt slots are never positive/valid
+    assert float(dn_pos[0, 2]) == 0.0 and float(dn_valid[0, 2]) == 0.0
+    # boxes stay normalized
+    assert float(dn_box.min()) >= 0.0 and float(dn_box.max()) <= 1.0
+    # first M slots of each group positive, next M negative
+    assert float(dn_pos[0, 0]) == 1.0 and float(dn_pos[0, 3]) == 0.0
+
+
+def test_cdn_attn_mask_blocks_groups():
+    m = R.cdn_attn_mask(num_dn=4, num_group=2, nq=3)[0, 0]
+    assert m.shape == (7, 7)
+    assert bool(m[0, 1]) and not bool(m[0, 2])      # group0 sees itself, not group1
+    assert bool(m[2, 3]) and not bool(m[3, 1])      # group1 internal ok
+    assert not bool(m[5, 0]) and bool(m[5, 6])      # matching never sees dn
+    assert bool(m[0, 5])                             # dn sees matching
+
+
+def test_decoder_with_dn_and_cdn_loss():
+    dec = R.RTDETRDecoder(nc=3, ch=(16,), hd=32, nq=16, ndl=2, nh=4)
+    feats = [jnp.ones((2, 8, 8, 16)) * 0.1]
+    gt = jnp.zeros((2, 2, 5)).at[:, :, 1:].set(
+        jnp.asarray([[8.0, 8.0, 24.0, 24.0], [4.0, 4.0, 12.0, 12.0]]))
+    mask = jnp.ones((2, 2))
+    batch = {"cls_boxes": gt, "mask": mask}
+    dn_cls, dn_box, dn_pos, dn_valid, dn_gt_idx = R.get_cdn_group(
+        gt[..., 0].astype(jnp.int32), gt[..., 1:5] / 32.0, mask, 3,
+        jax.random.PRNGKey(1), num_group=2)
+    v = dec.init(jax.random.PRNGKey(0), feats, dn=(dn_cls, dn_box, 2))
+    out = dec.apply(v, feats, dn=(dn_cls, dn_box, 2))
+    assert out["dn_boxes"].shape == (2, 8, 4)
+    assert out["boxes"].shape == (2, 16, 4)
+    total, aux = R.cdn_loss(out, (dn_pos, dn_valid, dn_gt_idx), batch, 3, 32.0)
+    assert float(total) > 0 and np.isfinite(float(total))
+    # gradient flows through the dn loss
+    def lf(params):
+        o = dec.apply({**v, "params": params}, feats, dn=(dn_cls, dn_box, 2))
+        t, _ = R.cdn_loss(o, (dn_pos, dn_valid, dn_gt_idx), batch, 3, 32.0)
+        return t
+    g = jax.grad(lf)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_rtdetr_full_graph_train_loss_with_cdn():
+    """TaskModel loss on a tiny rtdetr graph exercises the cdn path end to
+    end (denoising embed init, head_kwargs threading, dn loss terms)."""
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    cfg = {
+        "nc": 3,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],   # 0: /2
+            [-1, 1, "Conv", [16, 3, 2]],   # 1: /4
+            [-1, 1, "Conv", [16, 3, 2]],   # 2: /8
+            [-1, 1, "Conv", [32, 3, 2]],   # 3: /16
+            [-1, 1, "Conv", [32, 3, 2]],   # 4: /32
+        ],
+        "head": [[[2, 3, 4], 1, "RTDETRDecoder", [3]]],
+    }
+    model = TaskModel(cfg, nc=3)
+    assert model.task == "rtdetr"
+    v = model.init(0, imgsz=64)
+    assert "denoising_class_embed" in str(jax.tree_util.tree_structure(v["params"]))
+    img = jnp.ones((2, 64, 64, 3)) * 0.4
+    gt = jnp.zeros((2, 2, 5)).at[:, :, 1:].set(
+        jnp.asarray([[8.0, 8.0, 40.0, 40.0], [4.0, 4.0, 20.0, 20.0]]))
+    batch = {"img": img, "cls_boxes": gt, "mask": jnp.ones((2, 2)),
+             "dn_key": jax.random.PRNGKey(7)}
+    (total, aux), _ = model.loss(v, batch)
+    assert np.isfinite(float(total))
+    assert "dn_box" in aux and np.isfinite(float(aux["dn_box"]))

@@ -99,7 +99,6 @@ class Predictor:
         self.agnostic = agnostic_nms
         self.verbose = verbose
         self._jit = jax.jit(self._device_fn)
-        self._trackers = None
 
     def _device_fn(self, variables, img):
         task = self.model.task

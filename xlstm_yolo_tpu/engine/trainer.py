@@ -22,8 +22,6 @@ import csv
 import math
 import time
 from pathlib import Path
-from types import SimpleNamespace
-
 import jax
 import jax.numpy as jnp
 import numpy as np

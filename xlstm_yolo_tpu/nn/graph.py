@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -303,7 +303,7 @@ class GraphModel(nn.Module):
     parsed: ParsedModel
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False, head_kwargs: dict | None = None):
         cache: dict[int, jnp.ndarray] = {}
         prev = x
         out = None
@@ -314,7 +314,8 @@ class GraphModel(nn.Module):
             else:
                 inp = [prev if j == spec.i - 1 else cache[j] for j in spec.f]
             mod = spec.build()
-            prev = mod(inp, train=train)
+            extra = head_kwargs if (head_kwargs and spec.i == self.parsed.head_index) else {}
+            prev = mod(inp, train=train, **extra)
             if spec.i in save:
                 cache[spec.i] = prev
             out = prev

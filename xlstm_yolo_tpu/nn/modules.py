@@ -13,7 +13,7 @@ threaded through ``__call__`` for BN mode.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,11 @@ loss (reference ``models/utils/loss.py:13`` DETRLoss,
   * the Hungarian assignment runs on host through ``jax.pure_callback``
     (it returns indices only, so no gradients flow through it — same role
     as the reference's scipy call inside the loss);
-  * deformable attention's grid_sample becomes a manual bilinear gather.
-Contrastive denoising (get_cdn_group) is not yet implemented.
+  * deformable attention's grid_sample becomes a manual bilinear gather;
+  * contrastive denoising (reference models/utils/ops.py:150 get_cdn_group)
+    uses a STATIC number of denoising slots (2 * n_max * num_group) with a
+    validity mask instead of the reference's per-batch dynamic group count,
+    so the train step never retraces.
 """
 from __future__ import annotations
 
@@ -202,10 +205,10 @@ class DeformableDecoderLayer(nn.Module):
     cm: int = 1024
 
     @nn.compact
-    def __call__(self, x, ref_points, value, shapes, query_pos):
+    def __call__(self, x, ref_points, value, shapes, query_pos, attn_mask=None):
         q = k = x + query_pos
         sa = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, dtype=x.dtype,
-                                             name="self_attn")(q, k, x)
+                                             name="self_attn")(q, k, x, mask=attn_mask)
         x = nn.LayerNorm(name="norm1")(x + sa)
         ca = MSDeformAttn(self.c, self.num_heads, self.n_levels, self.n_points,
                           name="cross_attn")(x + query_pos, ref_points, value, shapes)
@@ -227,6 +230,66 @@ class MLPHead(nn.Module):
         return nn.Dense(self.out, name=f"l{self.layers - 1}")(x)
 
 
+def get_cdn_group(gt_cls, gt_cxcywh, mask, nc: int, key,
+                  num_group: int = 3, cls_noise_ratio: float = 0.5,
+                  box_noise_scale: float = 1.0):
+    """Contrastive-denoising query groups (reference models/utils/ops.py:150).
+
+    gt_cls (B, M) int; gt_cxcywh (B, M, 4) normalized; mask (B, M) validity.
+    Builds ``num_group`` groups of 2*M slots each — first M positive (small
+    noise, reconstruct the GT), second M negative (box shifted outward,
+    classify as background). Returns
+      dn_cls (B, D) int, dn_box (B, D, 4), dn_pos (B, D) 1.0 on positive
+      valid slots, dn_valid (B, D), dn_gt_idx (B, D) gt slot per dn slot.
+    All shapes static: D = 2 * M * num_group.
+    """
+    b, m = gt_cls.shape
+    d = 2 * m * num_group
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    rep = lambda x: jnp.tile(x, (1, 2 * num_group) + (1,) * (x.ndim - 2))
+    cls = rep(gt_cls)          # (B, D)
+    box = rep(gt_cxcywh)       # (B, D, 4)
+    valid = rep(mask)          # (B, D)
+    gt_idx = jnp.tile(jnp.arange(m), 2 * num_group)[None].repeat(b, 0)
+    # negative-half indicator: slots [M:2M) of each group
+    neg = jnp.tile(jnp.concatenate([jnp.zeros(m), jnp.ones(m)]), num_group)[None]
+
+    # class noise: flip a random subset to random classes (pos + neg alike)
+    flip = jax.random.uniform(k1, (b, d)) < (cls_noise_ratio * 0.5)
+    rand_cls = jax.random.randint(k2, (b, d), 0, nc)
+    dn_cls = jnp.where(flip, rand_cls, cls)
+
+    # box noise: jitter within ±0.5 wh for positives, (0.5, 1.5] wh for negatives
+    wh = jnp.concatenate([box[..., 2:], box[..., 2:]], -1)  # (B, D, 4) w,h,w,h
+    sign = jax.random.randint(k3, (b, d, 4), 0, 2) * 2.0 - 1.0
+    u = jax.random.uniform(k4, (b, d, 4))
+    scale = jnp.where(neg[..., None] > 0, u + 1.0, u)  # neg pushed outside the box
+    xyxy = jnp.concatenate([box[..., :2] - box[..., 2:] / 2,
+                            box[..., :2] + box[..., 2:] / 2], -1)
+    xyxy = xyxy + sign * scale * (wh / 2) * box_noise_scale
+    xyxy = jnp.clip(xyxy, 0.0, 1.0)
+    dn_box = jnp.concatenate([(xyxy[..., :2] + xyxy[..., 2:]) / 2,
+                              jnp.abs(xyxy[..., 2:] - xyxy[..., :2])], -1)
+
+    dn_pos = valid * (1.0 - neg)
+    return dn_cls, dn_box, dn_pos, valid, gt_idx
+
+
+def cdn_attn_mask(num_dn: int, num_group: int, nq: int) -> jnp.ndarray:
+    """(1, 1, D+nq, D+nq) bool self-attention mask: matching queries never see
+    dn slots; each dn group sees only itself (+ matching queries)."""
+    total = num_dn + nq
+    gsz = num_dn // num_group
+    allow = jnp.zeros((total, total), bool)
+    allow = allow.at[num_dn:, num_dn:].set(True)  # matching <-> matching
+    allow = allow.at[:num_dn, num_dn:].set(True)  # dn -> matching
+    for g in range(num_group):
+        s = g * gsz
+        allow = allow.at[s : s + gsz, s : s + gsz].set(True)
+    return allow[None, None]
+
+
 class RTDETRDecoder(nn.Module):
     """Top-k query selection + iterative box refinement decoder
     (reference head.py RTDETRDecoder)."""
@@ -240,7 +303,11 @@ class RTDETRDecoder(nn.Module):
     ndp: int = 4
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False, dn=None):
+        """dn (training only): (dn_cls (B,D) int, dn_box (B,D,4) cxcywh
+        normalized, num_group) from :func:`get_cdn_group`; prepends D
+        denoising queries with a group-blocking self-attention mask and
+        returns their predictions under ``dn_boxes``/``dn_scores``."""
         b = feats[0].shape[0]
         shapes = [f.shape[1:3] for f in feats]
         # project each level to hd channels and flatten
@@ -264,12 +331,22 @@ class RTDETRDecoder(nn.Module):
         ref = jnp.take_along_axis(enc_boxes, topi[..., None], axis=1)  # (B, nq, 4)
         tgt = jnp.take_along_axis(memory, topi[..., None], axis=1)  # (B, nq, hd)
 
+        num_dn, attn_mask = 0, None
+        if dn is not None:
+            dn_cls, dn_box, num_group = dn
+            num_dn = dn_cls.shape[1]
+            dn_tgt = nn.Embed(self.nc, self.hd, name="denoising_class_embed")(dn_cls)
+            tgt = jnp.concatenate([dn_tgt.astype(tgt.dtype), tgt], axis=1)
+            ref = jnp.concatenate([dn_box.astype(ref.dtype), ref], axis=1)
+            attn_mask = cdn_attn_mask(num_dn, num_group, nq)
+
         dec_out_b, dec_out_s = [], []
         x = tgt
         for li in range(self.ndl):
             query_pos = MLPHead(2 * self.hd, self.hd, 2, name=f"query_pos{li}")(ref)
             x = DeformableDecoderLayer(self.hd, self.nh, len(feats), self.ndp,
-                                       name=f"layer{li}")(x, ref, value, shapes, query_pos)
+                                       name=f"layer{li}")(x, ref, value, shapes, query_pos,
+                                                          attn_mask)
             delta = MLPHead(self.hd, 4, name=f"bbox_head{li}")(x)
             ref = jax.nn.sigmoid(delta + _inv_sigmoid(ref))
             scores = nn.Dense(self.nc, name=f"score_head{li}")(x)
@@ -277,14 +354,20 @@ class RTDETRDecoder(nn.Module):
             dec_out_s.append(scores)
             ref = jax.lax.stop_gradient(ref)
 
-        return {
-            "boxes": dec_out_b[-1],  # (B, nq, 4) normalized cxcywh
-            "scores": dec_out_s[-1],  # (B, nq, nc) logits
-            "aux_boxes": jnp.stack(dec_out_b[:-1]) if self.ndl > 1 else None,
-            "aux_scores": jnp.stack(dec_out_s[:-1]) if self.ndl > 1 else None,
+        out = {
+            "boxes": dec_out_b[-1][:, num_dn:],  # (B, nq, 4) normalized cxcywh
+            "scores": dec_out_s[-1][:, num_dn:],  # (B, nq, nc) logits
+            "aux_boxes": (jnp.stack(dec_out_b[:-1])[:, :, num_dn:]
+                          if self.ndl > 1 else None),
+            "aux_scores": (jnp.stack(dec_out_s[:-1])[:, :, num_dn:]
+                           if self.ndl > 1 else None),
             "enc_boxes": enc_boxes,
             "enc_scores": enc_scores,
         }
+        if num_dn:
+            out["dn_boxes"] = dec_out_b[-1][:, :num_dn]
+            out["dn_scores"] = dec_out_s[-1][:, :num_dn]
+        return out
 
 
 def _inv_sigmoid(x, eps: float = 1e-5):
@@ -389,6 +472,41 @@ def rtdetr_loss(out: dict, batch: dict, nc: int, imgsz: float,
             aux_terms = aux_terms + bl + cl
     total = total + aux_terms
     return total, {"box": box_l, "cls": cls_l, "aux": aux_terms}
+
+
+def cdn_loss(out: dict, dn_meta: tuple, batch: dict, nc: int, imgsz: float,
+             cls_gain: float = 1.0, l1_gain: float = 5.0, giou_gain: float = 2.0):
+    """Denoising loss (reference RTDETRDetectionLoss, models/utils/loss.py:291):
+    dn slots have a KNOWN gt assignment (identity via dn_gt_idx), so no
+    Hungarian matching — positives reconstruct their GT box + class,
+    negatives are classified as background."""
+    from ..ops.boxes import bbox_iou
+
+    if "dn_boxes" not in out:
+        return 0.0, {}
+    dn_pos, dn_valid, dn_gt_idx = dn_meta
+    gt = batch["cls_boxes"]
+    gt_cls = gt[..., 0].astype(jnp.int32)
+    gt_xyxy_n = gt[..., 1:5] / imgsz
+    gt_cxcywh = jnp.concatenate([
+        (gt_xyxy_n[..., :2] + gt_xyxy_n[..., 2:]) / 2,
+        gt_xyxy_n[..., 2:] - gt_xyxy_n[..., :2],
+    ], -1)
+
+    boxes, scores = out["dn_boxes"], out["dn_scores"].astype(jnp.float32)
+    tgt_box = jnp.take_along_axis(gt_cxcywh, dn_gt_idx[..., None], axis=1)
+    tgt_cls_idx = jnp.take_along_axis(gt_cls, dn_gt_idx, axis=1)
+
+    l1 = jnp.sum(jnp.abs(boxes - tgt_box), -1)
+    giou = 1 - bbox_iou(boxes, tgt_box, xywh=True, GIoU=True)
+    n_pos = jnp.maximum(jnp.sum(dn_pos), 1.0)
+    box_loss = jnp.sum((l1_gain * l1 + giou_gain * giou) * dn_pos) / n_pos
+
+    tgt_onehot = jax.nn.one_hot(tgt_cls_idx, nc) * dn_pos[..., None]
+    bce = jnp.clip(scores, 0, None) - scores * tgt_onehot + \
+        jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    cls_loss = cls_gain * jnp.sum(bce * dn_valid[..., None]) / n_pos / nc
+    return box_loss + cls_loss, {"dn_box": box_loss, "dn_cls": cls_loss}
 
 
 def rtdetr_postprocess(out: dict, imgsz: float, max_det: int = 300):

@@ -70,7 +70,13 @@ class TaskModel:
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
         dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
-        return self.module.init(key, dummy, train=False)
+        head_kwargs = None
+        if self.task == "rtdetr":
+            # touch the cdn path so denoising_class_embed params exist
+            dn_cls = jnp.zeros((1, 6), jnp.int32)
+            dn_box = jnp.full((1, 6, 4), 0.5, jnp.float32)
+            head_kwargs = {"dn": (dn_cls, dn_box, 3)}
+        return self.module.init(key, dummy, train=False, head_kwargs=head_kwargs)
 
     # -- forward --------------------------------------------------------------
     def apply(self, variables: dict, x: jnp.ndarray, train: bool = False, mutable: Sequence[str] | bool = False):
@@ -135,9 +141,30 @@ class TaskModel:
         g = lambda k, d: float(getattr(hyp, k, d)) if hyp is not None else d
         gains = dict(box=g("box", 7.5), cls=g("cls", 0.5), dfl=g("dfl", 1.5))
 
+        head_kwargs, dn_meta = None, None
+        if train and self.task == "rtdetr" and batch.get("cls_boxes") is not None:
+            # contrastive denoising groups (reference models/utils/ops.py:150)
+            from . import rtdetr as R
+
+            imgsz = float(batch["img"].shape[1])
+            gt = batch["cls_boxes"]
+            gt_cls = gt[..., 0].astype(jnp.int32)
+            xyxy = gt[..., 1:5] / imgsz
+            cxcywh = jnp.concatenate([(xyxy[..., :2] + xyxy[..., 2:]) / 2,
+                                      xyxy[..., 2:] - xyxy[..., :2]], -1)
+            key = batch.get("dn_key")
+            key = key if key is not None else jax.random.PRNGKey(0)
+            num_group = 3
+            dn_cls, dn_box, dn_pos, dn_valid, dn_gt_idx = R.get_cdn_group(
+                gt_cls, cxcywh, batch["mask"].astype(jnp.float32), self.nc, key,
+                num_group=num_group)
+            head_kwargs = {"dn": (dn_cls, dn_box, num_group)}
+            dn_meta = (dn_pos, dn_valid, dn_gt_idx)
+
         if train:
             out, updates = self.module.apply(
-                variables, batch["img"], train=True, mutable=["batch_stats"]
+                variables, batch["img"], train=True, mutable=["batch_stats"],
+                head_kwargs=head_kwargs,
             )
         else:
             out, updates = self.module.apply(variables, batch["img"], train=False), {}
@@ -150,6 +177,10 @@ class TaskModel:
 
             imgsz = float(batch["img"].shape[1])
             total, aux = R.rtdetr_loss(out, batch, self.nc, imgsz)
+            if dn_meta is not None:
+                dn_total, dn_aux = R.cdn_loss(out, dn_meta, batch, self.nc, imgsz)
+                total = total + dn_total
+                aux = {**aux, **dn_aux}
             return (total, aux), updates
         if self.task == "segment":
             lo = L.segmentation_loss(out, batch, self.strides, self.nc, self.reg_max,

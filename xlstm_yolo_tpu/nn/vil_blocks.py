@@ -12,8 +12,6 @@ compiler can resolve channels statically.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
