@@ -311,3 +311,75 @@ def test_aigym_and_parking_solutions():
     sa.process(Results(img, boxes=np.asarray([[10, 10, 50, 50, 0.9, 0],
                                               [60, 60, 90, 90, 0.8, 0]], np.float32)))
     assert fired == [1]
+
+
+# ---------------------------------------------------------------------------
+# utils/checks.py (reference utils/checks.py)
+# ---------------------------------------------------------------------------
+
+def test_check_version():
+    from xlstm_yolo_tpu.utils.checks import check_version, parse_version
+
+    assert parse_version("2.1.0+cpu") == (2, 1, 0)
+    assert check_version("8.3.85", ">=8.0,<9.0")
+    assert not check_version("7.0.0", ">=8.0")
+    assert check_version("2.0", "==2.0")
+    import pytest
+    with pytest.raises(ModuleNotFoundError):
+        check_version("1.0", ">=2.0", hard=True)
+
+
+def test_check_imgsz():
+    from xlstm_yolo_tpu.utils.checks import check_imgsz
+
+    assert check_imgsz(640, stride=32) == 640
+    assert check_imgsz(630, stride=32) == 640
+    assert check_imgsz([630, 470], stride=32) == [640, 480]
+    assert check_imgsz(100, stride=32, floor=224) == 224
+
+
+def test_check_file_and_yaml_resolve_package_cfg():
+    from xlstm_yolo_tpu.utils.checks import check_file, check_yaml, check_is_path_safe
+
+    p = check_yaml("yolov8.yaml")
+    assert p.endswith("yolov8.yaml")
+    p = check_file("coco8.yaml")
+    assert "datasets" in p
+    assert check_is_path_safe("/tmp", "/tmp/a/b")
+    assert not check_is_path_safe("/tmp/a", "/tmp/../etc/passwd")
+
+
+def test_dataset_zoo_descriptor_resolution():
+    from xlstm_yolo_tpu.data.dataset import check_det_dataset
+
+    d = check_det_dataset("coco8.yaml")
+    assert d["nc"] == 80 and d["names"][0] == "person"
+    d = check_det_dataset("dota8.yaml")
+    assert d["nc"] == 15
+    d = check_det_dataset("coco8-pose.yaml")
+    assert d["kpt_shape"] == [17, 3] and len(d["flip_idx"]) == 17
+
+
+def test_callback_integrations_gate_on_import():
+    from xlstm_yolo_tpu.utils.callbacks import (
+        Callbacks, add_integration, INTEGRATIONS, jsonl_integration,
+    )
+
+    cbs = Callbacks()
+    # wandb/comet/etc are not installed here: gating returns False, no raise
+    for name in ("wandb", "mlflow", "comet", "clearml", "dvc", "neptune"):
+        assert name in INTEGRATIONS
+        assert add_integration(cbs, name) is False
+    # jsonl always attaches
+    assert add_integration(cbs, "jsonl", "/tmp/xy_test_log.jsonl") is True
+    assert len(cbs._cbs["on_fit_epoch_end"]) == 1
+
+
+def test_nas_family():
+    from xlstm_yolo_tpu.models_nas import NAS
+    import pytest
+
+    m = NAS("yolo_nas_s.yaml")
+    assert m.task == "detect" and m.model.strides == (8, 16, 32)
+    with pytest.raises(NotImplementedError):
+        m.train(data="coco8.yaml")

@@ -72,3 +72,31 @@ def test_trainer_resume(tmp_path):
         rows = list(csv.DictReader(f))
     epochs_seen = [int(float(r["epoch"])) for r in rows]
     assert epochs_seen == [0, 1, 2, 3]  # 2 original + 2 resumed
+
+
+def test_world_full_graph():
+    """yolov8-world YAML end to end: graph-wired C2fAttn + WorldDetect with
+    guide threading (reference nn/tasks.py:737 WorldModel)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("yolov8n-world.yaml", nc=4)
+    assert m.task == "world" and m.strides == (8, 16, 32)
+    assert m.txt_feats.shape == (1, 4, 512)
+    v = m.init(0, imgsz=64)
+    x = jnp.zeros((2, 64, 64, 3))
+    p = jax.jit(m.predictions)(v, x)
+    assert p.shape == (2, 84, 8)  # 4+nc channels, 64/8^2+... anchors
+
+    # open-vocab swap: 7 new classes without re-init (same params)
+    m.set_classes(np.random.default_rng(0).normal(size=(7, 512)))
+    assert m.nc == 7
+    assert jax.jit(m.predictions)(v, x).shape == (2, 84, 11)
+
+    # train loss runs and is finite
+    gt = jnp.zeros((2, 2, 5)).at[:, :, 1:].set(
+        jnp.asarray([[8.0, 8.0, 40.0, 40.0], [4.0, 4.0, 20.0, 20.0]]))
+    (total, aux), _ = m.loss(v, {"img": x, "cls_boxes": gt, "mask": jnp.ones((2, 2))})
+    assert np.isfinite(float(total))

@@ -38,6 +38,12 @@ def check_det_dataset(data: str | dict) -> dict:
     without auto-download; paths must exist)."""
     if isinstance(data, (str, Path)):
         path = Path(data)
+        if not path.exists():
+            # bare names like "coco8.yaml" resolve against the bundled zoo
+            # (reference cfg/datasets/; ours ships descriptors w/o downloads)
+            zoo = Path(__file__).resolve().parent.parent / "cfg" / "datasets" / path.name
+            if zoo.exists():
+                path = zoo
         with open(path, errors="ignore") as f:
             d = yaml.safe_load(f)
         root = Path(d.get("path", path.parent))

@@ -91,6 +91,16 @@ def _register_rtdetr():
 _register_rtdetr()
 
 
+def _register_world():
+    from . import world as W
+
+    register("C2fAttn", W.C2fAttn, "world")
+    register("WorldDetect", W.WorldDetectHead, "head")
+
+
+_register_world()
+
+
 def make_divisible(x: float, divisor: int = 8) -> int:
     """Round channels up to the nearest multiple (reference utils/ops.py make_divisible)."""
     return int(math.ceil(x / divisor) * divisor)
@@ -227,10 +237,23 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
                     kwargs["num_heads"] = int(args[1])
             else:
                 margs = args
+        elif kind == "world":
+            # C2fAttn [c2, ec, nh]: channels width-scaled, repeats internal
+            c2 = make_divisible(min(args[0], max_ch) * width, 8)
+            ec = make_divisible(min(args[1], max_ch) * width, 8) if len(args) > 1 else 128
+            margs = [c2]
+            kwargs = {"ec": ec, "nh": int(args[2]) if len(args) > 2 else 1,
+                      "n": n_rep if n_rep > 1 else 1}
+            n_rep = 1
         elif kind == "head":
             in_ch = tuple(channels[x + 1] for x in fs)
             head_index = i
-            if name == "RTDETRDecoder":
+            if name == "WorldDetect":
+                # [nc, embed_dim, with_bn] (reference yolov8-world.yaml row)
+                task = "world"
+                margs = [int(args[1]) if len(args) > 1 else 512]
+                kwargs["ch"] = in_ch
+            elif name == "RTDETRDecoder":
                 task = "rtdetr"
                 margs = [args[0] if args else nc]
                 kwargs["ch"] = in_ch
@@ -303,7 +326,12 @@ class GraphModel(nn.Module):
     parsed: ParsedModel
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, head_kwargs: dict | None = None):
+    def __call__(self, x: jnp.ndarray, train: bool = False, head_kwargs: dict | None = None,
+                 guide: jnp.ndarray | None = None):
+        """``guide`` is an optional (B, nt, embed) side input (text embeddings
+        for YOLOWorld, reference nn/tasks.py:737 WorldModel.predict): it is
+        handed to every module whose class sets ``needs_guide = True``
+        (C2fAttn, WorldDetect)."""
         cache: dict[int, jnp.ndarray] = {}
         prev = x
         out = None
@@ -315,7 +343,13 @@ class GraphModel(nn.Module):
                 inp = [prev if j == spec.i - 1 else cache[j] for j in spec.f]
             mod = spec.build()
             extra = head_kwargs if (head_kwargs and spec.i == self.parsed.head_index) else {}
-            prev = mod(inp, train=train, **extra)
+            if getattr(type(mod), "needs_guide", False):
+                g = guide
+                if g is None:  # init-time fallback so params exist
+                    g = jnp.zeros((x.shape[0], 1, 512), x.dtype)
+                prev = mod(inp, g, train=train, **extra)
+            else:
+                prev = mod(inp, train=train, **extra)
             if spec.i in save:
                 cache[spec.i] = prev
             out = prev

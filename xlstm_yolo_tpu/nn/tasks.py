@@ -44,7 +44,25 @@ class TaskModel:
         self.ch = ch
         self.e2e = self.parsed.specs[self.parsed.head_index].name == "v10Detect" \
             if self.parsed.head_index >= 0 else False
+        if self.task == "world":
+            # default text embeddings (reference WorldModel.txt_feats randn
+            # buffer, nn/tasks.py:747); replace via set_classes()
+            embed = int(self.parsed.specs[self.parsed.head_index].args[0])
+            self.txt_feats = jax.random.normal(jax.random.PRNGKey(0), (1, self.parsed.nc, embed))
+        else:
+            self.txt_feats = None
         self.strides = self._probe_strides()
+        self.names = {i: f"{i}" for i in range(self.nc)}
+
+    def set_classes(self, embeddings) -> None:
+        """Swap the open-vocabulary text embeddings (reference
+        WorldModel.set_classes, nn/tasks.py:752). embeddings: (nt, embed) or
+        (1, nt, embed) precomputed CLIP text vectors; nt becomes nc."""
+        e = jnp.asarray(embeddings, jnp.float32)
+        if e.ndim == 2:
+            e = e[None]
+        self.txt_feats = e / jnp.clip(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-6, None)
+        self.nc = int(e.shape[1])
         self.names = {i: f"{i}" for i in range(self.nc)}
 
     # -- construction ---------------------------------------------------------
@@ -53,10 +71,11 @@ class TaskModel:
         if self.task in ("classify", "rtdetr"):
             return () if self.task == "classify" else (8, 16, 32)
         dummy = jnp.zeros((1, imgsz, imgsz, self.ch), jnp.float32)
+        guide = self.txt_feats
 
         def fwd(x):
-            variables = self.module.init(jax.random.PRNGKey(0), x, train=False)
-            return self.module.apply(variables, x, train=False)
+            variables = self.module.init(jax.random.PRNGKey(0), x, train=False, guide=guide)
+            return self.module.apply(variables, x, train=False, guide=guide)
 
         out = jax.eval_shape(fwd, dummy)
         if isinstance(out, dict):
@@ -76,15 +95,18 @@ class TaskModel:
             dn_cls = jnp.zeros((1, 6), jnp.int32)
             dn_box = jnp.full((1, 6, 4), 0.5, jnp.float32)
             head_kwargs = {"dn": (dn_cls, dn_box, 3)}
-        return self.module.init(key, dummy, train=False, head_kwargs=head_kwargs)
+        return self.module.init(key, dummy, train=False, head_kwargs=head_kwargs,
+                                guide=self.txt_feats)
 
     # -- forward --------------------------------------------------------------
     def apply(self, variables: dict, x: jnp.ndarray, train: bool = False, mutable: Sequence[str] | bool = False):
-        return self.module.apply(variables, x, train=train, mutable=mutable)
+        return self.module.apply(variables, x, train=train, mutable=mutable,
+                                 guide=self.txt_feats)
 
-    def raw_forward(self, variables: dict, x: jnp.ndarray):
+    def raw_forward(self, variables: dict, x: jnp.ndarray, guide=None):
         """Eval-mode forward returning the head's raw output."""
-        return self.module.apply(variables, x, train=False)
+        guide = guide if guide is not None else self.txt_feats
+        return self.module.apply(variables, x, train=False, guide=guide)
 
     def predictions(self, variables: dict, x: jnp.ndarray) -> jnp.ndarray:
         """Eval forward -> decoded (B, N, 4+nc) candidates (pixel xywh + scores)."""
@@ -161,13 +183,15 @@ class TaskModel:
             head_kwargs = {"dn": (dn_cls, dn_box, num_group)}
             dn_meta = (dn_pos, dn_valid, dn_gt_idx)
 
+        guide = batch.get("txt_feats", self.txt_feats)
         if train:
             out, updates = self.module.apply(
                 variables, batch["img"], train=True, mutable=["batch_stats"],
-                head_kwargs=head_kwargs,
+                head_kwargs=head_kwargs, guide=guide,
             )
         else:
-            out, updates = self.module.apply(variables, batch["img"], train=False), {}
+            out, updates = self.module.apply(variables, batch["img"], train=False,
+                                             guide=guide), {}
 
         if self.task == "classify":
             total = L.classification_loss(out, batch["label"])

@@ -78,5 +78,159 @@ def jsonl_integration(path: str | Path) -> dict:
     return {"on_fit_epoch_end": on_fit_epoch_end}
 
 
+def _scalar_metrics(trainer) -> dict:
+    return {k: v for k, v in (trainer.metrics or {}).items()
+            if isinstance(v, (int, float))}
+
+
+def wandb_integration(project: str = "xlstm_yolo_tpu", **init_kw) -> dict:
+    """Weights & Biases sink (reference utils/callbacks/wb.py). Raises
+    ImportError when wandb is absent — add_integration gates on that."""
+    import wandb
+
+    def on_pretrain_routine_start(trainer):
+        wandb.init(project=project, config=vars(getattr(trainer, "args", None) or object()),
+                   **init_kw)
+
+    def on_fit_epoch_end(trainer):
+        wandb.log(_scalar_metrics(trainer), step=trainer.epoch)
+
+    def on_train_end(trainer):
+        wandb.finish()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def mlflow_integration(experiment: str = "xlstm_yolo_tpu") -> dict:
+    """MLflow sink (reference utils/callbacks/mlflow.py)."""
+    import mlflow
+
+    def on_pretrain_routine_start(trainer):
+        mlflow.set_experiment(experiment)
+        mlflow.start_run()
+
+    def on_fit_epoch_end(trainer):
+        mlflow.log_metrics({k.replace("(", "").replace(")", ""): v
+                            for k, v in _scalar_metrics(trainer).items()},
+                           step=trainer.epoch)
+
+    def on_train_end(trainer):
+        mlflow.end_run()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def comet_integration(project: str = "xlstm_yolo_tpu") -> dict:
+    """Comet sink (reference utils/callbacks/comet.py)."""
+    import comet_ml
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["exp"] = comet_ml.Experiment(project_name=project)
+
+    def on_fit_epoch_end(trainer):
+        if "exp" in state:
+            state["exp"].log_metrics(_scalar_metrics(trainer), epoch=trainer.epoch)
+
+    def on_train_end(trainer):
+        if "exp" in state:
+            state["exp"].end()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def clearml_integration(project: str = "xlstm_yolo_tpu") -> dict:
+    """ClearML sink (reference utils/callbacks/clearml.py)."""
+    from clearml import Task
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["task"] = Task.init(project_name=project, task_name=str(trainer.save_dir))
+
+    def on_fit_epoch_end(trainer):
+        if "task" in state:
+            log = state["task"].get_logger()
+            for k, v in _scalar_metrics(trainer).items():
+                log.report_scalar("train", k, v, iteration=trainer.epoch)
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end}
+
+
+def dvc_integration() -> dict:
+    """DVCLive sink (reference utils/callbacks/dvc.py)."""
+    from dvclive import Live
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["live"] = Live(save_dvc_exp=True)
+
+    def on_fit_epoch_end(trainer):
+        live = state.get("live")
+        if live:
+            for k, v in _scalar_metrics(trainer).items():
+                live.log_metric(k, v)
+            live.next_step()
+
+    def on_train_end(trainer):
+        if state.get("live"):
+            state["live"].end()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+def neptune_integration(project: str | None = None) -> dict:
+    """Neptune sink (reference utils/callbacks/neptune.py)."""
+    import neptune
+
+    state = {}
+
+    def on_pretrain_routine_start(trainer):
+        state["run"] = neptune.init_run(project=project)
+
+    def on_fit_epoch_end(trainer):
+        run = state.get("run")
+        if run:
+            for k, v in _scalar_metrics(trainer).items():
+                run[f"train/{k}"].append(v, step=trainer.epoch)
+
+    def on_train_end(trainer):
+        if state.get("run"):
+            state["run"].stop()
+
+    return {"on_pretrain_routine_start": on_pretrain_routine_start,
+            "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
+
+
+INTEGRATIONS = {
+    "tensorboard": tensorboard_integration,
+    "jsonl": jsonl_integration,
+    "wandb": wandb_integration,
+    "mlflow": mlflow_integration,
+    "comet": comet_integration,
+    "clearml": clearml_integration,
+    "dvc": dvc_integration,
+    "neptune": neptune_integration,
+}
+
+
+def add_integration(callbacks: Callbacks, name: str, *args, **kwargs) -> bool:
+    """Merge a named sink if its package imports (the reference merges each
+    callbacks/*.py dict only when its import guard passes,
+    utils/callbacks/base.py:187-217). Returns True when attached."""
+    try:
+        callbacks.merge(INTEGRATIONS[name](*args, **kwargs))
+        return True
+    except ImportError:
+        return False
+
+
 def default_callbacks() -> Callbacks:
     return Callbacks()
