@@ -295,3 +295,34 @@ def copy_paste_flip(img: np.ndarray, labels: np.ndarray, segments: list, p: floa
         labels = np.concatenate([labels, np.stack(new_labels)], 0)
         segments = list(segments) + new_segments
     return img, labels, segments
+
+
+class Albumentations:
+    """Optional albumentations hook (reference data/augment.py:1737): a small
+    image-only pipeline (blur / median blur / grayscale / CLAHE at ~1%
+    probability each). Spatially invariant, so boxes/points pass through
+    unchanged — same subset the reference uses by default. Inert when the
+    package is missing (import-gated like every reference integration)."""
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as Alb
+
+            self.transform = Alb.Compose([
+                Alb.Blur(p=0.01),
+                Alb.MedianBlur(p=0.01),
+                Alb.ToGray(p=0.01),
+                Alb.CLAHE(p=0.01),
+            ])
+        except Exception:  # ImportError or version incompatibilities
+            self.transform = None
+
+    def __call__(self, img: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
+        if self.transform is None:
+            return img
+        r = rng.random() if rng is not None else np.random.random()
+        if r > self.p:
+            return img
+        return self.transform(image=img)["image"]

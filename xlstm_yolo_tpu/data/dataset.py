@@ -361,6 +361,11 @@ class YOLODataset:
                     rng=rng,
                 )
         if self.augment:
+            # reference train order: ... MixUp -> Albumentations -> HSV -> flip
+            # (data/augment.py:2280-2344)
+            if not hasattr(self, "_albumentations"):
+                self._albumentations = A.Albumentations()
+            img = self._albumentations(img, rng)
             img = A.random_hsv(img, g("hsv_h", 0.015), g("hsv_s", 0.7), g("hsv_v", 0.4), rng)
             img, labels = A.random_flip(img, labels, g("fliplr", 0.5), g("flipud", 0.0), rng)
         return img, labels

@@ -95,3 +95,49 @@ class Tuner:
                                     dirs_exist_ok=True)
             print(f"tune iter {it}: fitness {fit:.4f} (best {best_fit:.4f})")
         return {"best_fitness": best_fit, "best_hyp": best_hyp}
+
+
+def run_ray_tune(model_yaml: str, data: str, space: dict | None = None,
+                 max_samples: int = 10, train_args: dict | None = None):
+    """Ray Tune hyperparameter search (reference utils/tuner.py:run_ray_tune).
+
+    Import-gated like every reference integration: raises a clear error when
+    ray is not installed (we never pip-install at runtime). The genetic
+    Tuner above is the dependency-free path.
+    """
+    try:
+        from ray import tune
+        from ray.tune.schedulers import ASHAScheduler
+    except ImportError as e:  # pragma: no cover - ray not installed here
+        raise ImportError(
+            "ray is not installed; use Tuner (genetic evolution) instead"
+        ) from e
+
+    space = space or {  # reference default_space subset
+        "lr0": tune.uniform(1e-5, 1e-1),
+        "lrf": tune.uniform(0.01, 1.0),
+        "momentum": tune.uniform(0.6, 0.98),
+        "weight_decay": tune.uniform(0.0, 0.001),
+        "box": tune.uniform(0.02, 0.2),
+        "cls": tune.uniform(0.2, 4.0),
+        "hsv_h": tune.uniform(0.0, 0.1),
+        "fliplr": tune.uniform(0.0, 1.0),
+        "mosaic": tune.uniform(0.0, 1.0),
+    }
+
+    def _trainable(config):
+        from .model import Model
+
+        m = Model(model_yaml)
+        res = m.train(data=data, **{**(train_args or {}), **config})
+        tune.report({"fitness": float(res.get("fitness", 0.0))})
+
+    tuner = tune.Tuner(
+        _trainable,
+        param_space=space,
+        tune_config=tune.TuneConfig(
+            scheduler=ASHAScheduler(metric="fitness", mode="max"),
+            num_samples=max_samples,
+        ),
+    )
+    return tuner.fit()

@@ -327,7 +327,7 @@ class GraphModel(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, head_kwargs: dict | None = None,
-                 guide: jnp.ndarray | None = None):
+                 guide: jnp.ndarray | None = None, upto: int | None = None):
         """``guide`` is an optional (B, nt, embed) side input (text embeddings
         for YOLOWorld, reference nn/tasks.py:737 WorldModel.predict): it is
         handed to every module whose class sets ``needs_guide = True``
@@ -353,4 +353,8 @@ class GraphModel(nn.Module):
             if spec.i in save:
                 cache[spec.i] = prev
             out = prev
+            if upto is not None and spec.i >= upto:
+                # truncated replay for per-layer profiling (reference
+                # BaseModel._profile_one_layer, nn/tasks.py:190)
+                return out
         return out

@@ -83,3 +83,44 @@ def profile_model(model, variables, imgsz: int = 640, batch: int = 1, n: int = 1
         "ms_std": float(clipped.std() * 1e3),
         "img_s": float(batch / clipped.mean()),
     }
+
+
+def profile_layers(model, variables, imgsz: int = 256, batch: int = 1, n: int = 5) -> list:
+    """Per-layer forward timing + FLOPs (reference
+    BaseModel._profile_one_layer, nn/tasks.py:190-210: thop GFLOPs + 10 timed
+    reruns per module).
+
+    Times the graph truncated after each layer (jitted separately) and
+    reports the per-layer delta; FLOPs come from XLA's cost analysis of the
+    truncated program. Returns [{i, name, ms, gflops}, ...].
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((batch, imgsz, imgsz, model.ch), jnp.float32)
+    rows = []
+    prev_t, prev_f = 0.0, 0.0
+    for spec in model.parsed.specs:
+        fn = jax.jit(lambda v, xx, k=spec.i: model.module.apply(
+            v, xx, train=False, guide=model.txt_feats, upto=k))
+        compiled = fn.lower(variables, x).compile()
+        cost = compiled.cost_analysis() or {}
+        flops = float(cost.get("flops", 0.0))
+        out = jax.block_until_ready(fn(variables, x))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(fn(variables, x))
+            ts.append(time.perf_counter() - t0)
+        t = min(ts) * 1e3
+        rows.append({
+            "i": spec.i,
+            "name": spec.name,
+            "ms": max(t - prev_t, 0.0),
+            "gflops": max(flops - prev_f, 0.0) / 1e9,
+        })
+        prev_t, prev_f = t, flops
+    del out
+    return rows
