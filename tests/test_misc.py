@@ -433,3 +433,31 @@ def test_ray_tune_gated():
         pass
     with pytest.raises(ImportError):
         run_ray_tune("yolov8n.yaml", "coco8.yaml")
+
+
+def test_profile_timer():
+    import time
+    from xlstm_yolo_tpu.utils.benchmarks import Profile
+
+    p = Profile()
+    with p:
+        time.sleep(0.01)
+    assert p.dt >= 0.01 and p.t >= 0.01
+    with p:
+        time.sleep(0.01)
+    assert p.t >= 0.02  # accumulates like the reference's Profile
+
+
+def test_ensemble_concat():
+    import jax.numpy as jnp
+    from xlstm_yolo_tpu.nn.tasks import TaskModel, Ensemble
+
+    m1 = TaskModel("yolov8n.yaml", nc=3)
+    v1 = m1.init(0, imgsz=64)
+    m2 = TaskModel("yolov8n.yaml", nc=3)
+    v2 = m2.init(1, imgsz=64)
+    ens = Ensemble([(m1, v1), (m2, v2)])
+    x = jnp.zeros((1, 64, 64, 3))
+    p1 = m1.predictions(v1, x)
+    pe = ens.predictions(None, x)
+    assert pe.shape == (1, 2 * p1.shape[1], p1.shape[2])

@@ -45,3 +45,50 @@ def test_sam_predictor_flow(tiny_sam):
     assert masks.dtype == bool
     masks2, _ = p.predict(boxes=[20, 20, 120, 80], multimask_output=False)
     assert masks2.shape == (1, 100, 160)
+
+
+def test_auto_annotate_tiny(tmp_path):
+    """data/annotator.py auto_annotate: det boxes -> SAM polygons -> YOLO
+    segment txts (reference data/annotator.py:9)."""
+    import cv2
+    import numpy as np
+    from xlstm_yolo_tpu.data.annotator import auto_annotate, _mask_to_polygon
+    from xlstm_yolo_tpu.models_sam import SAM, SAMPredictor
+
+    # polygon extraction on a synthetic mask
+    m = np.zeros((32, 32), bool)
+    m[8:20, 10:24] = True
+    poly = _mask_to_polygon(m)
+    assert len(poly) >= 3 and poly.min() >= 0 and poly.max() <= 1
+
+    # a fake detector returning one fixed box (duck-typed Model.predict)
+    class FakeBoxes:
+        xyxy = np.asarray([[20.0, 20.0, 70.0, 60.0]])
+        cls = np.asarray([2.0])
+        def __len__(self):
+            return 1
+
+    class FakeResult:
+        boxes = FakeBoxes()
+
+    class FakeDet:
+        def predict(self, img, **kw):
+            return [FakeResult()]
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    cv2.imwrite(str(img_dir / "a.jpg"),
+                rng.integers(0, 255, (80, 96, 3), np.uint8))
+
+    sz = 128
+    sam = SAM(img_size=sz, encoder_dim=32, encoder_depth=1)
+    import jax, jax.numpy as jnp
+    v = sam.init(jax.random.PRNGKey(0), jnp.zeros((1, sz, sz, 3)))
+    pred = SAMPredictor(sam, v, img_size=sz)
+    out = auto_annotate(img_dir, FakeDet(), pred, output_dir=tmp_path / "labels")
+    assert len(out) == 1 and out[0].exists()
+    # file is either empty (random SAM may emit no polygon) or valid rows
+    for ln in out[0].read_text().splitlines():
+        parts = ln.split()
+        assert int(parts[0]) == 2 and len(parts[1:]) % 2 == 0

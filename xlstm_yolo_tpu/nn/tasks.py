@@ -270,3 +270,25 @@ class TaskModel:
 
 class DetectionModel(TaskModel):
     """Alias kept for API parity with the reference (nn/tasks.py:318)."""
+
+
+class Ensemble:
+    """Multi-model ensembled inference (reference nn/tasks.py:826 Ensemble +
+    attempt_load_weights :1007): decoded candidates from every member are
+    concatenated along the anchor axis and NMS picks across all of them
+    (the reference's ensemble concatenates head outputs the same way)."""
+
+    def __init__(self, members: list):
+        """members: [(TaskModel, variables), ...] — same task + nc."""
+        assert members, "empty ensemble"
+        tasks = {m.task for m, _ in members}
+        assert len(tasks) == 1, f"mixed ensemble tasks {tasks}"
+        self.members = members
+        self.task = members[0][0].task
+        self.nc = members[0][0].nc
+        self.names = members[0][0].names
+        self.strides = members[0][0].strides
+
+    def predictions(self, _variables_unused, x):
+        outs = [m.predictions(v, x) for m, v in self.members]
+        return jnp.concatenate(outs, axis=1)  # (B, sum_N, 4+nc)

@@ -124,3 +124,32 @@ def profile_layers(model, variables, imgsz: int = 256, batch: int = 1, n: int = 
         prev_t, prev_f = t, flops
     del out
     return rows
+
+
+class Profile:
+    """Context timer (reference utils/ops.py:17 Profile, which cuda-syncs;
+    here we block on a supplied jax array or fall back to wall clock).
+
+    >>> with Profile() as p: out = jax.block_until_ready(fn(x))
+    >>> p.dt  # seconds
+    """
+
+    def __init__(self, t: float = 0.0):
+        self.t = t  # accumulated seconds
+        self.dt = 0.0
+
+    def __enter__(self):
+        import time
+
+        self._start = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+
+        self.dt = time.perf_counter() - self._start
+        self.t += self.dt
+        return False
+
+    def __str__(self):
+        return f"Elapsed time is {self.t} s"
