@@ -128,3 +128,91 @@ def test_model_zoo_builds(name, params):
         assert m.num_params(v) == params
     pred = jax.jit(m.predictions)(v, jnp.zeros((1, 64, 64, 3)))
     assert pred.shape == (1, 84, 84) and bool(jnp.isfinite(pred).all())
+
+
+def test_extended_block_zoo():
+    """The remaining reference block.py classes (SURVEY 2.3): C1/C2/C2fPSA/
+    SPP/SPPELAN/ELAN1/ResNetLayer/GhostBottleneck/C3Ghost/C3x/BottleneckCSP/
+    Conv2/LightConv/RepVGGDW all build + forward inside a graph."""
+    import jax
+    import jax.numpy as jnp
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    cfg = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Conv2", [16, 3, 2]],
+            [-1, 1, "LightConv", [16]],
+            [-1, 1, "C1", [16]],
+            [-1, 1, "C2", [16]],
+            [-1, 1, "C2fPSA", [16]],
+            [-1, 1, "RepVGGDW", [16]],
+            [-1, 1, "GhostBottleneck", [16]],
+            [-1, 1, "C3Ghost", [16]],
+            [-1, 1, "C3x", [16]],
+            [-1, 1, "BottleneckCSP", [16]],
+            [-1, 1, "SPP", [16]],
+            [-1, 1, "SPPELAN", [16, 8]],
+            [-1, 1, "ELAN1", [16, 16, 8]],
+            [-1, 1, "Conv", [16, 3, 2]],  # /4
+            [-1, 1, "Conv", [32, 3, 2]],  # /8
+            [-1, 1, "Conv", [32, 3, 2]],  # /16
+            [-1, 1, "Conv", [32, 3, 2]],  # /32
+        ],
+        "head": [[[14, 15, 16], 1, "Detect", [2]]],
+    }
+    m = TaskModel(cfg)
+    assert m.strides == (8, 16, 32)
+    v = m.init(0, imgsz=64)
+    out = jax.jit(m.predictions)(v, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape[-1] == 6 and bool(jnp.isfinite(out).all())
+
+
+def test_resnet_layer_and_cb_fuse():
+    import jax
+    import jax.numpy as jnp
+    from xlstm_yolo_tpu.nn.modules import CBFuse, CBLinear, ResNetLayer
+
+    x = jnp.ones((1, 32, 32, 8))
+    stem = ResNetLayer(16, 1, True)
+    v = stem.init(jax.random.PRNGKey(0), x)
+    y = stem.apply(v, x)
+    assert y.shape == (1, 8, 8, 16)  # 7x7/2 + maxpool/2
+    stage = ResNetLayer(8, 2, False, n=2)
+    v = stage.init(jax.random.PRNGKey(0), y)
+    z = stage.apply(v, y)
+    assert z.shape == (1, 4, 4, 32)  # stride 2, 4x expansion
+
+    lin = CBLinear((4, 8))
+    v = lin.init(jax.random.PRNGKey(0), x)
+    parts = lin.apply(v, x)
+    assert [p.shape[-1] for p in parts] == [4, 8]
+    fuse = CBFuse(idx=(0,))
+    tgt = jnp.ones((1, 16, 16, 4))
+    out = fuse.apply({}, [parts, tgt])
+    assert out.shape == tgt.shape
+
+
+def test_cblinear_cbfuse_in_graph():
+    """YOLOv9-style dual-branch routing through the graph compiler."""
+    import jax
+    import jax.numpy as jnp
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    cfg = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],   # 0 /2
+            [-1, 1, "Conv", [16, 3, 2]],   # 1 /4
+            [-1, 1, "CBLinear", [[8, 8]]],  # 2 (list output)
+            [1, 1, "Conv", [8, 3, 2]],      # 3 /8
+            [[2, -1], 1, "CBFuse", [[0]]],  # 4 fuse branch 0 into /8
+            [-1, 1, "Conv", [16, 3, 2]],   # 5 /16
+            [-1, 1, "Conv", [16, 3, 2]],   # 6 /32
+        ],
+        "head": [[[4, 5, 6], 1, "Detect", [2]]],
+    }
+    m = TaskModel(cfg)
+    v = m.init(0, imgsz=64)
+    out = jax.jit(m.predictions)(v, jnp.zeros((1, 64, 64, 3)))
+    assert bool(jnp.isfinite(out).all())

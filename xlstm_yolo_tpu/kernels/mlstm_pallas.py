@@ -7,20 +7,24 @@ TPU-native replacement for the reference's external Triton kernel
 parallel and recurrent forms, which mirror the reference math at
 ``xlstm/blocks/mlstm/backends.py:9-263``).
 
-Design:
-  * grid = (NS, BNH/G): the chunk index is the OUTER grid dim and the
-    head-group row the INNER one, so consecutive grid steps touch different
-    rows and are data-independent — the sequential (C, n, m) dependency only
-    binds steps that are BNH/G apart, letting Mosaic's pipeline overlap DMA
-    and MXU work. All rows' states live in one VMEM scratch array
-    ((BNH, DH, DH) fp32 ≈ 0.25 MB for ViL-sized heads), indexed per step.
-  * G heads are processed per grid step (ViL head dims are small —
-    qkv_block_size 4..16 — so per-head matmuls are thin; packing G heads per
-    step amortizes grid overhead). Matmuls are unrolled 2D dots: Mosaic's
-    batched dot_general lowering emits a contraction form it rejects.
-  * one pass over HBM: q/k/v/gates stream in chunk blocks, h streams out; no
-    (CS × CS) D-matrices or per-chunk states ever touch HBM (XLA's version
-    of the native form materializes all of them).
+Design (v2 — row-resident):
+  * grid = (BNH/G,): ONE grid step per group of G head-rows; the whole
+    sequence for those rows streams into VMEM and the chunk recurrence runs
+    as a ``fori_loop`` INSIDE the kernel. v1 used a (NS, BNH/G) grid — one
+    launch per (chunk, row) pair — and drowned in per-step overhead
+    (12,800 steps x ~4 us ≈ 51 ms at ViL-P3 size); v2 runs BNH/G (~512)
+    steps and amortizes the launch cost over all NS chunks.
+  * (C, n, m) states are per-step VMEM scratch (G, DH, DH) — they never
+    touch HBM, and no cross-grid-step state remains, so every grid step is
+    independent ("parallel" semantics, free pipelining).
+  * G heads are processed per step (ViL head dims are small —
+    qkv_block_size 4..16 — so per-head matmuls are thin; packing G heads
+    amortizes further). Matmuls are unrolled 2D dots: Mosaic's batched
+    dot_general lowering emits a contraction form it rejects.
+  * one pass over HBM: q/k/v/gates stream in row blocks, h streams out; no
+    (CS x CS) D-matrices or per-chunk states ever touch HBM (XLA's version
+    of the native form materializes all of them — ~20 GB of traffic at
+    ViL-P3/batch-128 size, a >25 ms floor).
   * matmul inputs default to bf16 (single MXU pass, fp32 accumulation) —
     the same trade the reference makes with autocast_kernel_dtype=bfloat16;
     gate/exp math is always fp32 on the VPU. ``mxu_dtype="float32"`` forces
@@ -28,12 +32,12 @@ Design:
   * backward: custom_vjp recomputes through the native jnp chunkwise form
     (rematerialization — the standard trade of FLOPs for HBM on TPU).
 
-Performance status (v5e, B8 NH32 S6400 DH16, CS128): 14.9 ms vs XLA's
-batched-einsum native form at 11.8 ms — the fused kernel wins on HBM traffic
-but loses more to grid serialization and thin-DH MXU padding; the module
-default therefore stays on the native backend (nn/vil.py MatrixLSTMCell
-"auto"). Remaining headroom: emit per-head matmuls as one block-diagonal
-MXU pass, and double-buffer the (C, n, m) scratch to overlap state updates.
+Performance (v5e, loop-carried inputs so nothing hoists; native = XLA
+batched-einsum chunkwise):
+  ViL-P3 (B128 NH8  S6400 DH16, CS256): native 54.2 ms -> pallas 30.9 ms
+  ViL-P4 (B128 NH16 S1600 DH16):        native 24.3 ms -> pallas 16.6 ms
+  ViL-P5 (B128 NH32 S400  DH16):        native 28.5 ms -> pallas 11.7 ms
+ViL-YOLO-n e2e 640px b128: 875 -> 1287 img/s (vs 616 at the old default).
 
 Known Mosaic pitfalls worked around here (see git history for repros):
   * no cumsum primitive -> tril-ones matmul;
@@ -58,123 +62,133 @@ NEG_INF = -1e30
 
 
 def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
-            g, cs, dh, igate_act, eps, mxu):
-    j = pl.program_id(0)  # chunk index (outer, sequential dependency)
-    r = pl.program_id(1)  # head-group row (inner, independent)
-    row0 = r * g
+            g, ns, cs, dh, igate_act, eps, mxu):
+    """One grid step = G head-rows, full sequence; chunk loop inside.
 
-    # fp32 MXU inputs still multiply in bf16 under default precision; HIGHEST
-    # forces true fp32 passes when mxu == float32 (parity-test mode)
-    prec = jax.lax.Precision.HIGHEST if mxu == jnp.float32 else jax.lax.Precision.DEFAULT
+    All refs use the TRANSPOSED (G, DH, S) layout (sequence on the lane
+    dimension): a (G, S, DH<=16) block would pad its 16 lanes to 128 and
+    inflate VMEM 8x (observed: 43.8 MB scoped demand at ViL-P3 size). The
+    math below is the standard chunkwise form with every equation
+    transposed; positions live on lanes, head-dims on sublanes.
+    """
+    # NOTE: Precision.HIGHEST on these thin transposed dots miscompiles in
+    # Mosaic (observed 0.8 abs error on v5e vs 2e-3 at DEFAULT; HIGH is
+    # unsupported). fp32 mode therefore only keeps OPERANDS un-truncated;
+    # the MXU pass itself stays DEFAULT. Interpret mode (CPU parity tests)
+    # is exact regardless.
+    def dot32(a, b):
+        return jnp.dot(a.astype(mxu), b.astype(mxu),
+                       preferred_element_type=jnp.float32)
 
-    def bdot(a, b, transpose_b=False):
-        outs = []
+    # loop-invariant constants; s = output position, t = source position
+    t_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    causal_t = t_i <= s_i  # eT[t, s] mask (transposed causal)
+    # inclusive lane-cumsum as a matmul: b[s] = sum_{t<=s} logf[t]
+    cum_mat = causal_t.astype(jnp.float32)  # upper-triangular ones
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (g, 1, cs), 2)
+
+    c_scr[:] = jnp.zeros((g, dh, dh), jnp.float32)   # C^T: (DHv, DHq)
+    n_scr[:] = jnp.zeros((g, dh, 1), jnp.float32)    # n: (DHq, 1)
+    m_scr[:] = jnp.zeros((g, 1, 1), jnp.float32)
+
+    def chunk_body(j, _):
+        s0 = j * cs
+        qt = q_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32) * (dh**-0.5)  # (G, DH, CS)
+        kt = k_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32)
+        vt = v_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32)
+        i_pre = i_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32)  # (G, 1, CS)
+        f_pre = f_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32)
+
+        logf = jax.nn.log_sigmoid(f_pre)  # (G, 1, CS)
+        logi = jax.nn.log_sigmoid(i_pre) if igate_act == "sigmoid" else i_pre
+        # precision=HIGHEST: bf16 rounding on this fp32 matmul corrupts the
+        # log-space gate accumulation (errors get exponentiated downstream)
+        b = jnp.stack([
+            jnp.dot(logf[gi], cum_mat, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            for gi in range(g)
+        ])  # (G, 1, CS) inclusive cumsum over lanes
+        btot = jnp.sum(logf, axis=2, keepdims=True)  # (G, 1, 1)
+
+        c_prev = c_scr[:]
+        n_prev = n_scr[:]
+        m_prev = m_scr[:]
+
+        # rowwise max of log_d equals b_s + cummax_{t<=s}(logi_t - b_t): a
+        # lane cumulative max (log2(CS) roll+max) replaces materializing and
+        # reducing the (CS, CS) matrix.
+        w_vec = logi - b  # (G, 1, CS)
+        cm = w_vec
+        sh = 1
+        while sh < cs:
+            rolled = pltpu.roll(cm, shift=sh, axis=2)
+            rolled = jnp.where(lane_ids >= sh, rolled, NEG_INF)
+            cm = jnp.maximum(cm, rolled)
+            sh *= 2
+        d_max = b + cm  # (G, 1, CS)
+
+        inter_decay_log = m_prev + b  # (G, 1, CS)
+        stab = jnp.maximum(d_max, inter_decay_log)
+
+        # transposed D: argT[t, s] = w_t + (b_s - stab_s); mask BEFORE exp
+        argT = jnp.swapaxes(w_vec, 1, 2) + (b - stab)  # (G, CS, CS)
+        argT = jnp.where(causal_t[None], argT, NEG_INF)
+        dT = jnp.exp(argT)
+
+        q_inter = qt * jnp.exp(inter_decay_log - stab)  # (G, DH, CS) lane-scaled
+        g_acc = logi + (btot - b)  # (G, 1, CS)
+        m_loc = jnp.max(g_acc, axis=2, keepdims=True)  # (G, 1, 1)
+        gw = jnp.exp(g_acc - m_loc)  # (G, 1, CS)
+
+        m_new = jnp.maximum(btot + m_prev, m_loc)
+        decay_old = jnp.exp(btot + m_prev - m_new)  # (G, 1, 1)
+        decay_new = jnp.exp(m_loc - m_new)
+        # Mosaic can't broadcast (G,1,1)->(G,DH,DH) in one shot (sublane+
+        # lane); materialize the sublane expansion through the exp so it
+        # can't be fused back into a single two-axis broadcast.
+        decay_old_c = jnp.exp(jnp.broadcast_to(btot + m_prev - m_new, (g, dh, 1)))
+        decay_new_c = jnp.exp(jnp.broadcast_to(m_loc - m_new, (g, dh, 1)))
+
+        hT_out, e_sums, kvs, ksums = [], [], [], []
         for gi in range(g):
-            rhs = b[gi].T if transpose_b else b[gi]
-            outs.append(jnp.dot(a[gi].astype(mxu), rhs.astype(mxu),
-                                preferred_element_type=jnp.float32, precision=prec))
-        return jnp.stack(outs)
+            # eT = (q k^T * D)^T = k^T q * D^T: contraction over DH sublanes
+            eT = dot32(kt[gi].T, qt[gi]) * dT[gi]  # (CS_t, CS_s)
+            # intra numerator, transposed: v^T e^T -> (DHv, CS_s)
+            intra = dot32(vt[gi], eT)
+            # inter numerator, transposed: C^T q_inter -> (DHv, CS_s)
+            inter = dot32(c_prev[gi], q_inter[gi])
+            e_sums.append(jnp.sum(eT, axis=0, keepdims=True))  # (1, CS_s)
+            hT_out.append(intra + inter)
+            kg = kt[gi] * gw[gi]  # (DHq, CS)
+            kvs.append(dot32(vt[gi], kg.T))  # C^T update: (DHv, DHq)
+            ksums.append(jnp.sum(kg, axis=1, keepdims=True))  # (DHq, 1)
 
-    @pl.when(j == 0)
-    def _reset():
-        c_scr[pl.ds(row0, g)] = jnp.zeros((g, dh, dh), jnp.float32)
-        n_scr[pl.ds(row0, g)] = jnp.zeros((g, 1, dh), jnp.float32)
-        m_scr[pl.ds(row0, g)] = jnp.zeros((g, 1, 1), jnp.float32)
+        e_sum = jnp.stack(e_sums)  # (G, 1, CS)
+        inter_norm = jnp.sum(q_inter * n_prev, axis=1, keepdims=True)  # (G, 1, CS)
+        normalizer = jnp.maximum(jnp.abs(e_sum + inter_norm), jnp.exp(-stab)) + eps
+        hT = jnp.stack(hT_out) / normalizer  # (G, DH, CS) / (G, 1, CS)
+        h_ref[:, :, pl.ds(s0, cs)] = hT.astype(h_ref.dtype)
 
-    q = q_ref[:].astype(jnp.float32) * (dh**-0.5)  # (G, CS, DH)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
-    i_pre = i_ref[:].astype(jnp.float32)  # (G, CS, 1)
-    f_pre = f_ref[:].astype(jnp.float32)
+        c_scr[:] = c_prev * decay_old_c + jnp.stack(kvs) * decay_new_c
+        n_scr[:] = n_prev * decay_old + jnp.stack(ksums) * decay_new
+        m_scr[:] = m_new
+        return 0
 
-    logf = jax.nn.log_sigmoid(f_pre)  # (G, CS, 1)
-    logi = jax.nn.log_sigmoid(i_pre) if igate_act == "sigmoid" else i_pre
-    # inclusive cumsum via tril-ones matmul (Mosaic has no cumsum primitive);
-    # fp32 MXU path: gate accumulation must not round to bf16.
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
-    causal = row_i >= col_i
-    tril = causal.astype(jnp.float32)
-    # precision=HIGHEST: the MXU's default single-pass bf16 rounding on this
-    # fp32 matmul corrupts the log-space gate accumulation (errors get
-    # exponentiated downstream — observed 0.1-0.4 absolute h error otherwise)
-    b = jnp.stack([
-        jnp.dot(tril, logf[gi], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        for gi in range(g)
-    ])  # (G, CS, 1)
-    # btot == b[CS-1], but computed as a sum: slicing the last sublane while
-    # also doing scratch RMW crashes Mosaic ("Check failed: d >> 32 == 0")
-    btot = jnp.sum(logf, axis=1, keepdims=True)  # (G, 1, 1)
-
-    c_prev = c_scr[pl.ds(row0, g)]  # (G, DH, DH)
-    n_prev = n_scr[pl.ds(row0, g)]  # (G, 1, DH)
-    m_prev = m_scr[pl.ds(row0, g)]  # (G, 1, 1)
-
-    # ---- intra-chunk D matrix ----------------------------------------------
-    # rowwise max of log_d equals b_s + cummax_t<=s(logi_t - b_t): a cheap
-    # sublane cumulative max (log2(CS) roll+max steps) replaces the full
-    # (CS, CS) materialize-and-reduce.
-    w_vec = logi - b  # (G, CS, 1)
-    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (g, cs, 1), 1)
-    cm = w_vec
-    sh = 1
-    while sh < cs:
-        rolled = pltpu.roll(cm, shift=sh, axis=1)
-        rolled = jnp.where(sub_ids >= sh, rolled, NEG_INF)
-        cm = jnp.maximum(cm, rolled)
-        sh *= 2
-    d_max = b + cm  # (G, CS, 1)
-
-    inter_decay_log = m_prev + b  # (G, CS, 1)
-    stab = jnp.maximum(d_max, inter_decay_log)
-
-    # log_d[s, t] = (b_s - stab_s) + (logi_t - b_t): column + row broadcast;
-    # mask BEFORE exp (the t > s half can overflow)
-    arg = (b - stab) + jnp.swapaxes(w_vec, 1, 2)  # (G, CS, CS)
-    arg = jnp.where(causal[None], arg, NEG_INF)
-    qk = bdot(q, k, transpose_b=True)  # (G, CS, CS)
-    e = qk * jnp.exp(arg)
-
-    q_inter = q * jnp.exp(inter_decay_log - stab)  # (G, CS, DH)
-    inter_num = bdot(q_inter, c_prev)  # (G, CS, DH)
-    inter_norm = jnp.sum(q_inter * n_prev, axis=2, keepdims=True)  # (G, CS, 1)
-
-    normalizer = jnp.maximum(
-        jnp.abs(jnp.sum(e, axis=2, keepdims=True) + inter_norm), jnp.exp(-stab)
-    ) + eps
-    intra_num = bdot(e, v)  # (G, CS, DH)
-    h_ref[:] = ((intra_num + inter_num) / normalizer).astype(h_ref.dtype)
-
-    # ---- inter-chunk state update --------------------------------------------
-    g_acc = logi + (btot - b)  # (G, CS, 1)
-    m_loc = jnp.max(g_acc, axis=1, keepdims=True)  # (G, 1, 1)
-    gw = jnp.exp(g_acc - m_loc)  # (G, CS, 1)
-    kg = k * gw
-    kv = bdot(jnp.swapaxes(kg, 1, 2), v)  # (G, DH, DH)
-    ksum = jnp.sum(kg, axis=1, keepdims=True)  # (G, 1, DH)
-
-    m_new = jnp.maximum(btot + m_prev, m_loc)  # (G, 1, 1)
-    decay_old = jnp.exp(btot + m_prev - m_new)
-    decay_new = jnp.exp(m_loc - m_new)
-    # Mosaic can't broadcast (G,1,1)->(G,DH,DH) in one shot (sublane+lane);
-    # materialize the sublane expansion through the exp so it can't be fused
-    # back into a single two-axis broadcast.
-    decay_old_c = jnp.exp(jnp.broadcast_to(btot + m_prev - m_new, (g, dh, 1)))
-    decay_new_c = jnp.exp(jnp.broadcast_to(m_loc - m_new, (g, dh, 1)))
-    c_scr[pl.ds(row0, g)] = c_prev * decay_old_c + kv * decay_new_c
-    n_scr[pl.ds(row0, g)] = n_prev * decay_old + ksum * decay_new
-    m_scr[pl.ds(row0, g)] = m_new
+    jax.lax.fori_loop(0, ns, chunk_body, 0)
 
 
-def _pick_group(bnh: int, cs: int, dh: int) -> int:
-    """Heads per grid step, bounded by a VMEM budget for the (CS, CS)
-    temporaries (arg/e/qk + bdot stacks; ~4 live CS x CS fp32 arrays after
-    the cummax rewrite). Empirically G=8 at CS=128 is the sweet spot;
-    G>=16 at CS=128 exceeds VMEM."""
-    budget = 4 * 1024 * 1024
-    per_head = (4 * cs * cs + 10 * cs * dh + 2 * dh * dh) * 4
-    g = max(1, min(bnh, budget // max(per_head, 1)))
+def _pick_group(bnh: int, s: int, cs: int, dh: int, in_bytes: int) -> int:
+    """Heads per grid step under a VMEM budget (~16 MB/core on v5e).
+
+    Resident per head-row (transposed (DH, S) layout — no lane padding):
+    full q/k/v/gate/h sequence double-buffered by Mosaic's pipeline, plus
+    ~3 live (CS, CS) fp32 chunk temporaries."""
+    budget = 10 * 1024 * 1024
+    sub = max(dh, 8)  # sublane rounding
+    stream = 2 * (3 * s * sub * in_bytes + 2 * s * 8 * 4 + s * sub * 4)
+    temps = (3 * cs * cs + 12 * cs * max(dh, 8) + 3 * dh * dh) * 4
+    g = max(1, min(bnh, budget // max(stream + temps, 1)))
     while bnh % g != 0:
         g -= 1
     return g
@@ -187,40 +201,44 @@ def _mlstm_pallas_fwd_impl(q, k, v, i_preact, f_preact, chunk_size, igate_act, e
     assert S % CS == 0, f"S={S} must be divisible by chunk_size={CS}"
     NS = S // CS
     BNH = B * NH
-    G = _pick_group(BNH, CS, DH)
+    G = _pick_group(BNH, S, CS, DH, q.dtype.itemsize)
     mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
 
-    qf = q.reshape(BNH, S, DH)
-    kf = k.reshape(BNH, S, DH)
-    vf = v.reshape(BNH, S, DH)
-    i2 = i_preact.reshape(BNH, S, 1)
-    f2 = f_preact.reshape(BNH, S, 1)
+    # transposed (BNH, DH, S) layout: sequence on lanes (no 8x lane padding
+    # for DH <= 16 head dims); XLA fuses these transposes with the
+    # producers/consumers (the cell's (B,S,NH,DH)->(B,NH,S,DH) moves).
+    qf = q.reshape(BNH, S, DH).swapaxes(1, 2)
+    kf = k.reshape(BNH, S, DH).swapaxes(1, 2)
+    vf = v.reshape(BNH, S, DH).swapaxes(1, 2)
+    i2 = i_preact.reshape(BNH, 1, S)
+    f2 = f_preact.reshape(BNH, 1, S)
 
-    qkv_spec = pl.BlockSpec((G, CS, DH), lambda j, r: (r, j, 0), memory_space=pltpu.VMEM)
-    gate_spec = pl.BlockSpec((G, CS, 1), lambda j, r: (r, j, 0), memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((G, DH, S), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec((G, 1, S), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
 
     h = pl.pallas_call(
-        functools.partial(_kernel, g=G, cs=CS, dh=DH, igate_act=igate_act, eps=eps, mxu=mxu),
-        grid=(NS, BNH // G),
+        functools.partial(_kernel, g=G, ns=NS, cs=CS, dh=DH, igate_act=igate_act,
+                          eps=eps, mxu=mxu),
+        grid=(BNH // G,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, gate_spec, gate_spec],
-        out_specs=pl.BlockSpec((G, CS, DH), lambda j, r: (r, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BNH, S, DH), jnp.float32),
+        out_specs=pl.BlockSpec((G, DH, S), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BNH, DH, DH), jnp.float32),
-            pltpu.VMEM((BNH, 1, DH), jnp.float32),
-            pltpu.VMEM((BNH, 1, 1), jnp.float32),
+            pltpu.VMEM((G, DH, DH), jnp.float32),
+            pltpu.VMEM((G, DH, 1), jnp.float32),
+            pltpu.VMEM((G, 1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * BNH * NS * (2 * CS * CS * DH + 2 * CS * DH * DH),
-            bytes_accessed=BNH * S * DH * 4 * 4,
+            bytes_accessed=BNH * S * (DH * 3 * q.dtype.itemsize + DH * 4 + 8),
             transcendentals=BNH * S * (CS + 4),
         ),
         interpret=interpret,
     )(qf, kf, vf, i2, f2)
-    return h.reshape(B, NH, S, DH)
+    return h.swapaxes(1, 2).reshape(B, NH, S, DH)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -276,5 +294,23 @@ def mlstm_chunkwise_pallas(
     elif interpret is False:
         return mlstm_chunkwise(q, k, v, i_preact, f_preact, chunk_size=chunk_size,
                                igate_act=igate_act, eps=eps)
-    return _mlstm_pallas(q, k, v, i_preact, f_preact, chunk_size, igate_act, eps,
-                         interpret, mxu_dtype)
+    S = q.shape[2]
+    cs = min(chunk_size, S)
+    if not interpret:
+        # Mosaic lane slices must be 128-aligned; snap the chunk to a
+        # 128-multiple (padding below absorbs any S mismatch)
+        cs = max(128, (cs // 128) * 128)
+    pad = (-S) % cs
+    if pad:
+        # pad to a chunk multiple: padded steps get i-gate -> 0 (no write into
+        # the state) and f-gate -> 1 (no decay), so real positions are exact;
+        # padded outputs are sliced off.
+        padw = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, padw)
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+        i_preact = jnp.pad(i_preact, padw[:3], constant_values=-40.0)
+        f_preact = jnp.pad(f_preact, padw[:3], constant_values=40.0)
+    h = _mlstm_pallas(q, k, v, i_preact, f_preact, cs, igate_act, eps,
+                      interpret, mxu_dtype)
+    return h[:, :, :S] if pad else h

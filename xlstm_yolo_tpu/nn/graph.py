@@ -59,6 +59,22 @@ for _n, _c, _k in [
     ("PSA", M.PSA, "conv"),
     ("RepConv", M.RepConv, "conv"),
     ("RepNCSPELAN4", M.RepNCSPELAN4, "elan"),
+    ("Conv2", M.Conv2, "conv"),
+    ("LightConv", M.LightConv, "conv"),
+    ("RepVGGDW", M.RepVGGDW, "conv"),
+    ("C1", M.C1, "csp"),
+    ("C2", M.C2, "csp"),
+    ("C2fPSA", M.C2fPSA, "csp"),
+    ("C3Ghost", M.C3Ghost, "csp"),
+    ("C3x", M.C3x, "csp"),
+    ("BottleneckCSP", M.BottleneckCSP, "csp"),
+    ("GhostBottleneck", M.GhostBottleneck, "conv"),
+    ("SPP", M.SPP, "conv"),
+    ("SPPELAN", M.SPPELAN, "custom"),
+    ("ELAN1", M.ELAN1, "custom"),
+    ("ResNetLayer", M.ResNetLayer, "custom"),
+    ("CBLinear", M.CBLinear, "custom"),
+    ("CBFuse", M.CBFuse, "custom"),
     ("CBAM", M.CBAM, "plain"),
     ("ChannelAttention", M.ChannelAttention, "plain"),
     ("SpatialAttention", M.SpatialAttention, "plain"),

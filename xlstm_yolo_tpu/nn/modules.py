@@ -381,12 +381,13 @@ class GhostConv(nn.Module):
     c2: int
     k: int = 1
     s: int = 1
+    act: bool | str = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c2 // 2
-        y = ConvBN(c_, self.k, self.s, name="cv1")(x, train)
-        y2 = ConvBN(c_, 5, 1, g=c_, name="cv2")(y, train)
+        y = ConvBN(c_, self.k, self.s, act=self.act, name="cv1")(x, train)
+        y2 = ConvBN(c_, 5, 1, g=c_, act=self.act, name="cv2")(y, train)
         return jnp.concatenate([y, y2], axis=-1)
 
 
@@ -661,3 +662,361 @@ class ConvTransposeBN(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=jnp.float32, name="bn")(y).astype(dt)
         return _act(y, self.act)
+
+
+class Conv2(nn.Module):
+    """RepConv-style Conv with a parallel 1x1 branch fused at inference
+    (reference conv.py Conv2)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: bool | str = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = x.dtype
+        pad = autopad(self.k, None, 1)
+        a = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((pad, pad), (pad, pad)), feature_group_count=self.g,
+                    use_bias=False, dtype=dt, name="conv")(x)
+        b = nn.Conv(self.c2, (1, 1), strides=(self.s, self.s), padding="VALID",
+                    feature_group_count=self.g, use_bias=False, dtype=dt, name="cv2")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, name="bn")(a + b).astype(dt)
+        return _act(y, self.act)
+
+
+class LightConv(nn.Module):
+    """1x1 conv + depthwise conv (reference conv.py LightConv)."""
+
+    c2: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 1, act=False, name="conv1")(x, train)
+        return DWConv(self.c2, self.k, act="relu", name="conv2")(y, train)
+
+
+class RepVGGDW(nn.Module):
+    """Depthwise RepVGG block: 7x7 dw + 3x3 dw branches (reference block.py
+    RepVGGDW, used by v10 CIB at large width)."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = DWConv(self.c2, 7, 1, act=False, name="conv")(x, train)
+        b = DWConv(self.c2, 3, 1, act=False, name="conv1")(x, train)
+        return nn.silu(a + b)
+
+
+class C1(nn.Module):
+    """CSP bottleneck with 1 conv (reference block.py C1)."""
+
+    c2: int
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 1, 1, name="cv1")(x, train)
+        z = y
+        for i in range(self.n):
+            z = ConvBN(self.c2, 3, 1, name=f"m{i}")(z, train)
+        return z + y
+
+
+class C2(nn.Module):
+    """CSP bottleneck with 2 convs (reference block.py C2)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m{i}")(a, train)
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C2fPSA(nn.Module):
+    """C2f with PSA attention blocks as the inner modules (reference
+    block.py C2fPSA)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(PSABlock(c, name=f"m{i}")(ys[-1], train))
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling, parallel kernels (reference block.py SPP)."""
+
+    c2: int
+    k: tuple = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        outs = [y]
+        for ki in self.k:
+            p = ki // 2
+            outs.append(nn.max_pool(y, (ki, ki), strides=(1, 1), padding=((p, p), (p, p))))
+        return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(outs, axis=-1), train)
+
+
+class SPPELAN(nn.Module):
+    """SPP-ELAN (reference block.py SPPELAN, YOLOv9)."""
+
+    c2: int
+    c3: int = 0
+    k: int = 5
+
+    @classmethod
+    def parse(cls, args, channels, fs, width=1.0, **kw):
+        from .graph import make_divisible
+
+        c2 = make_divisible(args[0] * width, 8)
+        c3 = make_divisible(args[1] * width, 8) if len(args) > 1 else 0
+        return c2, [c2, c3, *args[2:]], {}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3 = self.c3 or self.c2 // 2
+        y = ConvBN(c3, 1, 1, name="cv1")(x, train)
+        outs = [y]
+        p = self.k // 2
+        for _ in range(3):
+            outs.append(nn.max_pool(outs[-1], (self.k, self.k), strides=(1, 1),
+                                    padding=((p, p), (p, p))))
+        return ConvBN(self.c2, 1, 1, name="cv5")(jnp.concatenate(outs, axis=-1), train)
+
+
+class ELAN1(nn.Module):
+    """Basic ELAN (reference block.py ELAN1, YOLOv9-t)."""
+
+    c2: int
+    c3: int = 0
+    c4: int = 0
+
+    @classmethod
+    def parse(cls, args, channels, fs, width=1.0, **kw):
+        from .graph import make_divisible
+
+        scaled = [make_divisible(a * width, 8) for a in args[:3]]
+        return scaled[0], scaled, {}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3 = self.c3 or self.c2 // 2
+        c4 = self.c4 or c3 // 2
+        y = ConvBN(c3, 1, 1, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        c = ConvBN(c4, 3, 1, name="cv2")(b, train)
+        d = ConvBN(c4, 3, 1, name="cv3")(c, train)
+        return ConvBN(self.c2, 1, 1, name="cv4")(
+            jnp.concatenate([a, b, c, d], axis=-1), train)
+
+
+class ResNetBlock(nn.Module):
+    """ResNet bottleneck block (reference block.py ResNetBlock)."""
+
+    c2: int
+    s: int = 1
+    e: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3 = self.e * self.c2
+        y = ConvBN(self.c2, 1, 1, act="relu", name="cv1")(x, train)
+        y = ConvBN(self.c2, 3, self.s, act="relu", name="cv2")(y, train)
+        y = ConvBN(c3, 1, act=False, name="cv3")(y, train)
+        if self.s != 1 or x.shape[-1] != c3:
+            x = ConvBN(c3, 1, self.s, act=False, name="shortcut")(x, train)
+        return nn.relu(x + y)
+
+
+class ResNetLayer(nn.Module):
+    """ResNet stage (reference block.py ResNetLayer): stem (is_first) or n
+    ResNetBlocks."""
+
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+
+    @classmethod
+    def parse(cls, args, channels, fs, width=1.0, **kw):
+        # YAML row: [c2, s, is_first, n] (reference passes c1 first; ours is implicit)
+        c2 = int(args[0])
+        s = int(args[1]) if len(args) > 1 else 1
+        is_first = bool(args[2]) if len(args) > 2 else False
+        n = int(args[3]) if len(args) > 3 else 1
+        out = c2 if is_first else 4 * c2
+        return out, [c2, s, is_first, n], {}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.is_first:
+            y = ConvBN(self.c2, 7, 2, p=3, act="relu", name="stem")(x, train)
+            return nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        y = ResNetBlock(self.c2, self.s, self.e, name="b0")(x, train)
+        for i in range(1, self.n):
+            y = ResNetBlock(self.c2, 1, self.e, name=f"b{i}")(y, train)
+        return y
+
+
+class CBLinear(nn.Module):
+    """Split a feature map into per-branch channel groups (reference
+    block.py CBLinear, YOLOv9 dual-branch)."""
+
+    c2s: tuple
+    k: int = 1
+    s: int = 1
+
+    @classmethod
+    def parse(cls, args, channels, fs, width=1.0, **kw):
+        from .graph import make_divisible
+
+        c2s = tuple(make_divisible(c * width, 8) for c in args[0])
+        # list output: record the tuple; only CBFuse consumes it
+        return c2s, [c2s, *args[1:]], {}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, None, 1)
+        y = nn.Conv(sum(self.c2s), (self.k, self.k), strides=(self.s, self.s),
+                    padding=((pad, pad), (pad, pad)), dtype=x.dtype, name="conv")(x)
+        sizes, acc = [], 0
+        for c in self.c2s[:-1]:
+            acc += c
+            sizes.append(acc)
+        return list(jnp.split(y, sizes, axis=-1))
+
+
+class CBFuse(nn.Module):
+    """Fuse CBLinear outputs by resize + sum (reference block.py CBFuse)."""
+
+    idx: tuple = ()
+
+    @classmethod
+    def parse(cls, args, channels, fs, **kw):
+        c2 = channels[fs[-1] + 1]  # target feature sets the output width
+        return c2, [], {"idx": tuple(args[0]) if args else ()}
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        # xs: list of inputs; last is the target-resolution feature, earlier
+        # entries are lists from CBLinear picked by self.idx
+        target = xs[-1]
+        h, w = target.shape[1:3]
+        acc = target
+        for i, x in enumerate(xs[:-1]):
+            sel = x[self.idx[i]] if isinstance(x, (list, tuple)) else x
+            acc = acc + jax.image.resize(sel, (sel.shape[0], h, w, sel.shape[-1]), "nearest")
+        return acc
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference block.py GhostBottleneck)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, name="g1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, name="dw")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, name="g2")(y, train)
+        if self.s == 2:
+            x = ConvBN(self.c2, 1, 1, act=False, name="sc2")(
+                DWConv(x.shape[-1], self.k, self.s, act=False, name="sc1")(x, train), train)
+        return x + y if x.shape == y.shape else y
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottlenecks (reference block.py C3Ghost)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, name=f"m{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class C3x(nn.Module):
+    """C3 with cross convolutions (1x3 + 3x1) (reference block.py C3x)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = x.dtype
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            h = nn.Conv(c_, (1, 3), padding=((0, 0), (1, 1)), use_bias=False,
+                        dtype=dt, name=f"m{i}a")(a)
+            h = nn.Conv(c_, (3, 1), padding=((1, 1), (0, 0)), use_bias=False,
+                        dtype=dt, name=f"m{i}b")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, dtype=jnp.float32, name=f"m{i}bn")(h).astype(dt)
+            h = nn.silu(h)
+            a = a + h if self.shortcut else h
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSP bottleneck (reference block.py BottleneckCSP, YOLOv5-era)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = x.dtype
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, e=1.0, name=f"m{i}")(a, train)
+        a = nn.Conv(c_, (1, 1), use_bias=False, dtype=dt, name="cv3")(a)
+        b = nn.Conv(c_, (1, 1), use_bias=False, dtype=dt, name="cv2")(x)
+        y = jnp.concatenate([a, b], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, name="bn")(y).astype(dt)
+        return ConvBN(self.c2, 1, 1, name="cv4")(nn.silu(y), train)

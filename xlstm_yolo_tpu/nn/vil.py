@@ -196,20 +196,23 @@ class MatrixLSTMCell(nn.Module):
         i_pre = igate.transpose(0, 2, 1)  # (B, NH, S)
         f_pre = fgate.transpose(0, 2, 1)
 
-        cs = min(self.chunk_size, s)
-        while s % cs != 0:
-            cs //= 2
         backend = self.backend
         if backend == "auto":
-            # XLA's batched-einsum form currently outpaces the fused Pallas
-            # kernel at ViL head sizes (see kernels/mlstm_pallas.py); flip the
-            # default once the kernel wins.
-            backend = "native"
+            # the fused row-resident Pallas kernel beats XLA's batched-einsum
+            # form on TPU (1.75-2.4x at ViL stage sizes — mlstm_pallas.py);
+            # elsewhere the native form wins (pallas would be interpreted).
+            backend = "pallas" if jax.default_backend() == "tpu" else "native"
         if backend == "pallas":
             from ..kernels.mlstm_pallas import mlstm_chunkwise_pallas
 
-            h = mlstm_chunkwise_pallas(qh, kh, vh, i_pre, f_pre, chunk_size=cs, igate_act=self.igate_act)
+            # the kernel pads S to a chunk multiple internally; keep the
+            # configured chunk so lane slices stay 128-aligned
+            h = mlstm_chunkwise_pallas(qh, kh, vh, i_pre, f_pre,
+                                       chunk_size=self.chunk_size, igate_act=self.igate_act)
         else:
+            cs = min(self.chunk_size, s)
+            while s % cs != 0:
+                cs //= 2
             h = mlstm_chunkwise(qh, kh, vh, i_pre, f_pre, chunk_size=cs, igate_act=self.igate_act)
         h = h.astype(q.dtype)
 
