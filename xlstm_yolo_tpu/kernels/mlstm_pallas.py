@@ -7,16 +7,15 @@ TPU-native replacement for the reference's external Triton kernel
 parallel and recurrent forms, which mirror the reference math at
 ``xlstm/blocks/mlstm/backends.py:9-263``).
 
-Design (v2 — row-resident):
-  * grid = (BNH/G,): ONE grid step per group of G head-rows; the whole
-    sequence for those rows streams into VMEM and the chunk recurrence runs
-    as a ``fori_loop`` INSIDE the kernel. v1 used a (NS, BNH/G) grid — one
-    launch per (chunk, row) pair — and drowned in per-step overhead
-    (12,800 steps x ~4 us ≈ 51 ms at ViL-P3 size); v2 runs BNH/G (~512)
-    steps and amortizes the launch cost over all NS chunks.
-  * (C, n, m) states are per-step VMEM scratch (G, DH, DH) — they never
-    touch HBM, and no cross-grid-step state remains, so every grid step is
-    independent ("parallel" semantics, free pipelining).
+Design (v3 — row-resident, segmented):
+  * grid = (BNH/G, NSEG): one grid step per (head-group, sequence segment);
+    each step loops over its segment's chunks with a ``fori_loop`` INSIDE
+    the kernel. v1 used a (NS, BNH/G) grid — one launch per (chunk, row)
+    pair — and drowned in per-step overhead (12,800 steps x ~4 us ≈ 51 ms
+    at ViL-P3 size). Segmenting (vs one whole-sequence step per row) frees
+    VMEM so G can reach 16, which widens every stacked VPU op.
+  * (C, n, m) states live in VMEM scratch (G, DH, DH) and persist across a
+    row's segment steps (row-major grid order); they never touch HBM.
   * G heads are processed per step (ViL head dims are small —
     qkv_block_size 4..16 — so per-head matmuls are thin; packing G heads
     amortizes further). Matmuls are unrolled 2D dots: Mosaic's batched
@@ -34,10 +33,10 @@ Design (v2 — row-resident):
 
 Performance (v5e, loop-carried inputs so nothing hoists; native = XLA
 batched-einsum chunkwise):
-  ViL-P3 (B128 NH8  S6400 DH16, CS256): native 54.2 ms -> pallas 30.9 ms
-  ViL-P4 (B128 NH16 S1600 DH16):        native 24.3 ms -> pallas 16.6 ms
-  ViL-P5 (B128 NH32 S400  DH16):        native 28.5 ms -> pallas 11.7 ms
-ViL-YOLO-n e2e 640px b128: 875 -> 1287 img/s (vs 616 at the old default).
+  ViL-P3 (B128 NH8  S6400 DH16, CS256): native 54.2 ms -> pallas 21.8 ms
+  ViL-P4 (B128 NH16 S1600 DH16):        native 24.3 ms -> pallas 14.8 ms
+  ViL-P5 (B128 NH32 S400  DH16):        native 28.5 ms -> pallas 11.9 ms
+ViL-YOLO-n e2e 640px b128: 875 -> 1459 img/s (vs 616 at the old default).
 
 Known Mosaic pitfalls worked around here (see git history for repros):
   * no cumsum primitive -> tril-ones matmul;
@@ -88,9 +87,13 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
     cum_mat = causal_t.astype(jnp.float32)  # upper-triangular ones
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (g, 1, cs), 2)
 
-    c_scr[:] = jnp.zeros((g, dh, dh), jnp.float32)   # C^T: (DHv, DHq)
-    n_scr[:] = jnp.zeros((g, dh, 1), jnp.float32)    # n: (DHq, 1)
-    m_scr[:] = jnp.zeros((g, 1, 1), jnp.float32)
+    # states persist across a row's SEGMENT steps (grid dim 1, row-major
+    # order); reset them at the first segment of each row
+    @pl.when(pl.program_id(1) == 0)
+    def _reset():
+        c_scr[:] = jnp.zeros((g, dh, dh), jnp.float32)   # C^T: (DHv, DHq)
+        n_scr[:] = jnp.zeros((g, dh, 1), jnp.float32)    # n: (DHq, 1)
+        m_scr[:] = jnp.zeros((g, 1, 1), jnp.float32)
 
     def chunk_body(j, _):
         s0 = j * cs
@@ -131,11 +134,6 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
         inter_decay_log = m_prev + b  # (G, 1, CS)
         stab = jnp.maximum(d_max, inter_decay_log)
 
-        # transposed D: argT[t, s] = w_t + (b_s - stab_s); mask BEFORE exp
-        argT = jnp.swapaxes(w_vec, 1, 2) + (b - stab)  # (G, CS, CS)
-        argT = jnp.where(causal_t[None], argT, NEG_INF)
-        dT = jnp.exp(argT)
-
         q_inter = qt * jnp.exp(inter_decay_log - stab)  # (G, DH, CS) lane-scaled
         g_acc = logi + (btot - b)  # (G, 1, CS)
         m_loc = jnp.max(g_acc, axis=2, keepdims=True)  # (G, 1, 1)
@@ -151,9 +149,15 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
         decay_new_c = jnp.exp(jnp.broadcast_to(m_loc - m_new, (g, dh, 1)))
 
         hT_out, e_sums, kvs, ksums = [], [], [], []
+        w_col = jnp.swapaxes(w_vec, 1, 2)  # (G, CS, 1)
+        b_stab = b - stab  # (G, 1, CS)
         for gi in range(g):
+            # transposed D, built per head so only ~2 (CS, CS) temporaries are
+            # live at once (keeps VMEM independent of G):
+            # argT[t, s] = w_t + (b_s - stab_s); mask BEFORE exp
+            argT = jnp.where(causal_t, w_col[gi] + b_stab[gi], NEG_INF)
             # eT = (q k^T * D)^T = k^T q * D^T: contraction over DH sublanes
-            eT = dot32(kt[gi].T, qt[gi]) * dT[gi]  # (CS_t, CS_s)
+            eT = dot32(kt[gi].T, qt[gi]) * jnp.exp(argT)  # (CS_t, CS_s)
             # intra numerator, transposed: v^T e^T -> (DHv, CS_s)
             intra = dot32(vt[gi], eT)
             # inter numerator, transposed: C^T q_inter -> (DHv, CS_s)
@@ -178,20 +182,37 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
     jax.lax.fori_loop(0, ns, chunk_body, 0)
 
 
-def _pick_group(bnh: int, s: int, cs: int, dh: int, in_bytes: int) -> int:
-    """Heads per grid step under a VMEM budget (~16 MB/core on v5e).
+def _pick_layout(bnh: int, s: int, cs: int, dh: int, in_bytes: int) -> tuple:
+    """(G, NSEG): heads per grid step and sequence segments, under a VMEM
+    budget (~16 MB/core on v5e).
 
-    Resident per head-row (transposed (DH, S) layout — no lane padding):
-    full q/k/v/gate/h sequence double-buffered by Mosaic's pipeline, plus
-    ~3 live (CS, CS) fp32 chunk temporaries."""
+    Resident per head-row (transposed (DH, SEG) layout — no lane padding):
+    one q/k/v/gate/h segment double-buffered by Mosaic's pipeline, plus
+    ~3 live (CS, CS) fp32 chunk temporaries.  Splitting the sequence into
+    segments (states carried across a row's segment steps in scratch) lets
+    G grow — bigger G means wider VPU ops and fewer thin-matmul stalls."""
     budget = 10 * 1024 * 1024
-    sub = max(dh, 8)  # sublane rounding
-    stream = 2 * (3 * s * sub * in_bytes + 2 * s * 8 * 4 + s * sub * 4)
-    temps = (3 * cs * cs + 12 * cs * max(dh, 8) + 3 * dh * dh) * 4
-    g = max(1, min(bnh, budget // max(stream + temps, 1)))
-    while bnh % g != 0:
-        g -= 1
-    return g
+    sub = max(dh, 8)
+    ns = s // cs
+    best = (1, 1)
+    best_key = (-1, 0)
+    # (CS, CS) temporaries are per-HEAD transients (built inside the head
+    # loop), so they cost a constant ~3 live buffers, not x G
+    temps = (3 * cs * cs + 12 * cs * sub + 3 * dh * dh) * 4
+    for nseg in range(1, ns + 1):
+        if ns % nseg:
+            continue
+        seg = s // nseg
+        stream = 2 * (3 * seg * sub * in_bytes + 2 * seg * 8 * 4 + seg * sub * 4)
+        g = max(1, min(bnh, min(16, (budget - temps) // max(stream, 1))))
+        while bnh % g != 0:
+            g -= 1
+        steps = (bnh // g) * nseg
+        key = (g, -steps)
+        if key > best_key:
+            best_key = key
+            best = (g, nseg)
+    return best
 
 
 def _mlstm_pallas_fwd_impl(q, k, v, i_preact, f_preact, chunk_size, igate_act, eps,
@@ -201,7 +222,8 @@ def _mlstm_pallas_fwd_impl(q, k, v, i_preact, f_preact, chunk_size, igate_act, e
     assert S % CS == 0, f"S={S} must be divisible by chunk_size={CS}"
     NS = S // CS
     BNH = B * NH
-    G = _pick_group(BNH, S, CS, DH, q.dtype.itemsize)
+    G, NSEG = _pick_layout(BNH, S, CS, DH, q.dtype.itemsize)
+    SEG = S // NSEG
     mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
 
     # transposed (BNH, DH, S) layout: sequence on lanes (no 8x lane padding
@@ -213,15 +235,15 @@ def _mlstm_pallas_fwd_impl(q, k, v, i_preact, f_preact, chunk_size, igate_act, e
     i2 = i_preact.reshape(BNH, 1, S)
     f2 = f_preact.reshape(BNH, 1, S)
 
-    qkv_spec = pl.BlockSpec((G, DH, S), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
-    gate_spec = pl.BlockSpec((G, 1, S), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((G, DH, SEG), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec((G, 1, SEG), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM)
 
     h = pl.pallas_call(
-        functools.partial(_kernel, g=G, ns=NS, cs=CS, dh=DH, igate_act=igate_act,
+        functools.partial(_kernel, g=G, ns=SEG // CS, cs=CS, dh=DH, igate_act=igate_act,
                           eps=eps, mxu=mxu),
-        grid=(BNH // G,),
+        grid=(BNH // G, NSEG),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, gate_spec, gate_spec],
-        out_specs=pl.BlockSpec((G, DH, S), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((G, DH, SEG), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((G, DH, DH), jnp.float32),
@@ -229,7 +251,7 @@ def _mlstm_pallas_fwd_impl(q, k, v, i_preact, f_preact, chunk_size, igate_act, e
             pltpu.VMEM((G, 1, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * BNH * NS * (2 * CS * CS * DH + 2 * CS * DH * DH),
