@@ -461,3 +461,19 @@ def test_ensemble_concat():
     p1 = m1.predictions(v1, x)
     pe = ens.predictions(None, x)
     assert pe.shape == (1, 2 * p1.shape[1], p1.shape[2])
+
+
+def test_inference_solution_gated_and_step():
+    """solutions.Inference: headless .step works; web_ui needs streamlit."""
+    import numpy as np
+    import pytest
+
+    from xlstm_yolo_tpu.solutions import Inference
+
+    inf = Inference("yolov8n.yaml", conf=0.25, imgsz=64)
+    frame = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    results, annotated = inf.step(frame)
+    assert len(results) == 1
+    assert annotated.shape == frame.shape
+    with pytest.raises(ImportError, match="streamlit"):
+        inf.web_ui()

@@ -33,7 +33,10 @@ class Exporter:
     def __init__(self, model, variables, format: str = "stablehlo", imgsz: int = 640,
                  batch: int = 1, nms: bool = False, conf: float = 0.25, iou: float = 0.7,
                  max_det: int = 300, half: bool = False, output_dir: str = "runs/export",
-                 **kwargs):
+                 callbacks=None, **kwargs):
+        from ..utils.callbacks import default_callbacks
+
+        self.callbacks = callbacks if callbacks is not None else default_callbacks()
         self.model = model
         self.variables = variables
         self.format = format
@@ -71,6 +74,7 @@ class Exporter:
 
     def __call__(self) -> str:
         t0 = time.time()
+        self.callbacks.run("on_export_start", self)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         fn = self._infer_fn()
         shape = (self.batch, self.imgsz, self.imgsz, 3)
@@ -83,6 +87,7 @@ class Exporter:
         else:
             raise ValueError(f"unknown export format {self.format!r}; choose from {FORMATS}")
         print(f"export {self.format} done in {time.time() - t0:.1f}s -> {out}")
+        self.callbacks.run("on_export_end", self)
         return str(out)
 
     def _export_stablehlo(self, fn, shape) -> Path:

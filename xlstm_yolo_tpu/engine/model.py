@@ -26,10 +26,25 @@ class Model:
             self.model, self.variables, self.ckpt = load_checkpoint(str(model))
         else:
             raise ValueError(f"unsupported model source {model!r} (expected .yaml or checkpoint dir)")
+        from ..utils.callbacks import default_callbacks
+
         self.task = task or self.model.task
         self.predictor = None
         self.trainer = None
         self.metrics = None
+        self.callbacks = default_callbacks()
+
+    def add_callback(self, event: str, func) -> None:
+        """Register a hook (reference engine/model.py:add_callback)."""
+        self.callbacks.add(event, func)
+
+    def clear_callback(self, event: str) -> None:
+        self.callbacks._cbs[event] = []
+
+    def reset_callbacks(self) -> None:
+        from ..utils.callbacks import default_callbacks
+
+        self.callbacks = default_callbacks()
 
     @property
     def names(self):
@@ -39,7 +54,7 @@ class Model:
         from .predictor import Predictor
 
         if self.predictor is None:
-            self.predictor = Predictor(self.model, self.variables, **kwargs)
+            self.predictor = Predictor(self.model, self.variables, callbacks=self.callbacks, **kwargs)
         return self.predictor(source, stream=stream)
 
     def __call__(self, source=None, **kwargs):
@@ -59,14 +74,14 @@ class Model:
     def val(self, data: str | None = None, **kwargs):
         from .validator import Validator
 
-        v = Validator(self.model, **kwargs)
+        v = Validator(self.model, callbacks=self.callbacks, **kwargs)
         self.metrics = v(self.variables, data=data)
         return self.metrics
 
     def train(self, data: str | None = None, **kwargs):
         from .trainer import Trainer
 
-        self.trainer = Trainer(self.model, overrides={"data": data, **kwargs})
+        self.trainer = Trainer(self.model, overrides={"data": data, **kwargs}, callbacks=self.callbacks)
         self.trainer.variables = self.variables
         result = self.trainer.train()
         self.variables = self.trainer.variables
@@ -76,7 +91,7 @@ class Model:
     def export(self, **kwargs):
         from .exporter import Exporter
 
-        return Exporter(self.model, self.variables, **kwargs)()
+        return Exporter(self.model, self.variables, callbacks=self.callbacks, **kwargs)()
 
     def fuse(self):
         """Fold Conv+BN pairs (reference BaseModel.fuse, nn/tasks.py:212)."""

@@ -88,7 +88,10 @@ def load_source(source) -> list:
 class Predictor:
     def __init__(self, model, variables, imgsz: int = 640, conf: float = 0.25,
                  iou: float = 0.7, max_det: int = 300, classes=None,
-                 agnostic_nms: bool = False, verbose: bool = True, **kwargs):
+                 agnostic_nms: bool = False, verbose: bool = True, callbacks=None, **kwargs):
+        from ..utils.callbacks import default_callbacks
+
+        self.callbacks = callbacks if callbacks is not None else default_callbacks()
         self.model = model
         self.variables = variables
         self.imgsz = imgsz
@@ -130,7 +133,9 @@ class Predictor:
     def _run(self, source):
         task = self.model.task
         frames = load_source(source if source is not None else _default_asset())
+        self.callbacks.run("on_predict_start", self)
         for path, orig in frames:
+            self.callbacks.run("on_predict_batch_start", self)
             t0 = time.perf_counter()
             img, _, (r, px, py) = letterbox(orig, self.imgsz)
             x = jnp.asarray(img, jnp.float32)[None] / 255.0
@@ -188,10 +193,14 @@ class Predictor:
             )
             if task == "obb":
                 res.obb = kw_obb
+            self.results = [res]
+            self.callbacks.run("on_predict_postprocess_end", self)
             if self.verbose:
                 print(f"{path}: {res.verbose()} "
                       f"({res.speed['inference']:.1f}ms inference)")
+            self.callbacks.run("on_predict_batch_end", self)
             yield res
+        self.callbacks.run("on_predict_end", self)
 
     @staticmethod
     def _match_candidates(d, cands):

@@ -34,7 +34,9 @@ from ..utils.checkpoint import save_checkpoint
 
 
 class Trainer:
-    def __init__(self, model, overrides: dict | None = None):
+    def __init__(self, model, overrides: dict | None = None, callbacks=None):
+        from ..utils.callbacks import default_callbacks
+
         overrides = {k: v for k, v in (overrides or {}).items() if v is not None}
         self.args = get_cfg(overrides=overrides)
         self.model = model
@@ -45,7 +47,15 @@ class Trainer:
         self.metrics = None
         self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
         self.csv = self.save_dir / "results.csv"
-        self.callbacks = {}
+        self.callbacks = callbacks if callbacks is not None else default_callbacks()
+
+    def add_callback(self, event: str, func) -> None:
+        self.callbacks.add(event, func)
+
+    def run_callbacks(self, event: str) -> None:
+        """Fire all callbacks for ``event`` with this trainer (reference
+        engine/trainer.py:157)."""
+        self.callbacks.run(event, self)
 
     # ------------------------------------------------------------------
     def _build_step(self, mesh, accumulate: int):
@@ -87,6 +97,7 @@ class Trainer:
     def train(self):
         args = self.args
         self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.run_callbacks("on_pretrain_routine_start")
 
         # data ------------------------------------------------------------
         from ..data.dataset import build_dataloader
@@ -161,16 +172,20 @@ class Trainer:
               f"(batch {batch}, imgsz {imgsz}, optimizer {self.opt_name}, lr0 {self.lr0}, "
               f"mesh dp={mesh.shape['dp']} tp={mesh.shape['tp']} sp={mesh.shape['sp']})")
 
+        self.run_callbacks("on_pretrain_routine_end")
+        self.run_callbacks("on_train_start")
         step = self.start_epoch * nb
         t_start = time.time()
         for epoch in range(self.start_epoch, epochs):
             self.epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
             if args.close_mosaic and epoch == max(epochs - int(args.close_mosaic), 0):
                 if isinstance(self.loader.ds.hyp, dict):
                     self.loader.ds.hyp["mosaic"] = 0.0
             epoch_metrics = []
             t0 = time.time()
             for batch_data in self.loader:
+                self.run_callbacks("on_train_batch_start")
                 base_lr = sched(epoch)
                 lr = TU.warmup_lr(step, epoch, warmup_steps, base_lr, args.warmup_bias_lr)
                 db = M.shard_batch(mesh, batch_data)
@@ -179,6 +194,11 @@ class Trainer:
                 )
                 epoch_metrics.append(metrics)
                 step += 1
+                # optimizer + zero-grad are fused inside the XLA step; the hooks
+                # still fire for API parity (reference trainer.py:591-599)
+                self.run_callbacks("optimizer_step")
+                self.run_callbacks("on_before_zero_grad")
+                self.run_callbacks("on_train_batch_end")
             means = {k: float(np.mean([float(m[k]) for m in epoch_metrics])) for k in epoch_metrics[0]}
             dt = time.time() - t0
             imps = nb * batch / dt
@@ -189,7 +209,8 @@ class Trainer:
             if args.val:
                 from .validator import Validator
 
-                v = Validator(self.model, data=self.data, imgsz=imgsz, max_labels=int(args.max_labels))
+                v = Validator(self.model, data=self.data, imgsz=imgsz, max_labels=int(args.max_labels),
+                              callbacks=self.callbacks)
                 val_metrics = v({"params": ema_params, "batch_stats": batch_stats})
                 fitness = val_metrics.get("fitness", 0.0)
                 if fitness >= self.best_fitness:
@@ -199,6 +220,8 @@ class Trainer:
                    **{f"metrics/{k}": v for k, v in val_metrics.items()}, "lr": lr,
                    "img_s": round(imps, 1)}
             self._log_csv(row)
+            self.run_callbacks("on_train_epoch_end")
+            self.run_callbacks("on_fit_epoch_end")
             print(f"epoch {epoch + 1}/{epochs}: loss {means['loss']:.3f} "
                   f"(box {means.get('box', 0):.3f} cls {means.get('cls', 0):.3f} "
                   f"dfl {means.get('dfl', 0):.3f}) {imps:.0f} img/s"
@@ -211,13 +234,17 @@ class Trainer:
 
         self.variables = {"params": jax.device_get(ema_params), "batch_stats": jax.device_get(batch_stats)}
         self.metrics = val_metrics if args.val else {"train_loss": means["loss"]}
+        self.run_callbacks("on_params_update")
+        self.run_callbacks("on_train_end")
         print(f"done in {(time.time() - t_start) / 3600:.2f} h; results -> {self.save_dir}")
+        self.run_callbacks("teardown")
         return self.metrics
 
     # ------------------------------------------------------------------
     def _save(self, name, params, batch_stats, ema_params, epoch, opt_state=None):
         if not self.args.save:
             return
+        self.run_callbacks("on_model_save")
         save_checkpoint(
             self.save_dir / f"{name}.ckpt",
             self.model,

@@ -21,7 +21,10 @@ from ..utils import metrics as MET
 class Validator:
     def __init__(self, model, data=None, imgsz: int = 640, conf: float = 0.001,
                  iou: float = 0.7, max_det: int = 300, max_labels: int = 128,
-                 batch: int = 16, verbose: bool = False):
+                 batch: int = 16, verbose: bool = False, callbacks=None):
+        from ..utils.callbacks import default_callbacks
+
+        self.callbacks = callbacks if callbacks is not None else default_callbacks()
         self.model = model
         self.data = data
         self.imgsz = imgsz
@@ -35,6 +38,7 @@ class Validator:
     def __call__(self, variables: dict, data: str | dict | None = None) -> dict:
         from ..data.dataset import build_dataloader, check_det_dataset
 
+        self.callbacks.run("on_val_start", self)
         data = data or self.data
         if isinstance(data, (str, Path)) and self.model.task != "classify":
             data = check_det_dataset(data)
@@ -64,6 +68,7 @@ class Validator:
         n_img = 0
         t0 = time.time()
         for batch in loader:
+            self.callbacks.run("on_val_batch_start", self)
             dets, valid = predict(variables, jnp.asarray(batch["img"]))
             dets = np.asarray(dets)
             valid = np.asarray(valid)
@@ -83,9 +88,11 @@ class Validator:
                 stats["conf"].append(d[:, 4])
                 stats["pred_cls"].append(d[:, 5])
                 stats["target_cls"].append(gt_cls)
+            self.callbacks.run("on_val_batch_end", self)
 
         dt = time.time() - t0
         if not stats["tp"]:
+            self.callbacks.run("on_val_end", self)
             return {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0,
                     "fitness": 0.0, "images": n_img, "img_s": round(n_img / dt, 1)}
         tp = np.concatenate(stats["tp"])
@@ -105,6 +112,7 @@ class Validator:
                 print(f"  {names.get(int(c), c):>12}: n={r['nt'][ci]} "
                       f"P={r['p'][ci]:.3f} R={r['r'][ci]:.3f} AP50={r['ap50'][ci]:.3f} "
                       f"AP={r['ap'][ci].mean():.3f}")
+        self.callbacks.run("on_val_end", self)
         return out
 
     # ------------------------------------------------------------------
@@ -116,6 +124,7 @@ class Validator:
             out = {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0,
                    "fitness": 0.0, "images": n_img, "img_s": round(n_img / dt, 1)}
             out.update(extra or {})
+            self.callbacks.run("on_val_end", self)
             return out
         tp = np.concatenate(stats["tp"])
         conf = np.concatenate(stats["conf"])
@@ -126,6 +135,7 @@ class Validator:
                "mAP50-95": r["map"], "fitness": MET.fitness(r["map50"], r["map"]),
                "images": n_img, "img_s": round(n_img / dt, 1)}
         out.update(extra or {})
+        self.callbacks.run("on_val_end", self)
         return out
 
     def _call_classify(self, variables, loader):

@@ -261,3 +261,71 @@ class SecurityAlarm(BaseSolution):
             if self.on_alarm:
                 self.on_alarm(result)
         return self.triggered
+
+
+class Inference:
+    """Browser GUI for live inference (reference
+    solutions/streamlit_inference.py:14). Import-gated on streamlit: the
+    class always constructs (so the component exists headless) and
+    ``web_ui()`` raises a clear error if streamlit is absent.
+
+    The per-frame work is identical to the reference loop: capture ->
+    Model.track()/predict() -> Results.plot() -> display original+annotated.
+    ``step(frame)`` exposes that unit directly so it is testable without a
+    browser.
+    """
+
+    def __init__(self, model: str = "yolov8n.yaml", conf: float = 0.25, iou: float = 0.45,
+                 enable_trk: bool = False, classes=None, **kwargs):
+        from .engine.model import Model
+
+        self.model = Model(model)
+        self.conf = conf
+        self.iou = iou
+        self.enable_trk = enable_trk
+        self.classes = classes
+        self.st = None
+
+    def step(self, frame):
+        """One frame through predict-or-track + annotation; returns
+        (results, annotated_frame)."""
+        if self.enable_trk:
+            results = self.model.track(frame, conf=self.conf, iou=self.iou,
+                                       classes=self.classes, verbose=False)
+        else:
+            results = self.model.predict(frame, conf=self.conf, iou=self.iou,
+                                         classes=self.classes, verbose=False)
+        return results, results[0].plot()
+
+    def web_ui(self, source: int | str = 0):
+        """Streamlit page: sidebar config + start/stop + live dual-pane view."""
+        try:
+            import streamlit as st
+        except ImportError as e:
+            raise ImportError(
+                "solutions.Inference.web_ui needs streamlit (`pip install streamlit`); "
+                "the per-frame pipeline is available headless via .step(frame)"
+            ) from e
+        import cv2
+
+        self.st = st
+        st.title("xlstm_yolo_tpu inference")
+        self.conf = st.sidebar.slider("Confidence", 0.0, 1.0, self.conf)
+        self.iou = st.sidebar.slider("IoU", 0.0, 1.0, self.iou)
+        self.enable_trk = st.sidebar.radio("Tracking", ("No", "Yes")) == "Yes"
+        names = list(self.model.names.values())
+        picked = st.sidebar.multiselect("Classes", names, default=names[:3])
+        self.classes = [names.index(n) for n in picked] or None
+        col1, col2 = st.columns(2)
+        org_frame, ann_frame = col1.empty(), col2.empty()
+        if st.sidebar.button("Start"):
+            stop = st.button("Stop")
+            cap = cv2.VideoCapture(source)
+            while cap.isOpened():
+                ok, frame = cap.read()
+                if not ok or stop:
+                    break
+                _, annotated = self.step(frame)
+                org_frame.image(frame, channels="BGR")
+                ann_frame.image(annotated, channels="BGR")
+            cap.release()
