@@ -131,8 +131,9 @@ def mlstm_recurrent(
 ):
     """Full-sequence scan of the single-step form (slow reference path)."""
     B, NH, S, DH = q.shape
+    DV = v.shape[-1]  # may differ from DH (qk_dim_factor < 1, xLSTM-7B style)
     if initial_state is None:
-        c0 = jnp.zeros((B, NH, DH, DH), jnp.float32)
+        c0 = jnp.zeros((B, NH, DH, DV), jnp.float32)
         n0 = jnp.zeros((B, NH, DH), jnp.float32)
         m0 = jnp.zeros((B, NH), jnp.float32)
     else:
