@@ -63,3 +63,33 @@ def test_pallas_wrapper_gradients():
     gn = jax.grad(loss_native, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(grads, gn):
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+def test_slstm_pallas_matches_scan_interpret():
+    """Fused Pallas sLSTM vs the lax.scan golden model (kernels/slstm.py),
+    interpret mode; covers forward + the recompute-based VJP."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.kernels.slstm import slstm_scan
+    from xlstm_yolo_tpu.kernels.slstm_pallas import slstm_scan_pallas
+
+    r = np.random.default_rng(3)
+    B, S, NH, DH = 2, 12, 2, 16
+    wx = jnp.asarray(r.normal(size=(B, S, NH, 4, DH)), jnp.float32)
+    R = jnp.asarray(r.normal(size=(NH, DH, 4, DH)) * 0.1, jnp.float32)
+    b = jnp.asarray(r.normal(size=(NH, 4, DH)) * 0.1, jnp.float32)
+
+    y0 = slstm_scan(wx, R, b)
+    y1 = slstm_scan_pallas(wx, R, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-5)
+
+    g1 = jax.grad(lambda w: jnp.sum(slstm_scan_pallas(w, R, b, interpret=True) ** 2))(wx)
+    g0 = jax.grad(lambda w: jnp.sum(slstm_scan(w, R, b) ** 2))(wx)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4, atol=1e-4)
+
+    # state-carry path falls back to the scan (exactness by construction)
+    y2, last = slstm_scan_pallas(wx, R, b, return_last_state=True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y0), rtol=1e-6, atol=1e-6)
+    assert len(last) == 4

@@ -84,8 +84,13 @@ class sLSTMLayer(nn.Module):
 
         bias = self.param("bias", bias_init, (NH, 4, DH))
 
-        out = slstm_scan(wx, r, bias, initial_state=initial_state,
-                         return_last_state=return_last_state)
+        # fused Pallas kernel on TPU (VMEM-resident states, wall-clock parity
+        # with the scan — the chain is latency-bound); the lax.scan form on
+        # other backends and for explicit state carry
+        from ..kernels.slstm_pallas import slstm_scan_pallas
+
+        out = slstm_scan_pallas(wx, r, bias, initial_state=initial_state,
+                                return_last_state=return_last_state)
         y, last = out if return_last_state else (out, None)
         y = y.transpose(0, 2, 1, 3)  # (B, NH, S, DH)
         y = MultiHeadLayerNorm(num_heads=NH, with_bias=False, name="group_norm")(y)
