@@ -53,14 +53,51 @@ def param_sharding_rules(mesh: Mesh, params):
     """Sharding tree for parameters.
 
     Data-parallel-first design: parameters are replicated (YOLO-scale models
-    fit comfortably per chip). When tp > 1, the widest kernels are sharded
-    over their output-channel axis; everything else stays replicated —
-    XLA inserts the all-gathers where needed.
+    fit comfortably per chip). When tp > 1, ViL/xLSTM layers get
+    Megatron-style paired shardings so each layer needs a single reduction
+    (inserted by XLA) after ``proj_down``:
+
+      * ``proj_up`` — column-parallel: kernel (D, 2·ED) over its OUTPUT axis,
+        bias sharded to match. Downstream per-head tensors then flow sharded.
+      * headwise q/k/v (``LinearHeadwiseExpand`` weight (NH, DH, DH)) and the
+        i/f gate Dense outputs (…, NH) — sharded over the HEADS axis, the
+        natural tp axis of the mLSTM (each device runs NH/tp full heads).
+      * ``proj_down`` — row-parallel: kernel (ED, D) over its INPUT axis;
+        bias replicated (applied once after the psum).
+      * per-head norm scales / learnable_skip (flat (NH·DH,)) follow tp.
+
+    Anything else: wide conv/dense kernels (>= 256 out-channels) shard over
+    their output-channel axis; the rest replicates. GSPMD propagates the
+    activation shardings and inserts the collectives.
     """
     tp = mesh.shape["tp"]
 
+    COL = ("proj_up", "ffn_proj_up", "igate", "fgate")  # output-axis sharded
+    ROW = ("proj_down", "ffn_proj_down")  # input-axis sharded
+    # (NH, ...) headwise weights: q/k/v everywhere; the sLSTM layer's four
+    # gates are LinearHeadwiseExpand too (nn/xlstm.py:69-72)
+    HEADWISE = ("q_proj", "k_proj", "v_proj", "igate", "fgate", "zgate", "ogate")
+    FLAT_TP = ("learnable_skip",)
+
     def rule(path, x):
-        if tp > 1 and hasattr(x, "ndim") and x.ndim >= 2 and x.shape[-1] % tp == 0 and x.shape[-1] >= 256:
+        if tp <= 1 or not hasattr(x, "ndim"):
+            return NamedSharding(mesh, P())
+        names = [getattr(p, "key", str(p)) for p in path]
+        mod, leaf = (names[-2] if len(names) > 1 else ""), names[-1]
+        if mod in COL:
+            if leaf == "kernel" and x.ndim == 2 and x.shape[1] % tp == 0:
+                return NamedSharding(mesh, P(None, "tp"))
+            if leaf == "bias" and x.shape[0] % tp == 0:
+                return NamedSharding(mesh, P("tp"))
+        if mod in ROW and leaf == "kernel" and x.ndim == 2 and x.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("tp", None))
+        if mod in HEADWISE and leaf == "weight" and x.ndim == 3 and x.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("tp", None, None))
+        if mod in HEADWISE and leaf == "bias" and x.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("tp"))
+        if leaf in FLAT_TP and x.ndim == 1 and x.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("tp"))
+        if x.ndim >= 2 and x.shape[-1] % tp == 0 and x.shape[-1] >= 256:
             spec = [None] * x.ndim
             spec[-1] = "tp"
             return NamedSharding(mesh, P(*spec))
