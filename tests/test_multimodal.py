@@ -1,0 +1,110 @@
+"""Open-vocabulary data stack: RandomLoadText, MultiModalDataset,
+GroundingDataset (reference data/augment.py:2143, data/dataset.py:251,283)
+and the guide-threaded world loss consuming per-batch txt_feats."""
+import json
+
+import numpy as np
+import pytest
+import yaml
+
+from xlstm_yolo_tpu.data.multimodal import (
+    GroundingDataset, MultiModalDataset, RandomLoadText, names_to_texts,
+)
+from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mm")
+    yaml_path = make_synthetic_dataset(root, n_train=4, n_val=2, imgsz=96)
+    d = yaml.safe_load(open(yaml_path))
+    return root, d
+
+
+def test_random_load_text_remap():
+    r = RandomLoadText(neg_samples=(2, 2), max_samples=6, padding=True, seed=0)
+    texts = [["cat", "kitty"], ["dog"], ["bird"], ["fish"], ["cow"]]
+    cls = np.asarray([2, 0, 2])
+    new_cls, out = r(cls, texts)
+    assert len(out) == 6  # padded to max_samples
+    # positives first, in sorted-class order: 0 -> slot 0, 2 -> slot 1
+    assert list(new_cls) == [1.0, 0.0, 1.0]
+    assert out[0] in ("cat", "kitty") and out[1] == "bird"
+    # negatives are real texts, padding is ""
+    assert all(t == "" for t in out[4:])
+
+
+def test_multimodal_dataset_batch(data_root):
+    root, d = data_root
+
+    def embed(texts):  # deterministic dummy text tower
+        return np.stack([np.full(8, float(len(t)), np.float32) for t in texts])
+
+    ds = MultiModalDataset(
+        str(root / d["train"]), d["names"],
+        text_cfg=dict(neg_samples=(1, 1), max_samples=4),
+        embed_fn=embed, imgsz=96, max_labels=16,
+    )
+    samples = [ds.get_sample(i, np.random.default_rng(0)) for i in range(len(ds.files))]
+    batch = ds.collate(samples)
+    assert len(batch["texts"]) == len(samples)
+    assert all(len(t) == 4 for t in batch["texts"])
+    assert batch["txt_feats"].shape == (len(samples), 4, 8)
+    # remapped classes stay inside the sampled slots
+    cb, mask = batch["cls_boxes"], batch["mask"]
+    assert (cb[mask][:, 0] >= 0).all() and (cb[mask][:, 0] < 4).all()
+
+
+def test_grounding_dataset(tmp_path, data_root):
+    root, d = data_root
+    img_dir = root / d["train"]
+    import pathlib
+
+    files = sorted(pathlib.Path(img_dir).rglob("*.jpg"))[:2]
+    caption = "a red box beside a blue circle"
+    ann = {
+        "images": [
+            {"id": i, "height": 96, "width": 96, "file_name": f.name,
+             "caption": caption}
+            for i, f in enumerate(files)
+        ],
+        "annotations": [
+            {"image_id": 0, "bbox": [10, 10, 30, 30], "iscrowd": 0,
+             "tokens_positive": [[0, 9]]},       # "a red box"
+            {"image_id": 0, "bbox": [50, 40, 20, 20], "iscrowd": 0,
+             "tokens_positive": [[17, 30]]},     # "a blue circle"
+            {"image_id": 1, "bbox": [5, 5, 40, 50], "iscrowd": 0,
+             "tokens_positive": [[0, 9]]},
+        ],
+    }
+    jf = tmp_path / "grounding.json"
+    jf.write_text(json.dumps(ann))
+
+    ds = GroundingDataset(str(files[0].parent), str(jf), imgsz=96, max_labels=8)
+    assert len(ds.files) == 2
+    lb = ds.labels[0]
+    assert lb["texts"] == [["a red box"], ["a blue circle"]]
+    assert lb["cls"].tolist() == [0.0, 1.0]
+    np.testing.assert_allclose(lb["xywhn"][0], [25 / 96, 25 / 96, 30 / 96, 30 / 96])
+
+
+def test_world_train_step_with_batch_txt_feats(data_root):
+    """TaskModel world loss consumes per-batch txt_feats (B, M, C) — the
+    data-side guide threading the trainer uses for open-vocab training."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("yolov8-world.yaml", nc=4)
+    v = m.init(0, imgsz=64)
+    B, M = 2, 4
+    batch = {
+        "img": jnp.zeros((B, 64, 64, 3), jnp.float32),
+        "cls_boxes": jnp.asarray(
+            np.tile(np.asarray([[1.0, 8, 8, 40, 40]], np.float32), (B, 3, 1))),
+        "mask": jnp.ones((B, 3), bool),
+        "txt_feats": jax.random.normal(jax.random.PRNGKey(0), (B, M, 512)),
+    }
+    (total, aux), _ = jax.jit(lambda v, b: m.loss(v, b, train=True))(v, batch)
+    assert np.isfinite(float(total))
