@@ -108,3 +108,45 @@ def test_world_train_step_with_batch_txt_feats(data_root):
     }
     (total, aux), _ = jax.jit(lambda v, b: m.loss(v, b, train=True))(v, batch)
     assert np.isfinite(float(total))
+
+
+def test_world_trainer_end_to_end(data_root, tmp_path):
+    """Full open-vocab training epoch: MultiModalDataset -> txt_feats batches
+    -> world loss -> optimizer step (reference WorldTrainer flow)."""
+    import csv
+
+    from xlstm_yolo_tpu.engine.trainer import Trainer
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    root, d = data_root
+    yaml_path = str(root / "data.yaml") if (root / "data.yaml").exists() else None
+    # re-create the dataset yaml path from the fixture
+    import glob
+
+    cands = glob.glob(str(root / "*.yaml"))
+    assert cands, "synthetic dataset yaml missing"
+    data_yaml = cands[0]
+
+    model = TaskModel("yolov8-world.yaml", nc=d["nc"])
+    embed_dim = model.txt_feats.shape[-1]
+
+    def embed(texts):
+        rng = np.random.default_rng(0)
+        return np.stack([
+            rng.normal(size=embed_dim).astype(np.float32) * 0 + float(len(t) + 1)
+            for t in texts
+        ])
+
+    tr = Trainer(model, overrides={
+        "data": data_yaml, "epochs": 2, "imgsz": 96, "batch": 4, "val": False,
+        "project": str(tmp_path), "name": "world", "max_labels": 16,
+        "optimizer": "SGD", "lr0": 0.005, "warmup_epochs": 0.0, "nbs": 4,
+        "mosaic": 0.0, "scale": 0.0, "translate": 0.0, "fliplr": 0.0,
+        "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0, "plots": False, "seed": 0,
+    })
+    tr.text_encoder = embed
+    tr.train()
+    with open(tr.csv) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert all(np.isfinite(float(r["train/loss"])) for r in rows)

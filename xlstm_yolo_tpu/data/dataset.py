@@ -471,8 +471,14 @@ class Loader:
 def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 16,
                      imgsz: int = 640, augment: bool | None = None, hyp=None,
                      max_labels: int = 128, seed: int = 0, fraction: float = 1.0,
-                     single_cls: bool = False, task: str = "detect"):
-    """Convenience: dataset YAML/dir -> (Loader, data_dict)."""
+                     single_cls: bool = False, task: str = "detect",
+                     embed_fn=None, text_cfg: dict | None = None):
+    """Convenience: dataset YAML/dir -> (Loader, data_dict).
+
+    task="world": open-vocab training — a MultiModalDataset samples per-batch
+    class texts (reference YOLOMultiModalDataset + RandomLoadText) and, with
+    embed_fn (a CLIP-style text tower), attaches txt_feats to every batch.
+    """
     augment = (split == "train") if augment is None else augment
     if task == "classify":
         # classify datasets are plain directories: root/{train,val}/{class}/
@@ -486,9 +492,17 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
     kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
     if isinstance(hyp, dict) and d.get("flip_idx"):
         hyp = {**hyp, "flip_idx": d["flip_idx"]}
-    ds = YOLODataset(d[split], imgsz=imgsz, augment=augment, hyp=hyp,
-                     max_labels=max_labels, single_cls=single_cls, fraction=fraction,
-                     task=task, kpt_shape=kpt_shape)
+    if task == "world":
+        from .multimodal import MultiModalDataset
+
+        ds = MultiModalDataset(d[split], d["names"], text_cfg=text_cfg,
+                               embed_fn=embed_fn, imgsz=imgsz, augment=augment,
+                               hyp=hyp, max_labels=max_labels,
+                               single_cls=single_cls, fraction=fraction)
+    else:
+        ds = YOLODataset(d[split], imgsz=imgsz, augment=augment, hyp=hyp,
+                         max_labels=max_labels, single_cls=single_cls,
+                         fraction=fraction, task=task, kpt_shape=kpt_shape)
     return Loader(ds, batch, shuffle=augment, seed=seed), d
 
 

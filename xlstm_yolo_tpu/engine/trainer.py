@@ -48,6 +48,10 @@ class Trainer:
         self.save_dir = Path(self.args.project or "runs/detect") / (self.args.name or "train")
         self.csv = self.save_dir / "results.csv"
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
+        # open-vocab (world) training: a list[str] -> (n, C) text tower used
+        # by the MultiModalDataset to attach txt_feats to every batch
+        # (reference WorldTrainer clip encode, models/yolo/world/train.py)
+        self.text_encoder = None
 
     def add_callback(self, event: str, func) -> None:
         self.callbacks.add(event, func)
@@ -108,7 +112,7 @@ class Trainer:
             args.data, "train", batch=batch, imgsz=imgsz, hyp=vars(args),
             max_labels=int(args.max_labels), seed=int(args.seed),
             fraction=float(args.fraction), single_cls=bool(args.single_cls),
-            task=self.model.task,
+            task=self.model.task, embed_fn=self.text_encoder,
         )
         self.data = data_dict
         if self.model.nc != data_dict["nc"]:
@@ -188,6 +192,7 @@ class Trainer:
                 self.run_callbacks("on_train_batch_start")
                 base_lr = sched(epoch)
                 lr = TU.warmup_lr(step, epoch, warmup_steps, base_lr, args.warmup_bias_lr)
+                batch_data.pop("texts", None)  # host-only strings (world task)
                 db = M.shard_batch(mesh, batch_data)
                 params, batch_stats, opt_state, ema_params, n_updates, metrics = step_fn(
                     params, batch_stats, opt_state, ema_params, n_updates, db, jnp.float32(lr)

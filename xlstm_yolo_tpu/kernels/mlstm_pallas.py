@@ -204,7 +204,11 @@ def _pick_layout(bnh: int, s: int, cs: int, dh: int, in_bytes: int) -> tuple:
             continue
         seg = s // nseg
         stream = 2 * (3 * seg * sub * in_bytes + 2 * seg * 8 * 4 + seg * sub * 4)
-        g = max(1, min(bnh, min(16, (budget - temps) // max(stream, 1))))
+        # G cap 32: measured P3 (B128 NH8 S6400) 20.3 -> 19.0 ms over G=16
+        # (wider VPU ops); G=64 fails to fit/compile. The budget model is
+        # accurate (predicted 19.3M vs Mosaic's observed 19.8M at the G=32
+        # seg=1280 OOM config), so small-seg G=32 layouts stay in VMEM.
+        g = max(1, min(bnh, min(32, (budget - temps) // max(stream, 1))))
         while bnh % g != 0:
             g -= 1
         steps = (bnh // g) * nseg
