@@ -78,7 +78,30 @@ class Trainer:
             tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
         self.tx = tx
 
+        # device-side augmentation: geometric + photometric stages run as XLA
+        # ops fused into the step (data/device_augment.py) — the host (one
+        # CPU core here) only letterboxes. Keyed off n_updates for
+        # reproducibility; mosaic prob is a traced scalar (close_mosaic).
+        dev_aug = bool(getattr(self.args, "device_augment", False))
+        if dev_aug:
+            from ..data.device_augment import _device_augment_jit
+
+            aug_keys = ("mosaic", "degrees", "translate", "scale", "shear",
+                        "hsv_h", "hsv_s", "hsv_v", "fliplr")
+            aug_hyp = tuple(sorted(
+                (k, float(getattr(self.args, k))) for k in aug_keys
+                if getattr(self.args, k, None) is not None))
+            aug_base_key = jax.random.PRNGKey(int(self.args.seed) + 7919)
+
         def train_step(params, batch_stats, opt_state, ema_params, n_updates, batch, lr):
+            if dev_aug:
+                akey = jax.random.fold_in(aug_base_key, n_updates)
+                img, cb, mk = _device_augment_jit(
+                    batch["img"] * 255.0, batch["cls_boxes"], batch["mask"],
+                    akey, batch["mosaic_p"], aug_hyp)
+                batch = {**batch, "img": img / 255.0, "cls_boxes": cb, "mask": mk}
+                batch.pop("mosaic_p", None)
+
             def loss_fn(p):
                 (total, aux), updates = model.loss(
                     {"params": p, "batch_stats": batch_stats}, batch, hyp=hyp, train=True
@@ -108,11 +131,14 @@ class Trainer:
 
         imgsz = int(args.imgsz)
         batch = int(args.batch)
+        dev_aug = bool(getattr(args, "device_augment", False))
         self.loader, data_dict = build_dataloader(
             args.data, "train", batch=batch, imgsz=imgsz, hyp=vars(args),
             max_labels=int(args.max_labels), seed=int(args.seed),
             fraction=float(args.fraction), single_cls=bool(args.single_cls),
             task=self.model.task, embed_fn=self.text_encoder,
+            # with device-side augmentation the host path is letterbox-only
+            augment=False if dev_aug else None,
         )
         self.data = data_dict
         if self.model.nc != data_dict["nc"]:
@@ -186,6 +212,7 @@ class Trainer:
             if args.close_mosaic and epoch == max(epochs - int(args.close_mosaic), 0):
                 if isinstance(self.loader.ds.hyp, dict):
                     self.loader.ds.hyp["mosaic"] = 0.0
+                self._mosaic_p = 0.0
             epoch_metrics = []
             t0 = time.time()
             for batch_data in self.loader:
@@ -193,6 +220,9 @@ class Trainer:
                 base_lr = sched(epoch)
                 lr = TU.warmup_lr(step, epoch, warmup_steps, base_lr, args.warmup_bias_lr)
                 batch_data.pop("texts", None)  # host-only strings (world task)
+                if dev_aug:
+                    batch_data["mosaic_p"] = np.float32(
+                        getattr(self, "_mosaic_p", float(args.mosaic)))
                 db = M.shard_batch(mesh, batch_data)
                 params, batch_stats, opt_state, ema_params, n_updates, metrics = step_fn(
                     params, batch_stats, opt_state, ema_params, n_updates, db, jnp.float32(lr)

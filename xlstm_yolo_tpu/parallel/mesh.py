@@ -44,9 +44,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the dp-sharded layout."""
+    """Device-put a host batch with the dp-sharded layout; scalars (e.g. the
+    mosaic_p augmentation gate) replicate."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    r = replicated(mesh)
+
+    def put(x):
+        return jax.device_put(x, s if getattr(x, "ndim", np.ndim(x)) else r)
+
+    return jax.tree.map(put, batch)
 
 
 def param_sharding_rules(mesh: Mesh, params):
