@@ -138,3 +138,37 @@ def test_predict_obb_and_classify_tasks():
     v = m.init(0, imgsz=64)
     res = Predictor(m, v, imgsz=64, verbose=False)(img)[0]
     assert res.probs is not None and np.asarray(res.probs).reshape(-1).shape == (4,)
+
+
+def test_predictor_save_outputs(tmp_path):
+    """save / save_txt / save_crop write annotated media, YOLO txt labels and
+    per-class crops under an incremented run dir (reference predictor
+    write_results, engine/predictor.py:325)."""
+    import cv2
+
+    from xlstm_yolo_tpu.engine.predictor import Predictor
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    p = Predictor(m, v, imgsz=64, conf=0.0, verbose=False, save=True,
+                  save_txt=True, save_crop=True, project=str(tmp_path), name="p")
+    res = p("/root/reference/assets/bus.jpg")
+    assert len(res) == 1
+    sd = p.save_dir
+    assert (sd / "bus.jpg").exists()
+    assert (sd / "labels" / "bus.txt").exists()
+
+    # tiny synthetic video -> annotated video written and finalized
+    vid = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+    w.release()
+    p2 = Predictor(m, v, imgsz=64, conf=0.0, verbose=False, save=True,
+                   project=str(tmp_path), name="v")
+    out = p2(str(vid))
+    assert len(out) == 3
+    vids = list(p2.save_dir.glob("*.mp4"))
+    assert vids and vids[0].stat().st_size > 0

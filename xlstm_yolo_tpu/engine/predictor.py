@@ -88,7 +88,10 @@ def load_source(source) -> list:
 class Predictor:
     def __init__(self, model, variables, imgsz: int = 640, conf: float = 0.25,
                  iou: float = 0.7, max_det: int = 300, classes=None,
-                 agnostic_nms: bool = False, verbose: bool = True, callbacks=None, **kwargs):
+                 agnostic_nms: bool = False, verbose: bool = True, callbacks=None,
+                 save: bool = False, save_txt: bool = False, save_conf: bool = False,
+                 save_crop: bool = False, project: str | None = None,
+                 name: str | None = None, exist_ok: bool = False, **kwargs):
         from ..utils.callbacks import default_callbacks
 
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
@@ -101,6 +104,20 @@ class Predictor:
         self.classes = classes
         self.agnostic = agnostic_nms
         self.verbose = verbose
+        # result writing (reference predictor.py:325 write_results + the
+        # save/save_txt/save_crop flags of cfg/default.yaml)
+        self.save = save
+        self.save_txt = save_txt
+        self.save_conf = save_conf
+        self.save_crop = save_crop
+        self.save_dir = None
+        if save or save_txt or save_crop:
+            from ..utils import increment_path
+
+            self.save_dir = increment_path(
+                Path(project or "runs/predict") / (name or "exp"),
+                exist_ok=exist_ok, mkdir=True)
+        self._writers = {}  # video path -> cv2.VideoWriter
         self._jit = jax.jit(self._device_fn)
 
     def _device_fn(self, variables, img):
@@ -195,12 +212,55 @@ class Predictor:
                 res.obb = kw_obb
             self.results = [res]
             self.callbacks.run("on_predict_postprocess_end", self)
+            if self.save_dir is not None:
+                self._write_results(path, res)
             if self.verbose:
                 print(f"{path}: {res.verbose()} "
                       f"({res.speed['inference']:.1f}ms inference)")
             self.callbacks.run("on_predict_batch_end", self)
             yield res
+        for w in self._writers.values():
+            w.release()
+        self._writers.clear()
         self.callbacks.run("on_predict_end", self)
+
+    def _write_results(self, path: str, res):
+        """Persist annotated media / labels / crops under save_dir
+        (reference engine/predictor.py:325-409 write_results)."""
+        import cv2
+
+        base, _, frame = str(path).partition("#")
+        stem = Path(base).stem if Path(base).suffix else f"image_{abs(hash(path)) % 10**8}"
+        is_video = frame != "" and Path(base).suffix.lower() in VID_FORMATS
+        if self.save:
+            annotated = cv2.cvtColor(res.plot(), cv2.COLOR_RGB2BGR)
+            if is_video:
+                w = self._writers.get(base)
+                if w is None:
+                    h_, w_ = annotated.shape[:2]
+                    out = self.save_dir / f"{stem}.mp4"
+                    w = cv2.VideoWriter(str(out), cv2.VideoWriter_fourcc(*"mp4v"),
+                                        30, (w_, h_))
+                    self._writers[base] = w
+                w.write(annotated)
+            else:
+                cv2.imwrite(str(self.save_dir / f"{stem}.jpg"), annotated)
+        if self.save_txt:
+            sfx = f"_{frame}" if is_video else ""
+            (self.save_dir / "labels").mkdir(exist_ok=True)
+            res.save_txt(self.save_dir / "labels" / f"{stem}{sfx}.txt",
+                         save_conf=self.save_conf)
+        if self.save_crop and res.boxes is not None and len(res.boxes):
+            for bi in range(len(res.boxes)):
+                xyxy = np.asarray(res.boxes.xyxy[bi]).astype(int)
+                c = int(np.asarray(res.boxes.cls[bi]))
+                cname = res.names.get(c, str(c)) if isinstance(res.names, dict) else str(c)
+                crop = res.orig_img[max(0, xyxy[1]):xyxy[3], max(0, xyxy[0]):xyxy[2]]
+                if crop.size:
+                    d = self.save_dir / "crops" / str(cname)
+                    d.mkdir(parents=True, exist_ok=True)
+                    cv2.imwrite(str(d / f"{stem}_{bi}.jpg"),
+                                cv2.cvtColor(crop, cv2.COLOR_RGB2BGR))
 
     @staticmethod
     def _match_candidates(d, cands):
