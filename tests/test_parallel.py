@@ -107,3 +107,46 @@ def test_tensor_parallel_vil_matches_replicated():
     with mesh:
         y_tp = np.asarray(jax.jit(blk.apply)(vp, xs))
     np.testing.assert_allclose(y_tp, y_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_distributed_helpers_single_host():
+    """ensure_initialized is an idempotent no-op single-host; helpers report
+    rank 0 of 1 and the loader shard wiring matches."""
+    from xlstm_yolo_tpu.parallel import distributed as D
+
+    assert D.ensure_initialized() == (0, 1)
+    assert D.ensure_initialized() == (0, 1)  # idempotent
+    assert D.local_shard() == (0, 1)
+    assert D.is_main_process()
+
+
+def test_loader_process_sharding():
+    """Loader with shard_index/num_shards partitions the index space without
+    overlap — the DistributedSampler equivalent."""
+    import numpy as np
+
+    from xlstm_yolo_tpu.data.dataset import Loader
+
+    class DS:
+        task = "detect"
+        augment = False
+
+        def __len__(self):
+            return 16
+
+        def get_sample(self, i, rng):
+            return i
+
+        def collate_native(self, idxs):
+            return None
+
+        def collate(self, samples):
+            return list(samples)
+
+    seen = []
+    for si in range(2):
+        ld = Loader(DS(), batch_size=4, shuffle=False, num_shards=2, shard_index=si)
+        assert len(ld) == 2
+        for b in ld:
+            seen.extend(b)
+    assert sorted(seen) == list(range(16))

@@ -503,7 +503,12 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
         ds = YOLODataset(d[split], imgsz=imgsz, augment=augment, hyp=hyp,
                          max_labels=max_labels, single_cls=single_cls,
                          fraction=fraction, task=task, kpt_shape=kpt_shape)
-    return Loader(ds, batch, shuffle=augment, seed=seed), d
+    # per-host shard on multi-host pods (DistributedSampler equivalent)
+    from ..parallel.distributed import local_shard
+
+    shard_index, num_shards = local_shard()
+    return Loader(ds, batch, shuffle=augment, seed=seed,
+                  shard_index=shard_index, num_shards=num_shards), d
 
 
 class ClassificationDataset:

@@ -123,6 +123,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self):
         args = self.args
+        # multi-host bootstrap (no-op single host); rank only picks the data
+        # shard — every process runs this same function (SPMD)
+        from ..parallel.distributed import ensure_initialized, is_main_process
+
+        ensure_initialized()
+        self._main = is_main_process()
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.run_callbacks("on_pretrain_routine_start")
 
@@ -277,8 +283,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _save(self, name, params, batch_stats, ema_params, epoch, opt_state=None):
-        if not self.args.save:
-            return
+        if not self.args.save or not getattr(self, "_main", True):
+            return  # rank-0-only ckpt like the reference (trainer.py:427-442)
         self.run_callbacks("on_model_save")
         save_checkpoint(
             self.save_dir / f"{name}.ckpt",
@@ -292,6 +298,8 @@ class Trainer:
         )
 
     def _log_csv(self, row: dict):
+        if not getattr(self, "_main", True):
+            return
         new = not self.csv.exists()
         with open(self.csv, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(row.keys()))

@@ -45,12 +45,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch with the dp-sharded layout; scalars (e.g. the
-    mosaic_p augmentation gate) replicate."""
+    mosaic_p augmentation gate) replicate.
+
+    Multi-host: each process holds only its LOCAL slice of the global batch
+    (the Loader shards by process, parallel/distributed.py:local_shard), so
+    the global array is assembled with make_array_from_process_local_data —
+    the SPMD replacement for DistributedSampler + DDP scatter."""
     s = batch_sharding(mesh)
     r = replicated(mesh)
+    multi = jax.process_count() > 1
 
     def put(x):
-        return jax.device_put(x, s if getattr(x, "ndim", np.ndim(x)) else r)
+        if not getattr(x, "ndim", np.ndim(x)):
+            return jax.device_put(x, r)
+        if multi:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
 
     return jax.tree.map(put, batch)
 
