@@ -60,3 +60,47 @@ def test_bwd_adversarial_inputs_bounded():
         scale = float(jnp.max(jnp.abs(b)))
         err = float(jnp.max(jnp.abs(a - b))) / scale
         assert err < 2e-2, f"d{name} rel err {err}"
+
+
+@pytest.mark.parametrize("igate_act", ["exp", "sigmoid"])
+def test_pallas_bwd_kernel_matches_golden(igate_act):
+    """Fused reverse-streaming Pallas backward (mlstm_pallas_bwd) vs the
+    golden jnp form, interpret mode, multi-chunk state chain."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd
+
+    r = np.random.default_rng(4)
+    B, NH, S, DH, CS = 2, 2, 64, 8, 8
+    q, k, v = (jnp.asarray(r.normal(size=(B, NH, S, DH)), jnp.float32)
+               for _ in range(3))
+    i = jnp.asarray(r.normal(size=(B, NH, S)), jnp.float32)
+    f = jnp.asarray(r.normal(size=(B, NH, S)) + 2, jnp.float32)
+    dh = jnp.asarray(r.normal(size=(B, NH, S, DH)), jnp.float32)
+    want = mlstm_chunkwise_bwd_ref(q, k, v, i, f, dh, chunk_size=CS,
+                                   igate_act=igate_act)
+    got = mlstm_chunkwise_pallas_bwd(q, k, v, i, f, dh, chunk_size=CS,
+                                     igate_act=igate_act, interpret=True,
+                                     mxu_dtype="float32")
+    for name, a, b in zip("qkvif", got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"d{name}")
+
+
+def test_pallas_wrapper_grad_uses_fused_bwd():
+    """jax.grad through mlstm_chunkwise_pallas routes square heads to the
+    Pallas backward and still matches grads of the native form."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import mlstm_chunkwise_pallas
+
+    r = np.random.default_rng(5)
+    B, NH, S, DH, CS = 2, 2, 32, 8, 8
+    q = jnp.asarray(r.normal(size=(B, NH, S, DH)), jnp.float32)
+    k = q + 0.1 * jnp.asarray(r.normal(size=(B, NH, S, DH)), jnp.float32)
+    v = jnp.asarray(r.normal(size=(B, NH, S, DH)), jnp.float32)
+    i = jnp.asarray(r.normal(size=(B, NH, S)), jnp.float32)
+    f = jnp.asarray(r.normal(size=(B, NH, S)) + 2, jnp.float32)
+
+    gp = jax.grad(lambda q: jnp.sum(
+        mlstm_chunkwise_pallas(q, k, v, i, f, chunk_size=CS, interpret=True,
+                               mxu_dtype="float32") ** 2))(q)
+    gn = jax.grad(lambda q: jnp.sum(
+        mlstm_chunkwise(q, k, v, i, f, chunk_size=CS) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gn), rtol=1e-3, atol=1e-3)

@@ -281,18 +281,22 @@ def _fwd(q, k, v, i_preact, f_preact, chunk_size, igate_act, eps, interpret, mxu
 
 def _bwd(chunk_size, igate_act, eps, interpret, mxu_dtype, res, g):
     q, k, v, i_preact, f_preact = res
+    if v.shape[-1] == q.shape[-1]:
+        # fused reverse-streaming Pallas backward (frozen-stabilizer
+        # gradients — see kernels/mlstm_bwd.py for the convention and the
+        # autograd-equivalence proof)
+        from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd
 
-    def f(q, k, v, i_, f_):
-        return mlstm_chunkwise(
-            q, k, v, i_, f_, chunk_size=chunk_size, igate_act=igate_act, eps=eps
-        )
+        return mlstm_chunkwise_pallas_bwd(
+            q, k, v, i_preact, f_preact, g, chunk_size=chunk_size,
+            igate_act=igate_act, eps=eps, interpret=interpret,
+            mxu_dtype=mxu_dtype)
+    # rectangular heads (DQK != DV): explicit golden-jnp gradients
+    from .mlstm_bwd import mlstm_chunkwise_bwd_ref
 
-    _, vjp = jax.vjp(f, q, k, v, i_preact, f_preact)
-    dq, dk, dv, di, df = vjp(g.astype(jnp.float32))
-    return (
-        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-        di.astype(i_preact.dtype), df.astype(f_preact.dtype),
-    )
+    return mlstm_chunkwise_bwd_ref(
+        q, k, v, i_preact, f_preact, g, chunk_size=chunk_size,
+        igate_act=igate_act, eps=eps)
 
 
 _mlstm_pallas.defvjp(_fwd, _bwd)
