@@ -99,3 +99,68 @@ def test_vit_baseline():
     mf = VE.VisionTransformer(dim=32, depth=1, num_heads=2, patch_size=8, mode="features")
     v = mf.init(jax.random.PRNGKey(0), x)
     assert mf.apply(v, x).shape == (2, 4, 4, 32)
+
+
+def test_drop_path_and_3d_components():
+    """DropPath (deterministic + stochastic), SequenceConv3d, 1d/3d patch &
+    pos embeds (reference vision_lstm_util.py:133,155,226,302)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlstm_yolo_tpu.nn.vil import (
+        DropPath, SequenceConv3d, VitPatchEmbed, VitPosEmbed1d, VitPosEmbed3d,
+    )
+
+    x = jnp.ones((4, 8, 16))
+    dp = DropPath(rate=0.5)
+    v = dp.init(jax.random.PRNGKey(0), x)
+    # deterministic -> identity
+    np.testing.assert_array_equal(np.asarray(dp.apply(v, x)), np.asarray(x))
+    # stochastic: per-sample all-or-scaled
+    y = dp.apply(v, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    per_sample = np.asarray(y)[:, 0, 0]
+    assert set(np.round(per_sample, 4)) <= {0.0, 2.0}
+
+    # video tokens: (B, T*H*W, D) conv3d
+    sc = SequenceConv3d(out_channels=8, seqlens=(2, 4, 4))
+    xs = jnp.ones((2, 32, 6))
+    vv = sc.init(jax.random.PRNGKey(0), xs)
+    assert sc.apply(vv, xs).shape == (2, 32, 8)
+
+    # 1d + 3d patch embed via input rank
+    pe1 = VitPatchEmbed(dim=8, patch_size=4)
+    v1 = pe1.init(jax.random.PRNGKey(0), jnp.ones((2, 16, 3)))
+    assert pe1.apply(v1, jnp.ones((2, 16, 3))).shape == (2, 4, 8)
+    pe3 = VitPatchEmbed(dim=8, patch_size=2)
+    v3 = pe3.init(jax.random.PRNGKey(0), jnp.ones((2, 4, 8, 8, 3)))
+    assert pe3.apply(v3, jnp.ones((2, 4, 8, 8, 3))).shape == (2, 2, 4, 4, 8)
+
+    # pos embeds resize to new grids
+    p1 = VitPosEmbed1d(dim=8, seqlens=(16,))
+    vp1 = p1.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 8)))
+    assert p1.apply(vp1, jnp.zeros((2, 10, 8))).shape == (2, 10, 8)
+    p3 = VitPosEmbed3d(dim=8, seqlens=(4, 4, 4))
+    vp3 = p3.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 4, 8)))
+    assert p3.apply(vp3, jnp.zeros((1, 2, 6, 6, 8))).shape == (1, 2, 6, 6, 8)
+
+
+def test_vision_lstm2_drop_path_training():
+    """VisionLSTM2 with stochastic depth: train apply with a dropout rng
+    differs across rngs, eval apply is deterministic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xlstm_yolo_tpu.nn.vil_extra import VisionLSTM2
+
+    m = VisionLSTM2(dim=16, depth=2, patch_size=8, output_shape=(5,),
+                    qkv_block_size=4, chunk_size=4, drop_path_rate=0.5)
+    x = jnp.ones((2, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    e1 = m.apply(v, x)
+    e2 = m.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    t1 = m.apply(v, x, rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = m.apply(v, x, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))

@@ -156,6 +156,50 @@ class SequenceConv2d(nn.Module):
         return y.reshape(b, -1, self.out_channels)
 
 
+class DropPath(nn.Module):
+    """Stochastic depth over the residual branch (reference
+    vision_lstm_util.py:302): drops the whole branch per sample with prob
+    ``rate`` and rescales survivors. Needs a "dropout" rng when active."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate <= 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, mask_shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class SequenceConv3d(nn.Module):
+    """Conv3d over the (T, H, W) token grid of a (B, S, D) sequence
+    (reference vision_lstm_util.py:133) — video-token variant."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    seqlens: tuple | None = None  # (T, H, W)
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, d = x.shape
+        assert self.seqlens is not None and len(self.seqlens) == 3, \
+            "SequenceConv3d needs seqlens=(T, H, W)"
+        t, h, w = self.seqlens
+        pad = self.kernel_size // 2
+        img = x.reshape(b, t, h, w, d)
+        y = nn.Conv(
+            self.out_channels, (self.kernel_size,) * 3, strides=(self.stride,) * 3,
+            padding=((pad, pad),) * 3, feature_group_count=self.groups,
+            use_bias=self.use_bias, dtype=x.dtype, name="conv",
+        )(img)
+        return y.reshape(b, -1, self.out_channels)
+
+
 class MatrixLSTMCell(nn.Module):
     """mLSTM cell with matrix memory (reference vision_lstm2.py:802).
 
@@ -266,6 +310,7 @@ class ViLLayer(nn.Module):
     igate_act: str = "exp"
     mlstm_backend: str = "auto"
     use_outnorm: bool = True
+    drop_path: float = 0.0  # stochastic depth; active only with a "dropout" rng
 
     @nn.compact
     def __call__(self, x):  # (B, S, D)
@@ -301,6 +346,9 @@ class ViLLayer(nn.Module):
                        dtype=x.dtype, name="proj_down")(h)
         if self.direction == "backward":
             out = out[:, ::-1]
+        if self.drop_path > 0.0:
+            out = DropPath(self.drop_path, name="drop_path")(
+                out, deterministic=not self.has_rng("dropout"))
         return residual + out
 
 
@@ -317,6 +365,7 @@ class ViLBlock(nn.Module):
     igate_act: str = "exp"
     mlstm_backend: str = "auto"
     use_outnorm: bool = True
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x):
@@ -324,7 +373,8 @@ class ViLBlock(nn.Module):
             dim=self.dim, direction=self.direction, qkv_block_size=self.qkv_block_size,
             seqlens=self.seqlens, chunk_size=self.chunk_size,
             conv_kernel_size=self.conv_kernel_size, igate_act=self.igate_act,
-            mlstm_backend=self.mlstm_backend, use_outnorm=self.use_outnorm, name="layer",
+            mlstm_backend=self.mlstm_backend, use_outnorm=self.use_outnorm,
+            drop_path=self.drop_path, name="layer",
         )(x)
 
 
@@ -345,6 +395,7 @@ class ViLBlockPair(nn.Module):
     bidirectional: bool = False
     mlstm_backend: str = "auto"
     use_outnorm: bool = True
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x):  # (B, S, D) or (B, ..., D)
@@ -354,7 +405,7 @@ class ViLBlockPair(nn.Module):
             dim=self.dim, qkv_block_size=self.qkv_block_size, seqlens=self.seqlens,
             chunk_size=self.chunk_size, conv_kernel_size=self.conv_kernel_size,
             igate_act=self.igate_act, mlstm_backend=self.mlstm_backend,
-            use_outnorm=self.use_outnorm,
+            use_outnorm=self.use_outnorm, drop_path=self.drop_path,
         )
         y = ViLBlock(direction="forward", name="fwd", **kw)(x)
         if self.bidirectional:
@@ -371,6 +422,17 @@ class VitPatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # rank decides dimensionality like the reference's ndim arg:
+        # (B, L, C) -> 1d, (B, H, W, C) -> 2d, (B, T, H, W, C) -> 3d video
+        nd = x.ndim - 2
+        ps = (self.patch_size,) * nd if isinstance(self.patch_size, int) \
+            else tuple(self.patch_size)
+        if nd != 2:
+            return nn.Conv(
+                self.dim, ps, strides=ps, padding="VALID",
+                kernel_init=nn.initializers.xavier_uniform(), dtype=x.dtype,
+                name="proj",
+            )(x)
         return nn.Conv(
             self.dim, (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size), padding="VALID",
@@ -391,6 +453,40 @@ class VitPosEmbed2d(nn.Module):
         pe = self.param("embed", nn.initializers.truncated_normal(stddev=0.02), (1, h, w, self.dim))
         if x.shape[1:3] != (h, w):
             pe = jax.image.resize(pe, (1, x.shape[1], x.shape[2], self.dim), method="bicubic")
+        return x + pe.astype(x.dtype)
+
+
+class VitPosEmbed1d(nn.Module):
+    """Learnable 1D pos embed with linear resize (reference
+    vision_lstm_util.py VitPosEmbed, ndim=1)."""
+
+    dim: int
+    seqlens: tuple = (196,)
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, D)
+        (l,) = self.seqlens
+        pe = self.param("embed", nn.initializers.truncated_normal(stddev=0.02),
+                        (1, l, self.dim))
+        if x.shape[1] != l:
+            pe = jax.image.resize(pe, (1, x.shape[1], self.dim), method="linear")
+        return x + pe.astype(x.dtype)
+
+
+class VitPosEmbed3d(nn.Module):
+    """Learnable 3D (video) pos embed with trilinear resize (reference
+    vision_lstm_util.py VitPosEmbed, ndim=3)."""
+
+    dim: int
+    seqlens: tuple = (8, 14, 14)
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, H, W, D)
+        t, h, w = self.seqlens
+        pe = self.param("embed", nn.initializers.truncated_normal(stddev=0.02),
+                        (1, t, h, w, self.dim))
+        if x.shape[1:4] != (t, h, w):
+            pe = jax.image.resize(pe, (1, *x.shape[1:4], self.dim), method="trilinear")
         return x + pe.astype(x.dtype)
 
 

@@ -330,6 +330,8 @@ class VisionLSTM2(nn.Module):
     qkv_block_size: int = 4
     chunk_size: int = 64
     bidirectional: bool = False
+    drop_path_rate: float = 0.0  # stochastic depth (reference drop_path_rate)
+    drop_path_decay: bool = True  # linspace 0 -> rate over depth
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -338,10 +340,15 @@ class VisionLSTM2(nn.Module):
         x = VitPosEmbed2d(self.dim, (h, w), name="pos_embed")(x)
         b = x.shape[0]
         seq = x.reshape(b, h * w, self.dim)
+        if self.drop_path_decay and self.depth > 1:
+            dprs = [self.drop_path_rate * i / (self.depth - 1) for i in range(self.depth)]
+        else:
+            dprs = [self.drop_path_rate] * self.depth
         for i in range(self.depth):
             seq = ViLBlockPair(dim=self.dim, qkv_block_size=self.qkv_block_size,
                                seqlens=(h, w), chunk_size=self.chunk_size,
-                               bidirectional=self.bidirectional, name=f"block{i}")(seq)
+                               bidirectional=self.bidirectional,
+                               drop_path=dprs[i], name=f"block{i}")(seq)
         seq = nn.LayerNorm(name="norm")(seq)
         if self.pooling == "to_image":
             out = seq.reshape(b, h, w, self.dim)
