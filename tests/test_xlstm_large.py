@@ -101,3 +101,20 @@ def test_from_pretrained_shape_mismatch(tmp_path, model_and_vars):
     (tmp_path / "config.json").write_text(json.dumps(bad))
     with pytest.raises((ValueError, Exception)):
         from_pretrained(tmp_path)
+
+
+def test_generate_scan_matches_python_loop():
+    """Device-side lax.scan decode == per-token python-loop decode (greedy)."""
+    import jax
+    import numpy as np
+
+    from xlstm_yolo_tpu.nn.xlstm_large import generate, generate_scan, xLSTMLarge
+
+    m = xLSTMLarge(vocab_size=32, embedding_dim=32, num_blocks=2, num_heads=2,
+                   chunk_size=4)
+    import jax.numpy as jnp
+
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray([[1, 2, 3, 4]]))
+    want = np.asarray(generate(m, v, [1, 2, 3, 4], max_new_tokens=6))
+    got = np.asarray(generate_scan(m, v, [1, 2, 3, 4], max_new_tokens=6))
+    np.testing.assert_array_equal(got, want)

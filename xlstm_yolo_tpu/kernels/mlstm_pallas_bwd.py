@@ -213,13 +213,16 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, dh_ref, ct_ref, np_ref, sc_ref,
             # state chain (reverse carry)
             dcn = dcn_scr[gi]  # (DV, DH) grad wrt c_new_j
             dnn = dnn_scr[gi]  # (DH, 1)
-            do_s = d_old[gi]  # (1, 1)
-            dn_s = d_new[gi]
-            dkv = dcn * dn_s  # (DV, DH)
-            dksum = dnn * dn_s  # (DH, 1)
-            dbtot = (jnp.sum(dcn * ct) + jnp.sum(dnn * n_col)) * do_s[0, 0]
-            dcn_scr[gi] = dct_attn + dcn * do_s
-            dnn_scr[gi] = dn_attn + dnn * do_s
+            # Mosaic can't broadcast (1,1)->(DV,DH) in one shot (sublane +
+            # lane); stage the sublane expansion first (same workaround as
+            # the forward kernel's decay factors)
+            do_col = jnp.broadcast_to(d_old[gi], (dh, 1))  # (DV==DH, 1)
+            dn_col = jnp.broadcast_to(d_new[gi], (dh, 1))
+            dkv = dcn * dn_col  # (DV, DH)
+            dksum = dnn * dn_col  # (DH, 1)
+            dbtot = (jnp.sum(dcn * ct) + jnp.sum(dnn * n_col)) * d_old[gi][0, 0]
+            dcn_scr[gi] = dct_attn + dcn * do_col
+            dnn_scr[gi] = dn_attn + dnn * do_col
 
             kg = kt[gi] * gw[gi]  # (DH, CS)
             dvc = dvc + dot32(dkv, kg)  # (DV, CS)

@@ -215,6 +215,41 @@ def generate(model: xLSTMLarge, variables: dict, prompt, max_new_tokens: int = 2
     return jnp.concatenate(out, axis=1)
 
 
+def generate_scan(model: xLSTMLarge, variables: dict, prompt,
+                  max_new_tokens: int = 20, temperature: float = 0.0, rng=None):
+    """Serving decode path: the ENTIRE token loop runs on device as one
+    ``lax.scan`` — one jit invocation total, no per-token host round-trips
+    (the python-loop ``generate`` pays relay/dispatch latency every step).
+    Same math as ``generate``."""
+    tokens = jnp.asarray(prompt)
+    if tokens.ndim == 1:
+        tokens = tokens[None]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(variables, tokens, rng):
+        logits, state = model.apply(variables, tokens, return_last_states=True)
+
+        def body(carry, _):
+            last, state, rng = carry
+            if temperature > 0:
+                rng, sub = jax.random.split(rng)
+                nxt = jax.random.categorical(sub, last / temperature, axis=-1)
+            else:
+                nxt = jnp.argmax(last, axis=-1)
+            lg, state = model.apply(variables, nxt[:, None], state=state,
+                                    return_last_states=True)
+            return (lg[:, -1], state, rng), nxt
+
+        (_, _, _), toks = jax.lax.scan(
+            body, (logits[:, -1], state, rng), None, length=max_new_tokens)
+        return toks.swapaxes(0, 1)  # (B, T_new)
+
+    new = run(variables, tokens, rng)
+    return jnp.concatenate([tokens, new], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # local checkpoint import
 # ---------------------------------------------------------------------------
