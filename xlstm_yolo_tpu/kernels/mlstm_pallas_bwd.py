@@ -63,18 +63,21 @@ def chunk_carry_states(q, k, v, i_preact, f_preact, chunk_size, igate_act="exp")
         c_prev, n_prev, m_prev = carry
         kv_j, ks_j, bt_j, ml_j = xs
         m_new = jnp.maximum(bt_j + m_prev, ml_j)
-        d_old = jnp.exp(bt_j + m_prev - m_new)
-        d_new = jnp.exp(ml_j - m_new)
+        ld_old = bt_j + m_prev - m_new  # log decays: the kernel re-exps them
+        ld_new = ml_j - m_new           # after a sublane broadcast (Mosaic
+        d_old = jnp.exp(ld_old)         # can't fuse a 2-axis broadcast)
+        d_new = jnp.exp(ld_new)
         c_new = c_prev * d_old[..., None, None] + kv_j * d_new[..., None, None]
         n_new = n_prev * d_old[..., None] + ks_j * d_new[..., None]
-        return (c_new, n_new, m_new), (c_prev, n_prev, m_prev, d_old, d_new)
+        return (c_new, n_new, m_new), (c_prev, n_prev, m_prev, ld_old, ld_new)
 
     c0 = jnp.zeros((B, NH, DH, DV), f32)
     n0 = jnp.zeros((B, NH, DH), f32)
     m0 = jnp.zeros((B, NH), f32)
     xs = (jnp.moveaxis(kv, 2, 0), jnp.moveaxis(ksum, 2, 0),
           jnp.moveaxis(btot, 2, 0), jnp.moveaxis(m_loc, 2, 0))
-    _, (cp, np_, mp, do, dn) = jax.lax.scan(step, (c0, n0, m0), xs)
+    _, (cp, np_, mp, ldo, ldn) = jax.lax.scan(step, (c0, n0, m0), xs)
+    do, dn = ldo, ldn  # stored in LOG space (see step)
     ct_prev = jnp.moveaxis(cp, 0, 2).swapaxes(-1, -2).reshape(B * NH, NS, DV, DH)
     # lane dim = NS so the kernel can take full-row blocks (block-shape rule:
     # small trailing dims must equal the array dims)
@@ -151,8 +154,8 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, dh_ref, ct_ref, np_ref, sc_ref,
             return jnp.sum(jnp.where(sel, x, 0.0), axis=2, keepdims=True)
 
         m_prev = lane_pick(sc_ref[:, 0:1, :])  # (G, 1, 1)
-        d_old = lane_pick(sc_ref[:, 1:2, :])
-        d_new = lane_pick(sc_ref[:, 2:3, :])
+        ld_old = lane_pick(sc_ref[:, 1:2, :])  # LOG decay factors
+        ld_new = lane_pick(sc_ref[:, 2:3, :])
 
         idl = m_prev + b  # (G, 1, CS)
         stab = jnp.maximum(d_max, idl)
@@ -214,13 +217,13 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, dh_ref, ct_ref, np_ref, sc_ref,
             dcn = dcn_scr[gi]  # (DV, DH) grad wrt c_new_j
             dnn = dnn_scr[gi]  # (DH, 1)
             # Mosaic can't broadcast (1,1)->(DV,DH) in one shot (sublane +
-            # lane); stage the sublane expansion first (same workaround as
-            # the forward kernel's decay factors)
-            do_col = jnp.broadcast_to(d_old[gi], (dh, 1))  # (DV==DH, 1)
-            dn_col = jnp.broadcast_to(d_new[gi], (dh, 1))
+            # lane); materialize the sublane expansion THROUGH the exp so it
+            # can't be folded back (same workaround as the forward kernel)
+            do_col = jnp.exp(jnp.broadcast_to(ld_old[gi], (dh, 1)))  # (DV==DH, 1)
+            dn_col = jnp.exp(jnp.broadcast_to(ld_new[gi], (dh, 1)))
             dkv = dcn * dn_col  # (DV, DH)
             dksum = dnn * dn_col  # (DH, 1)
-            dbtot = (jnp.sum(dcn * ct) + jnp.sum(dnn * n_col)) * d_old[gi][0, 0]
+            dbtot = (jnp.sum(dcn * ct) + jnp.sum(dnn * n_col)) * jnp.exp(ld_old[gi][0, 0])
             dcn_scr[gi] = dct_attn + dcn * do_col
             dnn_scr[gi] = dn_attn + dnn * do_col
 

@@ -17,6 +17,7 @@ checkpoint import is a mechanical rename.
 """
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 
@@ -226,28 +227,31 @@ def generate_scan(model: xLSTMLarge, variables: dict, prompt,
         tokens = tokens[None]
     if rng is None:
         rng = jax.random.PRNGKey(0)
-
-    @jax.jit
-    def run(variables, tokens, rng):
-        logits, state = model.apply(variables, tokens, return_last_states=True)
-
-        def body(carry, _):
-            last, state, rng = carry
-            if temperature > 0:
-                rng, sub = jax.random.split(rng)
-                nxt = jax.random.categorical(sub, last / temperature, axis=-1)
-            else:
-                nxt = jnp.argmax(last, axis=-1)
-            lg, state = model.apply(variables, nxt[:, None], state=state,
-                                    return_last_states=True)
-            return (lg[:, -1], state, rng), nxt
-
-        (_, _, _), toks = jax.lax.scan(
-            body, (logits[:, -1], state, rng), None, length=max_new_tokens)
-        return toks.swapaxes(0, 1)  # (B, T_new)
-
-    new = run(variables, tokens, rng)
+    new = _scan_decode(model, variables, tokens, rng, int(max_new_tokens),
+                       float(temperature))
     return jnp.concatenate([tokens, new], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _scan_decode(model, variables, tokens, rng, max_new_tokens, temperature):
+    """Module-level so jax.jit caches across generate_scan calls (a closure
+    would recompile every invocation)."""
+    logits, state = model.apply(variables, tokens, return_last_states=True)
+
+    def body(carry, _):
+        last, state, rng = carry
+        if temperature > 0:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, last / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(last, axis=-1)
+        lg, state = model.apply(variables, nxt[:, None], state=state,
+                                return_last_states=True)
+        return (lg[:, -1], state, rng), nxt
+
+    (_, _, _), toks = jax.lax.scan(
+        body, (logits[:, -1], state, rng), None, length=max_new_tokens)
+    return toks.swapaxes(0, 1)  # (B, T_new)
 
 
 # ---------------------------------------------------------------------------
