@@ -93,6 +93,13 @@ class Trainer:
                 if getattr(self.args, k, None) is not None))
             aug_base_key = jax.random.PRNGKey(int(self.args.seed) + 7919)
 
+        # bf16 mixed precision (dtype cfg key): activations compute in bf16
+        # (modules take dtype from their input; norms/loss stay fp32
+        # internally), params/optimizer/EMA stay fp32 — the TPU equivalent
+        # of the reference's AMP GradScaler path (no scaler needed: bf16
+        # keeps fp32's exponent range).
+        amp = str(getattr(self.args, "dtype", "bfloat16")) == "bfloat16"
+
         def train_step(params, batch_stats, opt_state, ema_params, n_updates, batch, lr):
             if dev_aug:
                 akey = jax.random.fold_in(aug_base_key, n_updates)
@@ -101,6 +108,8 @@ class Trainer:
                     akey, batch["mosaic_p"], aug_hyp)
                 batch = {**batch, "img": img / 255.0, "cls_boxes": cb, "mask": mk}
                 batch.pop("mosaic_p", None)
+            if amp:  # after augmentation (its geometry runs fp32)
+                batch = {**batch, "img": batch["img"].astype(jnp.bfloat16)}
 
             def loss_fn(p):
                 (total, aux), updates = model.loss(
