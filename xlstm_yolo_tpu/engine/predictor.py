@@ -118,10 +118,19 @@ class Predictor:
                 Path(project or "runs/predict") / (name or "exp"),
                 exist_ok=exist_ok, mkdir=True)
         self._writers = {}  # video path -> cv2.VideoWriter
+        # bf16 inference by default (the reference runs half() on CUDA);
+        # decode/NMS stay fp32 inside predictions_full
+        self.half = str(kwargs.get("dtype", "bfloat16")) == "bfloat16"
         self._jit = jax.jit(self._device_fn)
 
     def _device_fn(self, variables, img):
         task = self.model.task
+        if self.half:
+            img = img.astype(jnp.bfloat16)
+            variables = dict(variables)
+            variables["params"] = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                variables["params"])
         if task == "classify":
             return self.model.predictions_full(variables, img)["probs"]
         if task == "rtdetr":
