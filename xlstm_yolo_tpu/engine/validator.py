@@ -21,11 +21,15 @@ from ..utils import metrics as MET
 class Validator:
     def __init__(self, model, data=None, imgsz: int = 640, conf: float = 0.001,
                  iou: float = 0.7, max_det: int = 300, max_labels: int = 128,
-                 batch: int = 16, verbose: bool = False, callbacks=None):
+                 batch: int = 16, verbose: bool = False, callbacks=None,
+                 half: bool = True):
         from ..utils.callbacks import default_callbacks
 
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
         self.model = model
+        # bf16 eval like the reference's half=True CUDA default; decode/NMS
+        # and metric math stay fp32
+        self.half = half
         self.data = data
         self.imgsz = imgsz
         self.conf = conf
@@ -34,6 +38,16 @@ class Validator:
         self.max_labels = max_labels
         self.batch = batch
         self.verbose = verbose
+
+    def _prep(self, variables, img):
+        """In-graph bf16 cast of params + image when half (trace-time flag)."""
+        if not self.half:
+            return variables, img
+        v = dict(variables)
+        v["params"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            variables["params"])
+        return v, img.astype(jnp.bfloat16)
 
     def __call__(self, variables: dict, data: str | dict | None = None) -> dict:
         from ..data.dataset import build_dataloader, check_det_dataset
@@ -58,6 +72,7 @@ class Validator:
 
         @jax.jit
         def predict(variables, img):
+            variables, img = self._prep(variables, img)
             pred = model.predictions(variables, img)
             return non_max_suppression(
                 pred, conf_thres=self.conf, iou_thres=self.iou,
@@ -142,7 +157,8 @@ class Validator:
         import time as _t
 
         model = self.model
-        predict = jax.jit(lambda v, img: model.predictions_full(v, img)["probs"])
+        predict = jax.jit(
+            lambda v, img: model.predictions_full(*self._prep(v, img))["probs"])
         correct1 = correct5 = total = 0
         t0 = _t.time()
         for batch in loader:
@@ -169,6 +185,7 @@ class Validator:
 
         @jax.jit
         def predict(variables, img):
+            variables, img = self._prep(variables, img)
             cands = model.predictions_full(variables, img)["cands"]
             return nms_rotated(cands, conf_thres=self.conf, iou_thres=self.iou,
                                max_det=self.max_det)
@@ -208,6 +225,7 @@ class Validator:
 
         @jax.jit
         def predict(variables, img):
+            variables, img = self._prep(variables, img)
             full = model.predictions_full(variables, img)
             dets, valid = non_max_suppression(
                 full["cands"], conf_thres=self.conf, iou_thres=self.iou,
@@ -297,6 +315,7 @@ class Validator:
 
         @jax.jit
         def predict(variables, img):
+            variables, img = self._prep(variables, img)
             full = model.predictions_full(variables, img)
             n = full["cands"].shape[1]
             merged = jnp.concatenate([full["cands"], full["kpts"]], axis=-1)
