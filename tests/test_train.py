@@ -157,3 +157,24 @@ def test_metrics_localization_threshold():
     tp = MET.match_predictions(np.asarray([0.0]), np.asarray([0.0]), iou)
     assert tp[0, 0] and tp[0, 1]  # 0.50, 0.55
     assert not tp[0, 3]  # 0.65
+
+
+def test_trainer_preemption_and_profile(data_yaml, tmp_path):
+    """Preemption request (SIGTERM handler sets _preempted) checkpoints and
+    stops mid-run; profile=True writes a jax.profiler trace directory."""
+    from xlstm_yolo_tpu.engine.trainer import Trainer
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    model = TaskModel("yolov8n.yaml", nc=3)
+    tr = Trainer(model, overrides={
+        "data": data_yaml, "epochs": 50, "imgsz": 96, "batch": 8, "val": False,
+        "project": str(tmp_path), "name": "pre", "max_labels": 16,
+        "optimizer": "SGD", "warmup_epochs": 0.0, "nbs": 8, "plots": False,
+        "profile": True, "mosaic": 0.0, "seed": 0,
+    })
+    # simulate the SIGTERM handler firing during the first batch
+    tr.add_callback("on_train_batch_end", lambda t: setattr(t, "_preempted", True))
+    tr.train()
+    assert (tr.save_dir / "last.ckpt" / "state.msgpack").exists()
+    prof = list((tr.save_dir / "profile").rglob("*"))
+    assert prof, "profiler trace not written"

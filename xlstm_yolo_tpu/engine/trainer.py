@@ -219,8 +219,34 @@ class Trainer:
 
         self.run_callbacks("on_pretrain_routine_end")
         self.run_callbacks("on_train_start")
+
+        # preemption safety: TPU pods can be reclaimed mid-run; SIGTERM/SIGINT
+        # request a checkpoint at the next step boundary instead of dying with
+        # unsaved state (the reference has no elastic story, SURVEY.md §5)
+        import signal
+
+        self._preempted = False
+
+        def _request_save(signum, frame):
+            self._preempted = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_save)
+            except ValueError:  # non-main thread
+                pass
+
+        # optional profiler trace of the first few steps of epoch 0
+        # (jax.profiler -> TensorBoard/XProf, the reference's profile=True)
+        prof_steps = 3 if bool(getattr(args, "profile", False)) else 0
+        if prof_steps:
+            jax.profiler.start_trace(str(self.save_dir / "profile"))
+
         step = self.start_epoch * nb
         t_start = time.time()
+        means = {"loss": float("nan")}
+        val_metrics = {}
         for epoch in range(self.start_epoch, epochs):
             self.epoch = epoch
             self.run_callbacks("on_train_epoch_start")
@@ -244,11 +270,21 @@ class Trainer:
                 )
                 epoch_metrics.append(metrics)
                 step += 1
+                if prof_steps and step >= self.start_epoch * nb + prof_steps:
+                    jax.profiler.stop_trace()
+                    prof_steps = 0
                 # optimizer + zero-grad are fused inside the XLA step; the hooks
                 # still fire for API parity (reference trainer.py:591-599)
                 self.run_callbacks("optimizer_step")
                 self.run_callbacks("on_before_zero_grad")
+                if self._preempted:
+                    break
                 self.run_callbacks("on_train_batch_end")
+            if self._preempted:
+                print("preemption signal received — checkpointing and stopping")
+                self._save("last", params, batch_stats, ema_params, epoch,
+                           opt_state=opt_state)
+                break
             means = {k: float(np.mean([float(m[k]) for m in epoch_metrics])) for k in epoch_metrics[0]}
             dt = time.time() - t0
             imps = nb * batch / dt
@@ -282,6 +318,10 @@ class Trainer:
                 print(f"early stopping at epoch {epoch} (best {stopper.best_epoch})")
                 break
 
+        if prof_steps:  # run shorter than the requested trace
+            jax.profiler.stop_trace()
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         self.variables = {"params": jax.device_get(ema_params), "batch_stats": jax.device_get(batch_stats)}
         self.metrics = val_metrics if args.val else {"train_loss": means["loss"]}
         self.run_callbacks("on_params_update")
