@@ -178,3 +178,25 @@ def test_trainer_preemption_and_profile(data_yaml, tmp_path):
     assert (tr.save_dir / "last.ckpt" / "state.msgpack").exists()
     prof = list((tr.save_dir / "profile").rglob("*"))
     assert prof, "profiler trace not written"
+
+
+def test_validator_tail_batch_and_save_json(tmp_path):
+    """val must evaluate EVERY image (no drop_last tail loss) and can dump
+    COCO-format predictions (reference detect/val.py pred_to_json)."""
+    import json as _json
+
+    from xlstm_yolo_tpu.engine.validator import Validator
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    data_yaml = make_synthetic_dataset(tmp_path / "ds5", n_train=4, n_val=5, imgsz=96)
+    m = TaskModel("yolov8n.yaml", nc=3)
+    v = m.init(0, imgsz=96)
+    out = Validator(m, imgsz=96, max_labels=16, batch=4, conf=0.5,
+                    save_json=True, save_dir=str(tmp_path / "valrun"))(v, data=data_yaml)
+    assert out["images"] == 5, f"tail batch dropped: {out['images']}"
+    jp = tmp_path / "valrun" / "predictions.json"
+    assert jp.exists()
+    preds = _json.loads(jp.read_text())
+    assert isinstance(preds, list)
+    for p in preds[:3]:
+        assert set(p) == {"image_id", "category_id", "bbox", "score"}

@@ -487,7 +487,7 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
         ds = ClassificationDataset(str(split_dir), imgsz=imgsz, augment=augment,
                                    hyp=hyp, fraction=fraction)
         d = {"names": ds.names, "nc": len(ds.names), "path": root}
-        return Loader(ds, batch, shuffle=augment, seed=seed), d
+        return Loader(ds, batch, shuffle=augment, seed=seed, drop_last=augment), d
     d = check_det_dataset(data_yaml)
     kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
     if isinstance(hyp, dict) and d.get("flip_idx"):
@@ -507,7 +507,9 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
     from ..parallel.distributed import local_shard
 
     shard_index, num_shards = local_shard()
-    return Loader(ds, batch, shuffle=augment, seed=seed,
+    # eval must see EVERY image: keep the tail batch (one extra XLA program
+    # for its smaller shape) instead of silently dropping the remainder
+    return Loader(ds, batch, shuffle=augment, seed=seed, drop_last=augment,
                   shard_index=shard_index, num_shards=num_shards), d
 
 

@@ -7,6 +7,7 @@ does the greedy IoU matching at 10 thresholds and COCO-style AP integration.
 """
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 
@@ -22,7 +23,8 @@ class Validator:
     def __init__(self, model, data=None, imgsz: int = 640, conf: float = 0.001,
                  iou: float = 0.7, max_det: int = 300, max_labels: int = 128,
                  batch: int = 16, verbose: bool = False, callbacks=None,
-                 half: bool = True):
+                 half: bool = True, save_json: bool = False,
+                 save_dir: str | None = None):
         from ..utils.callbacks import default_callbacks
 
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
@@ -30,6 +32,9 @@ class Validator:
         # bf16 eval like the reference's half=True CUDA default; decode/NMS
         # and metric math stay fp32
         self.half = half
+        # COCO-format predictions dump (reference detect/val.py:281 pred_to_json)
+        self.save_json = save_json
+        self.save_dir = Path(save_dir) if save_dir else Path("runs/val")
         self.data = data
         self.imgsz = imgsz
         self.conf = conf
@@ -81,6 +86,8 @@ class Validator:
 
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         n_img = 0
+        jdict = []
+        files = list(getattr(loader.ds, "files", []))
         t0 = time.time()
         for batch in loader:
             self.callbacks.run("on_val_batch_start", self)
@@ -90,6 +97,8 @@ class Validator:
             n_img += len(dets)
             for bi in range(len(dets)):
                 d = dets[bi][valid[bi]]  # (n, 6) xyxy conf cls
+                if self.save_json:
+                    self._pred_to_json(jdict, d, files, n_img - len(dets) + bi)
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]  # (m, 5) cls xyxy
                 gt_cls = gt[:, 0]
@@ -106,10 +115,19 @@ class Validator:
             self.callbacks.run("on_val_batch_end", self)
 
         dt = time.time() - t0
+        json_path = None
+        if self.save_json:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            json_path = self.save_dir / "predictions.json"
+            with open(json_path, "w") as f:
+                json.dump(jdict, f)
         if not stats["tp"]:
             self.callbacks.run("on_val_end", self)
-            return {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0,
-                    "fitness": 0.0, "images": n_img, "img_s": round(n_img / dt, 1)}
+            out = {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0,
+                   "fitness": 0.0, "images": n_img, "img_s": round(n_img / dt, 1)}
+            if json_path is not None:
+                out["save_json_path"] = str(json_path)
+            return out
         tp = np.concatenate(stats["tp"])
         conf = np.concatenate(stats["conf"])
         pred_cls = np.concatenate(stats["pred_cls"])
@@ -121,6 +139,8 @@ class Validator:
             "fitness": MET.fitness(r["map50"], r["map"]),
             "images": n_img, "img_s": round(n_img / dt, 1),
         }
+        if json_path is not None:
+            out["save_json_path"] = str(json_path)
         if self.verbose:
             names = self.model.names
             for ci, c in enumerate(r["unique_classes"]):
@@ -129,6 +149,21 @@ class Validator:
                       f"AP={r['ap'][ci].mean():.3f}")
         self.callbacks.run("on_val_end", self)
         return out
+
+    @staticmethod
+    def _pred_to_json(jdict, dets, files, img_idx):
+        """COCO-format detection records (reference detect/val.py
+        pred_to_json): image_id = numeric stem when possible, xywh boxes."""
+        stem = Path(files[img_idx]).stem if img_idx < len(files) else str(img_idx)
+        image_id = int(stem) if stem.isnumeric() else stem
+        for x1, y1, x2, y2, conf, cls in np.asarray(dets, dtype=float):
+            jdict.append({
+                "image_id": image_id,
+                "category_id": int(cls),
+                "bbox": [round(x1, 3), round(y1, 3),
+                         round(x2 - x1, 3), round(y2 - y1, 3)],
+                "score": round(float(conf), 5),
+            })
 
     # ------------------------------------------------------------------
     # task-specific eval paths (reference models/yolo/{classify,obb,segment,
