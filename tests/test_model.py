@@ -216,3 +216,30 @@ def test_cblinear_cbfuse_in_graph():
     v = m.init(0, imgsz=64)
     out = jax.jit(m.predictions)(v, jnp.zeros((1, 64, 64, 3)))
     assert bool(jnp.isfinite(out).all())
+
+
+def test_model_facade_load_reset_embed(tmp_path):
+    """Model.load / reset_weights / embed / benchmark+tune existence
+    (reference engine/model.py API surface)."""
+    import numpy as np
+
+    from xlstm_yolo_tpu import YOLO
+
+    m = YOLO("yolov8n.yaml")
+    # save -> reset -> load round-trip restores weights
+    ck = tmp_path / "w.ckpt"
+    m.save(str(ck))
+    import jax
+
+    before = jax.tree.leaves(m.variables["params"])[0]
+    m.reset_weights()
+    m.load(str(ck))
+    after = jax.tree.leaves(m.variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+    # embed returns one feature vector per image
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    emb = m.embed(img, imgsz=64)
+    assert len(emb) == 1 and emb[0].ndim == 1 and emb[0].size > 0
+
+    assert callable(m.benchmark) and callable(m.tune)

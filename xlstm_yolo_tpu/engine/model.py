@@ -107,3 +107,71 @@ class Model:
         from ..utils.checkpoint import save_checkpoint
 
         save_checkpoint(path, self.model, self.variables)
+
+    def load(self, weights: str):
+        """Load weights into the current architecture (reference
+        Model.load): .ckpt dirs or torch .pt files via the name-mapping
+        importer; shapes must match."""
+        p = str(weights)
+        if p.endswith(".pt"):
+            from ..utils.torch_import import load_torch_weights
+
+            self.variables, _, _ = load_torch_weights(self.variables, p)
+        else:
+            from ..utils.checkpoint import load_checkpoint
+
+            _, self.variables, self.ckpt = load_checkpoint(p)
+        self.predictor = None  # re-jit with the new weights
+        return self
+
+    def reset_weights(self):
+        """Re-initialize all parameters (reference Model.reset_weights)."""
+        self.variables = self.model.init()
+        self.predictor = None
+        return self
+
+    def embed(self, source=None, **kwargs):
+        """Feature embeddings per image (reference Model.embed): the decoded
+        candidate boxes are replaced by pooled backbone features."""
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from .predictor import load_source
+        from ..data.augment import letterbox
+
+        imgsz = int(kwargs.get("imgsz", 640))
+        fn = jax.jit(lambda v, x: self.model.raw_forward(v, x))
+        outs = []
+        for _, orig in load_source(source):
+            img, _, _ = letterbox(orig, imgsz)
+            out = fn(self.variables, jnp.asarray(img, jnp.float32)[None] / 255.0)
+            det = out.get("det") if isinstance(out, dict) else out
+            feats = det if isinstance(det, (list, tuple)) else [det]
+            pooled = [np.asarray(jnp.mean(f, axis=(1, 2))) for f in feats]
+            outs.append(np.concatenate([p.reshape(-1) for p in pooled]))
+        return outs
+
+    def benchmark(self, data: str | None = None, **kwargs):
+        """Export-parity + latency table across formats (reference
+        Model.benchmark -> utils/benchmarks.benchmark)."""
+        from ..utils.benchmarks import benchmark
+
+        return benchmark(self.model, self.variables, data=data, **kwargs)
+
+    def tune(self, data: str | None = None, iterations: int = 10, **kwargs):
+        """Genetic hyperparameter evolution (reference Model.tune ->
+        engine/tuner.Tuner)."""
+        from ..nn.tasks import TaskModel
+        from .tuner import Tuner
+
+        overrides = {"data": data, **kwargs}
+        nc = self.model.nc
+        yaml_path = self.model_path
+
+        def model_fn():
+            return TaskModel(yaml_path, nc=nc)
+
+        return Tuner(model_fn, overrides,
+                     save_dir=str(kwargs.get("project", "runs/tune")))(iterations)
