@@ -243,3 +243,30 @@ def test_model_facade_load_reset_embed(tmp_path):
     assert len(emb) == 1 and emb[0].ndim == 1 and emb[0].size > 0
 
     assert callable(m.benchmark) and callable(m.tune)
+
+
+def test_extended_model_zoo_builds():
+    """p2/p6/ghost/v3-tiny/v9{t,s,e} variants: build, stride-probe, forward;
+    param counts match the reference summaries (e.g. v9e 58.1M, v8n-p6 4.98M)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    expect = {
+        "yolov8-p2.yaml": ((4, 8, 16, 32), 3_354_128),
+        "yolov8-p6.yaml": ((8, 16, 32, 64), 4_984_336),
+        "yolov8-ghost.yaml": ((8, 16, 32), 2_087_968),
+        "yolov3-tiny.yaml": ((16, 32), 12_173_232),
+        "yolov9t.yaml": ((8, 16, 32), 2_128_704),
+        "yolov9s.yaml": ((8, 16, 32), 7_318_352),
+        "yolov9e.yaml": ((8, 16, 32), 58_206_576),
+    }
+    for y, (strides, n_params) in expect.items():
+        m = TaskModel(y, nc=80)
+        assert m.strides == strides, (y, m.strides)
+        v = m.init(0, imgsz=128)
+        n = sum(int(x.size) for x in jax.tree.leaves(v["params"]))
+        assert n == n_params, (y, n)
+        out = jax.jit(m.predictions)(v, jnp.zeros((1, 128, 128, 3)))
+        assert out.shape[-1] == 84

@@ -158,6 +158,8 @@ def load_model_yaml(name: str | Path) -> tuple[dict, str | None]:
     scale = None
     # "yolov8n.yaml" -> yolov8.yaml scale n; "yolov8s-seg.yaml" -> yolov8-seg.yaml scale s
     m = re.match(r"^(.*?)([nsmlx])(-[a-z0-9]+)?$", stem)
+    if not p.exists() and (MODELS_DIR / p.with_suffix(".yaml").name).exists():
+        m = None  # an exact zoo file wins over scale-letter stripping (yolov9s.yaml)
     if not p.exists() and m is not None:
         base = f"{m.group(1)}{m.group(3) or ''}.yaml"
         if (MODELS_DIR / base).exists():

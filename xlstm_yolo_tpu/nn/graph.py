@@ -49,6 +49,9 @@ for _n, _c, _k in [
     ("GhostConv", M.GhostConv, "conv"),
     ("SCDown", M.SCDown, "conv"),
     ("ADown", M.ADown, "conv"),
+    ("AConv", M.AConv, "conv"),
+    ("nn.Identity", M.Identity, "plain"),
+    ("Silence", M.Identity, "plain"),
     ("Bottleneck", M.Bottleneck, "conv"),
     ("C2f", M.C2f, "csp"),
     ("C3", M.C3, "csp"),
@@ -85,6 +88,8 @@ for _n, _c, _k in [
     ("nn.Upsample", M.Upsample, "plain"),
     ("Upsample", M.Upsample, "plain"),
     ("MaxPool", M.MaxPool, "plain"),
+    ("nn.MaxPool2d", M.MaxPool, "plain"),
+    ("nn.ZeroPad2d", M.ZeroPad2d, "plain"),
     ("Detect", H.Detect, "head"),
     ("v10Detect", H.v10Detect, "head"),
     ("Segment", H.Segment, "head"),
@@ -173,6 +178,10 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
     depth, width, max_ch = cfg.get("depth_multiple", 1.0), cfg.get("width_multiple", 1.0), float("inf")
     if scales:
         scale = scale or cfg.get("scale") or next(iter(scales))
+        if scale not in scales:
+            # filename-derived scale letter that this yaml doesn't define
+            # (e.g. yolov9s.yaml is its own file, not yolov9.yaml scale "s")
+            scale = next(iter(scales))
         depth, width, max_ch = scales[scale]
 
     layers: list[LayerSpec] = []
@@ -226,6 +235,10 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
                     kwargs["scale"] = int(args[1])
                 if len(args) >= 3 and args[2]:
                     kwargs["mode"] = str(args[2])
+            elif name in ("nn.MaxPool2d", "MaxPool"):
+                margs = list(args[:2])  # [k, s]; explicit pad handled by ZeroPad2d
+            elif name == "nn.ZeroPad2d":
+                margs = [tuple(args[0])]  # [[l, r, t, b]]
             else:
                 margs = args
         elif kind == "elan":

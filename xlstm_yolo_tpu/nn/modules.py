@@ -267,6 +267,18 @@ class MaxPool(nn.Module):
         return nn.max_pool(x, (self.k, self.k), strides=(self.s, self.s), padding=((p, p), (p, p)))
 
 
+class ZeroPad2d(nn.Module):
+    """Explicit spatial zero padding (torch nn.ZeroPad2d in the reference's
+    yolov3-tiny YAML); padding = (left, right, top, bottom)."""
+
+    padding: tuple = (0, 0, 0, 0)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.padding
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
 class Attention(nn.Module):
     """Multi-head self-attention over the spatial grid with positional conv
     (reference block.py Attention used by PSA/C2PSA)."""
@@ -358,6 +370,26 @@ class ADown(nn.Module):
         x2 = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         x2 = ConvBN(c, 1, 1, name="cv2")(x2, train)
         return jnp.concatenate([x1, x2], axis=-1)
+
+
+class AConv(nn.Module):
+    """v9-t/s downsample: 2x2 stride-1 avgpool then strided conv
+    (reference block.py AConv)."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding=((0, 1), (0, 1)))
+        return ConvBN(self.c2, 3, 2, name="cv1")(x, train)
+
+
+class Identity(nn.Module):
+    """Pass-through (torch nn.Identity / v9's Silence placeholder layer)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x
 
 
 class Focus(nn.Module):
