@@ -117,6 +117,7 @@ def _register_world():
 
     register("C2fAttn", W.C2fAttn, "world")
     register("WorldDetect", W.WorldDetectHead, "head")
+    register("ImagePoolingAttn", W.ImagePoolingAttn, "world_pool")
 
 
 _register_world()
@@ -241,6 +242,11 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
                 margs = [tuple(args[0])]  # [[l, r, t, b]]
             else:
                 margs = args
+        elif kind == "world_pool":
+            # ImagePoolingAttn [ec]: output IS the updated text guide
+            c2 = 512
+            margs = []
+            kwargs["ec"] = make_divisible(min(args[0] if args else 256, max_ch) * width, 8)
         elif kind == "elan":
             # RepNCSPELAN4 [c2, c3, c4, n]: all channel args width-scaled
             c2 = make_divisible(min(args[0], max_ch) * width, 8)
@@ -282,6 +288,7 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
                 task = "world"
                 margs = [int(args[1]) if len(args) > 1 else 512]
                 kwargs["ch"] = in_ch
+                kwargs["with_bn"] = bool(args[2]) if len(args) > 2 else False
             elif name == "RTDETRDecoder":
                 task = "rtdetr"
                 margs = [args[0] if args else nc]
@@ -377,6 +384,10 @@ class GraphModel(nn.Module):
                 if g is None:  # init-time fallback so params exist
                     g = jnp.zeros((x.shape[0], 1, 512), x.dtype)
                 prev = mod(inp, g, train=train, **extra)
+                if getattr(type(mod), "updates_guide", False):
+                    # ImagePoolingAttn: its output replaces the text guide for
+                    # every later layer (reference WorldModel txt_feats update)
+                    guide = prev
             else:
                 prev = mod(inp, train=train, **extra)
             if spec.i in save:

@@ -35,6 +35,77 @@ class ContrastiveHead(nn.Module):
         return sim * logit_scale + bias
 
 
+class BNContrastiveHead(nn.Module):
+    """Contrastive head normalizing image features with BatchNorm instead of
+    l2 (reference block.py:560, used by YOLO-Worldv2): bias init -10,
+    logit_scale init -1 (exp'd)."""
+
+    @nn.compact
+    def __call__(self, x, txt, train: bool = False):  # x (B,H,W,C); txt (B,nt,C)
+        bias = self.param("bias", nn.initializers.constant(-10.0), ())
+        logit_scale = self.param("logit_scale", nn.initializers.constant(-1.0), ())
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, name="norm")(x)
+        if txt.shape[0] == 1 and x.shape[0] > 1:
+            txt = jnp.broadcast_to(txt, (x.shape[0], *txt.shape[1:]))
+        tn = txt / jnp.clip(jnp.linalg.norm(txt, axis=-1, keepdims=True), 1e-6, None)
+        sim = jnp.einsum("bhwc,btc->bhwt", x, tn.astype(x.dtype))
+        return sim * jnp.exp(logit_scale) + bias
+
+
+def _adaptive_max_pool(x, k: int):
+    """Torch AdaptiveMaxPool2d((k, k)) semantics, NHWC, static shapes."""
+    b, h, w, c = x.shape
+    rows = []
+    for i in range(k):
+        cols = []
+        r0, r1 = (i * h) // k, -((-(i + 1) * h) // k)
+        for j in range(k):
+            c0, c1 = (j * w) // k, -((-(j + 1) * w) // k)
+            cols.append(jnp.max(x[:, r0:r1, c0:c1], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # (B, k, k, C)
+
+
+class ImagePoolingAttn(nn.Module):
+    """Image-aware text enhancement (reference block.py:496): each FPN level
+    is pooled to k x k patches, the text embeddings cross-attend to them and
+    the attended features are added back into the text. The graph replaces
+    the running guide with this module's output (``updates_guide``)."""
+
+    ec: int = 256
+    ct: int = 512
+    nh: int = 8
+    k: int = 3
+    use_scale: bool = False
+    needs_guide = True
+    updates_guide = True
+
+    @nn.compact
+    def __call__(self, feats, text, train: bool = False):
+        bs = feats[0].shape[0]
+        if text.shape[0] == 1 and bs > 1:
+            text = jnp.broadcast_to(text, (bs, *text.shape[1:]))
+        patches = []
+        for i, f in enumerate(feats):
+            p = nn.Conv(self.ec, (1, 1), name=f"proj{i}")(f)
+            patches.append(_adaptive_max_pool(p, self.k).reshape(bs, self.k * self.k, self.ec))
+        xp = jnp.concatenate(patches, axis=1)  # (B, nf*k*k, ec)
+        q = nn.Dense(self.ec, name="query")(nn.LayerNorm(name="q_ln")(text))
+        kk = nn.Dense(self.ec, name="key")(nn.LayerNorm(name="k_ln")(xp))
+        vv = nn.Dense(self.ec, name="value")(nn.LayerNorm(name="v_ln")(xp))
+        hc = self.ec // self.nh
+        qh = q.reshape(bs, -1, self.nh, hc)
+        kh = kk.reshape(bs, -1, self.nh, hc)
+        vh = vv.reshape(bs, -1, self.nh, hc)
+        aw = jnp.einsum("bnmc,bkmc->bmnk", qh, kh) / (hc ** 0.5)
+        aw = jax.nn.softmax(aw, axis=-1)
+        out = jnp.einsum("bmnk,bkmc->bnmc", aw, vh).reshape(bs, -1, self.ec)
+        out = nn.Dense(self.ct, name="proj")(out)
+        scale = self.param("scale", nn.initializers.zeros, ()) if self.use_scale else 1.0
+        return text + out * scale
+
+
 class MaxSigmoidAttnBlock(nn.Module):
     """Text-guided spatial attention (reference block.py MaxSigmoidAttnBlock)."""
 
@@ -87,6 +158,7 @@ class WorldDetectHead(nn.Module):
     embed_dim: int = 512
     ch: tuple = ()
     reg_max: int = 16
+    with_bn: bool = False  # Worldv2: BNContrastiveHead instead of cosine
     needs_guide = True
 
     @nn.compact
@@ -100,6 +172,9 @@ class WorldDetectHead(nn.Module):
             b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{i}_2")(b)
             e = ConvBN(c3, 3, name=f"cv4_{i}_0")(x, train)
             e = ConvBN(self.embed_dim, 1, act=False, name=f"cv4_{i}_1")(e, train)
-            cls = ContrastiveHead(name=f"cv4_{i}_attn")(e, txt_feats)
+            if self.with_bn:
+                cls = BNContrastiveHead(name=f"cv4_{i}_attn")(e, txt_feats, train=train)
+            else:
+                cls = ContrastiveHead(name=f"cv4_{i}_attn")(e, txt_feats)
             outs.append(jnp.concatenate([b, cls], axis=-1))
         return outs
