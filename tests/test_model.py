@@ -270,3 +270,24 @@ def test_extended_model_zoo_builds():
         assert n == n_params, (y, n)
         out = jax.jit(m.predictions)(v, jnp.zeros((1, 128, 128, 3)))
         assert out.shape[-1] == 84
+
+
+def test_more_zoo_variants_build():
+    """v3-spp, v5-p6, seg/pose p6, v9c-seg, worldv2, cls-resnet50 all parse,
+    stride-probe and init (task dispatch per head)."""
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    expect = {
+        "yolov3-spp.yaml": ("detect", (8, 16, 32)),
+        "yolov5-p6.yaml": ("detect", (8, 16, 32, 64)),
+        "yolov8-seg-p6.yaml": ("segment", (8, 16, 32, 64)),
+        "yolov8-pose-p6.yaml": ("pose", (8, 16, 32, 64)),
+        "yolov9c-seg.yaml": ("segment", (8, 16, 32)),
+        "yolov8-worldv2.yaml": ("world", (8, 16, 32)),
+        "yolov8-cls-resnet50.yaml": ("classify", ()),
+    }
+    for y, (task, strides) in expect.items():
+        m = TaskModel(y)
+        assert m.task == task, (y, m.task)
+        assert m.strides == strides, (y, m.strides)
+        m.init(0, imgsz=64 if task in ("classify",) else 128)
