@@ -158,3 +158,18 @@ def test_rtdetr_full_graph_train_loss_with_cdn():
     (total, aux), _ = model.loss(v, batch)
     assert np.isfinite(float(total))
     assert "dn_box" in aux and np.isfinite(float(aux["dn_box"]))
+
+
+def test_rtdetr_param_fidelity():
+    """HGBlock lightconv + RepC3 neck bring the param counts in line with
+    the torch reference (~32M for l, ~67M for x; was 82M before the
+    lightconv fix)."""
+    import jax
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    for y, lo, hi in (("rtdetr-l.yaml", 28e6, 34e6), ("rtdetr-x.yaml", 63e6, 72e6)):
+        m = TaskModel(y, nc=80)
+        v = m.init(0, imgsz=64)
+        n = sum(int(x.size) for x in jax.tree.leaves(v["params"]))
+        assert lo < n < hi, (y, n)

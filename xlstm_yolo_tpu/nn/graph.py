@@ -73,6 +73,7 @@ for _n, _c, _k in [
     ("BottleneckCSP", M.BottleneckCSP, "csp"),
     ("GhostBottleneck", M.GhostBottleneck, "conv"),
     ("SPP", M.SPP, "conv"),
+    ("RepC3", M.RepC3, "csp"),
     ("SPPELAN", M.SPPELAN, "custom"),
     ("ELAN1", M.ELAN1, "custom"),
     ("ResNetLayer", M.ResNetLayer, "custom"),
@@ -258,9 +259,18 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
             # HGStem [cm, c2] / HGBlock [cm, c2, k, light, shortcut]
             cm = make_divisible(min(args[0], max_ch) * width, 8)
             c2 = make_divisible(min(args[1], max_ch) * width, 8)
-            margs = [cm, c2, *args[2:]]
-            if name == "HGBlock" and n_rep > 1:
-                kwargs["n"] = 6  # HGBlock repeats are internal convs, not block repeats
+            margs = [cm, c2]
+            if name == "HGBlock":
+                if len(args) > 2:
+                    kwargs["k"] = int(args[2])
+                if len(args) > 3:
+                    kwargs["lightconv"] = bool(args[3])
+                if len(args) > 4:
+                    kwargs["shortcut"] = bool(args[4])
+                if n_rep > 1:
+                    kwargs["n"] = n_rep  # internal conv count, not block repeats
+            else:
+                margs += list(args[2:])
             n_rep = 1
         elif kind == "plain_args":
             c2 = c1

@@ -478,6 +478,27 @@ class RepBottleneck(nn.Module):
         return x + y if self.shortcut and x.shape[-1] == self.c2 else y
 
 
+class RepC3(nn.Module):
+    """RT-DETR FPN block (reference block.py RepC3): n chained RepConvs on
+    one branch, 1x1 shortcut branch, summed then projected."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            a = RepConv(c_, 3, name=f"m{i}")(a, train)
+        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        y = a + b
+        if c_ != self.c2:
+            y = ConvBN(self.c2, 1, 1, name="cv3")(y, train)
+        return y
+
+
 class RepCSP(nn.Module):
     """C3 with RepBottlenecks (reference block.py RepCSP)."""
 

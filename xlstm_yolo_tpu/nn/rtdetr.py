@@ -66,7 +66,14 @@ class HGBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         ys = [x]
         for i in range(self.n):
-            ys.append(ConvBN(self.cm, self.k, 1, act="relu", name=f"m{i}")(ys[-1], train))
+            if self.lightconv:
+                # LightConv (reference conv.py): 1x1 (no act) + depthwise k
+                z = ConvBN(self.cm, 1, 1, act=False, name=f"m{i}_cv1")(ys[-1], train)
+                z = ConvBN(self.cm, self.k, 1, g=self.cm, act="relu",
+                           name=f"m{i}_cv2")(z, train)
+                ys.append(z)
+            else:
+                ys.append(ConvBN(self.cm, self.k, 1, act="relu", name=f"m{i}")(ys[-1], train))
         y = jnp.concatenate(ys, axis=-1)
         y = ConvBN(self.c2 // 2, 1, 1, act="relu", name="sc")(y, train)
         y = ConvBN(self.c2, 1, 1, act="relu", name="ec")(y, train)
