@@ -256,7 +256,7 @@ def test_extended_model_zoo_builds():
     expect = {
         "yolov8-p2.yaml": ((4, 8, 16, 32), 3_354_128),
         "yolov8-p6.yaml": ((8, 16, 32, 64), 4_984_336),
-        "yolov8-ghost.yaml": ((8, 16, 32), 2_087_968),
+        "yolov8-ghost.yaml": ((8, 16, 32), 1_865_300),
         "yolov3-tiny.yaml": ((16, 32), 12_173_232),
         "yolov9t.yaml": ((8, 16, 32), 2_128_704),
         "yolov9s.yaml": ((8, 16, 32), 7_318_352),

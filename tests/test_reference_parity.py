@@ -188,3 +188,35 @@ def test_yolov8n_loss_parity(reference):
     np.testing.assert_allclose(float(total), float(tloss.sum()), rtol=0.04)
     for i, k in enumerate(("box", "cls", "dfl")):
         np.testing.assert_allclose(float(aux[k]), float(_items[i]), rtol=0.06)
+
+
+def test_model_zoo_param_fidelity(reference):
+    """Architecture fidelity across the zoo: our param counts equal the
+    reference DetectionModel's for every shared config (modulo the
+    functional-DFL -16). This audit caught real structural bugs (rtdetr
+    lightconv, yolo11/12 legacy head, A2C2f mlp_ratio, C3Ghost arg order)."""
+    import jax
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    pairs = [
+        ("yolov8.yaml", "yolov8n.yaml"),
+        ("yolov5.yaml", "yolov5n.yaml"),
+        ("yolo11.yaml", "yolo11n.yaml"),
+        ("yolo12.yaml", "yolo12n.yaml"),
+        ("yolov9.yaml", "yolov9c.yaml"),
+        ("yolov9e.yaml", "yolov9e.yaml"),
+        ("yolov3-tiny.yaml", "yolov3-tiny.yaml"),
+        ("yolov8-p6.yaml", "yolov8n-p6.yaml"),
+        ("yolov8-ghost.yaml", "yolov8n-ghost.yaml"),
+    ]
+    for ours, ref in pairs:
+        import torch
+
+        torch.manual_seed(0)
+        tm = reference.nn.tasks.DetectionModel(ref, ch=3, nc=80, verbose=False)
+        tn = sum(p.numel() for p in tm.parameters())
+        m = TaskModel(ours, nc=80)
+        v = m.init(0, imgsz=128)
+        n = sum(int(x.size) for x in jax.tree.leaves(v["params"]))
+        assert n == tn - 16, (ours, n, tn)

@@ -193,6 +193,9 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
     head_index = -1
 
     rows = list(cfg["backbone"]) + list(cfg.get("head", []))
+    # yolo11/yolo12 graphs (C3k2 / A2C2f present) switch the Detect-family
+    # cls branch to the DWConv form (reference nn/tasks.py:1191,1195)
+    legacy_head = not any(r[2] in ("C3k2", "A2C2f") for r in rows)
     for i, (f, n, name, args) in enumerate(rows):
         fs = tuple(f) if isinstance(f, (list, tuple)) else (f,)
         # normalize negative refs to absolute layer indices (-1 stays relative marker)
@@ -324,6 +327,8 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
             elif name == "Classify":
                 task = "classify"
                 margs = [args[0] if args else nc]
+            if name in ("Detect", "Segment", "Pose", "OBB") and not legacy_head:
+                kwargs["legacy"] = False
             c2 = 0
         else:  # custom kinds are handled by the registered class itself
             c2, margs, kwargs = cls.parse(  # type: ignore[attr-defined]

@@ -47,6 +47,9 @@ class Detect(nn.Module):
     ch: tuple = ()
     reg_max: int = 16
     strides: tuple = (8, 16, 32)
+    # False for yolo11/yolo12 graphs (reference nn/tasks.py:1191): the cls
+    # branch becomes two DWConv+1x1 pairs instead of two full 3x3 convs
+    legacy: bool = True
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -58,8 +61,15 @@ class Detect(nn.Module):
             b = ConvBN(c2, 3, name=f"cv2_{i}_0")(x, train)
             b = ConvBN(c2, 3, name=f"cv2_{i}_1")(b, train)
             b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, bias_init=_box_bias_init, name=f"cv2_{i}_2")(b)
-            c = ConvBN(c3, 3, name=f"cv3_{i}_0")(x, train)
-            c = ConvBN(c3, 3, name=f"cv3_{i}_1")(c, train)
+            if self.legacy:
+                c = ConvBN(c3, 3, name=f"cv3_{i}_0")(x, train)
+                c = ConvBN(c3, 3, name=f"cv3_{i}_1")(c, train)
+            else:
+                cx = x.shape[-1]
+                c = ConvBN(cx, 3, g=cx, name=f"cv3_{i}_0_0")(x, train)
+                c = ConvBN(c3, 1, name=f"cv3_{i}_0_1")(c, train)
+                c = ConvBN(c3, 3, g=c3, name=f"cv3_{i}_1_0")(c, train)
+                c = ConvBN(c3, 1, name=f"cv3_{i}_1_1")(c, train)
             c = nn.Conv(
                 self.nc, (1, 1), use_bias=True, bias_init=_cls_bias_init(self.nc, s), name=f"cv3_{i}_2"
             )(c)
@@ -77,10 +87,11 @@ class Segment(nn.Module):
     ch: tuple = ()
     reg_max: int = 16
     strides: tuple = (8, 16, 32)
+    legacy: bool = True
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        det = Detect(self.nc, self.ch, self.reg_max, self.strides, name="detect")(feats, train)
+        det = Detect(self.nc, self.ch, self.reg_max, self.strides, legacy=self.legacy, name="detect")(feats, train)
         # prototypes from the highest-resolution map (reference block.py Proto)
         p = ConvBN(self.npr, 3, name="proto_cv1")(feats[0], train)
         b, h, w, c = p.shape
@@ -105,10 +116,11 @@ class Pose(nn.Module):
     ch: tuple = ()
     reg_max: int = 16
     strides: tuple = (8, 16, 32)
+    legacy: bool = True
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        det = Detect(self.nc, self.ch, self.reg_max, self.strides, name="detect")(feats, train)
+        det = Detect(self.nc, self.ch, self.reg_max, self.strides, legacy=self.legacy, name="detect")(feats, train)
         nk = self.kpt_shape[0] * self.kpt_shape[1]
         c4 = max(self.ch[0] // 4, nk)
         kpts = []
@@ -128,10 +140,11 @@ class OBB(nn.Module):
     ch: tuple = ()
     reg_max: int = 16
     strides: tuple = (8, 16, 32)
+    legacy: bool = True
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
-        det = Detect(self.nc, self.ch, self.reg_max, self.strides, name="detect")(feats, train)
+        det = Detect(self.nc, self.ch, self.reg_max, self.strides, legacy=self.legacy, name="detect")(feats, train)
         c4 = max(self.ch[0] // 4, self.ne)
         angles = []
         for i, x in enumerate(feats):

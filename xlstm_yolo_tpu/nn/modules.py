@@ -641,6 +641,7 @@ class A2C2f(nn.Module):
     area: int = 1
     residual: bool = False
     e: float = 0.5
+    mlp_ratio: float = 2.0  # A2C2f passes 2.0 to its ABlocks (block.py:1469)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -650,8 +651,10 @@ class A2C2f(nn.Module):
         area = self.area if self.area and self.area > 0 else 1
         for i in range(self.n):
             if self.a2:
-                z = ABlock(c, max(1, c // 32), area=area, name=f"m{i}a")(ys[-1], train)
-                z = ABlock(c, max(1, c // 32), area=area, name=f"m{i}b")(z, train)
+                z = ABlock(c, max(1, c // 32), mlp_ratio=self.mlp_ratio,
+                           area=area, name=f"m{i}a")(ys[-1], train)
+                z = ABlock(c, max(1, c // 32), mlp_ratio=self.mlp_ratio,
+                           area=area, name=f"m{i}b")(z, train)
             else:
                 z = C3k(c, 2, True, name=f"m{i}")(ys[-1], train)
             ys.append(z)
@@ -1013,6 +1016,7 @@ class C3Ghost(nn.Module):
 
     c2: int
     n: int = 1
+    shortcut: bool = True  # positional parity with C3's YAML row; unused here
     e: float = 0.5
 
     @nn.compact
