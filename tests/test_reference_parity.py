@@ -209,6 +209,7 @@ def test_model_zoo_param_fidelity(reference):
         ("yolov3-tiny.yaml", "yolov3-tiny.yaml"),
         ("yolov8-p6.yaml", "yolov8n-p6.yaml"),
         ("yolov8-ghost.yaml", "yolov8n-ghost.yaml"),
+        ("yolov10.yaml", "yolov10n.yaml"),
     ]
     for ours, ref in pairs:
         import torch
@@ -220,3 +221,21 @@ def test_model_zoo_param_fidelity(reference):
         v = m.init(0, imgsz=128)
         n = sum(int(x.size) for x in jax.tree.leaves(v["params"]))
         assert n == tn - 16, (ours, n, tn)
+
+    # task heads: Segment / Pose / OBB / Classify builders
+    import torch
+
+    for ours, ref, cls in (
+        ("yolov8-seg.yaml", "yolov8n-seg.yaml", "SegmentationModel"),
+        ("yolov8-pose.yaml", "yolov8n-pose.yaml", "PoseModel"),
+        ("yolov8-obb.yaml", "yolov8n-obb.yaml", "OBBModel"),
+        ("yolov8-cls.yaml", "yolov8n-cls.yaml", "ClassificationModel"),
+    ):
+        torch.manual_seed(0)
+        tm = getattr(reference.nn.tasks, cls)(ref, ch=3, verbose=False)
+        tn = sum(p.numel() for p in tm.parameters())
+        m = TaskModel(ours)
+        v = m.init(0, imgsz=64)
+        n = sum(int(x.size) for x in jax.tree.leaves(v["params"]))
+        delta = 0 if cls == "ClassificationModel" else -16
+        assert n == tn + delta, (ours, n, tn)

@@ -313,6 +313,8 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
             elif name == "Segment":
                 task = "segment"
                 margs = list(args) if args else [nc]
+                if len(margs) > 2:  # proto channels width-scale (tasks.py:1246)
+                    margs[2] = make_divisible(min(margs[2], max_ch) * width, 8)
                 kwargs["ch"] = in_ch
             elif name == "Pose":
                 task = "pose"

@@ -92,10 +92,11 @@ class Segment(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         det = Detect(self.nc, self.ch, self.reg_max, self.strides, legacy=self.legacy, name="detect")(feats, train)
-        # prototypes from the highest-resolution map (reference block.py Proto)
+        # prototypes from the highest-resolution map (reference block.py Proto:
+        # conv -> LEARNED 2x2 ConvTranspose upsample -> conv -> conv)
         p = ConvBN(self.npr, 3, name="proto_cv1")(feats[0], train)
-        b, h, w, c = p.shape
-        p = jax.image.resize(p, (b, h * 2, w * 2, c), method="nearest")
+        p = nn.ConvTranspose(self.npr, (2, 2), strides=(2, 2), padding="VALID",
+                             use_bias=True, dtype=p.dtype, name="proto_up")(p)
         p = ConvBN(self.npr, 3, name="proto_cv2")(p, train)
         proto = ConvBN(self.nm, 1, name="proto_cv3")(p, train)
         c4 = max(self.ch[0] // 4, self.nm)

@@ -536,11 +536,25 @@ class RepNCSPELAN4(nn.Module):
         return ConvBN(self.c2, 1, 1, name="cv4")(jnp.concatenate([y1, y2, y3, y4], -1), train)
 
 
+class RepVGGDW(nn.Module):
+    """Large-kernel depthwise pair (reference block.py RepVGGDW): 7x7 DW +
+    3x3 DW branches summed, SiLU; fusable at deploy."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = ConvBN(self.c, 7, 1, g=self.c, act=False, name="conv")(x, train)
+        b = ConvBN(self.c, 3, 1, g=self.c, act=False, name="conv1")(x, train)
+        return nn.silu(a + b)
+
+
 class CIB(nn.Module):
     """Cheap inverted block (reference block.py CIB, YOLOv10)."""
 
     c2: int
     shortcut: bool = True
+    lk: bool = False  # large-kernel RepVGGDW middle conv (v10 deep stages)
     e: float = 0.5
 
     @nn.compact
@@ -549,7 +563,10 @@ class CIB(nn.Module):
         c_ = int(self.c2 * self.e)
         y = ConvBN(c1, 3, 1, g=c1, name="cv0")(x, train)
         y = ConvBN(2 * c_, 1, 1, name="cv1")(y, train)
-        y = ConvBN(2 * c_, 3, 1, g=2 * c_, name="cv2")(y, train)
+        if self.lk:
+            y = RepVGGDW(2 * c_, name="cv2lk")(y, train)
+        else:
+            y = ConvBN(2 * c_, 3, 1, g=2 * c_, name="cv2")(y, train)
         y = ConvBN(self.c2, 1, 1, name="cv3")(y, train)
         y = ConvBN(self.c2, 3, 1, g=self.c2, act=False, name="cv4")(y, train)
         return x + y if self.shortcut and c1 == self.c2 else y
@@ -570,7 +587,9 @@ class C2fCIB(nn.Module):
         y = ConvBN(2 * c, 1, 1, name="cv1")(x, train)
         ys = list(jnp.split(y, 2, axis=-1))
         for i in range(self.n):
-            ys.append(CIB(c, self.shortcut, name=f"m{i}")(ys[-1], train))
+            # C2fCIB builds its CIBs at full expansion (reference block.py:
+            # CIB(self.c, self.c, shortcut, e=1.0, lk=lk))
+            ys.append(CIB(c, self.shortcut, lk=self.lk, e=1.0, name=f"m{i}")(ys[-1], train))
         return ConvBN(self.c2, 1, 1, name="cv2")(jnp.concatenate(ys, -1), train)
 
 
