@@ -57,8 +57,11 @@ def test_results_api(tmp_path):
     assert len(r) == 2
     np.testing.assert_allclose(r.boxes.xywh[0], [30, 35, 40, 50])
     assert "1 a" in r.verbose() and "1 b" in r.verbose()
-    j = r.to_json()
+    import json
+
+    j = json.loads(r.to_json())  # reference API: to_json returns a string
     assert j[0]["name"] == "b" and j[0]["confidence"] == 0.9
+    assert r.summary()[0]["box"]["x1"] == 10.0
     plotted = r.plot()
     assert plotted.shape == img.shape and plotted.sum() > 0
     r.save_txt(tmp_path / "out.txt", save_conf=True)
@@ -137,7 +140,7 @@ def test_predict_obb_and_classify_tasks():
     m = TaskModel("yolov8n-cls.yaml", nc=4)
     v = m.init(0, imgsz=64)
     res = Predictor(m, v, imgsz=64, verbose=False)(img)[0]
-    assert res.probs is not None and np.asarray(res.probs).reshape(-1).shape == (4,)
+    assert res.probs is not None and res.probs.data.shape == (4,)
 
 
 def test_predictor_save_outputs(tmp_path):

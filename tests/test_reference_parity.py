@@ -239,3 +239,114 @@ def test_model_zoo_param_fidelity(reference):
         n = sum(int(x.size) for x in jax.tree.leaves(v["params"]))
         delta = 0 if cls == "ClassificationModel" else -16
         assert n == tn + delta, (ours, n, tn)
+
+
+@pytest.mark.slow
+def test_model_zoo_param_fidelity_round2(reference):
+    """Round-2 zoo additions: yolo11/12 task variants, ghost-p2/p6, v9m,
+    v9e-seg, cls-resnet101, v8-rtdetr, rtdetr-resnet50/101, rtdetr-l/x —
+    all bit-exact vs the live reference (modulo functional-DFL -16)."""
+    import jax
+    import torch
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    pairs = [
+        ("yolo11-seg.yaml", "yolo11n-seg.yaml", "SegmentationModel", -16),
+        ("yolo11-pose.yaml", "yolo11n-pose.yaml", "PoseModel", -16),
+        ("yolo11-obb.yaml", "yolo11n-obb.yaml", "OBBModel", -16),
+        ("yolo11-cls.yaml", "yolo11n-cls.yaml", "ClassificationModel", 0),
+        ("yolo12-seg.yaml", "yolo12n-seg.yaml", "SegmentationModel", -16),
+        ("yolo12-pose.yaml", "yolo12n-pose.yaml", "PoseModel", -16),
+        ("yolo12-obb.yaml", "yolo12n-obb.yaml", "OBBModel", -16),
+        ("yolo12-cls.yaml", "yolo12n-cls.yaml", "ClassificationModel", 0),
+        ("yolov8-cls-resnet101.yaml", "yolov8-cls-resnet101.yaml", "ClassificationModel", 0),
+        ("yolov8-ghost-p2.yaml", "yolov8n-ghost-p2.yaml", "DetectionModel", -16),
+        ("yolov8-ghost-p6.yaml", "yolov8n-ghost-p6.yaml", "DetectionModel", -16),
+        ("yolov9m.yaml", "yolov9m.yaml", "DetectionModel", -16),
+        ("yolov9e-seg.yaml", "yolov9e-seg.yaml", "SegmentationModel", -16),
+        ("yolov8-rtdetr.yaml", "yolov8n-rtdetr.yaml", "RTDETRDetectionModel", 0),
+        ("rtdetr-resnet50.yaml", "rtdetr-resnet50.yaml", "RTDETRDetectionModel", 0),
+        ("rtdetr-resnet101.yaml", "rtdetr-resnet101.yaml", "RTDETRDetectionModel", 0),
+        ("rtdetr-l.yaml", "rtdetr-l.yaml", "RTDETRDetectionModel", 0),
+        ("rtdetr-x.yaml", "rtdetr-x.yaml", "RTDETRDetectionModel", 0),
+    ]
+    yaml_model_load = reference.nn.tasks.yaml_model_load
+    for ours, ref_yaml, cls, delta in pairs:
+        torch.manual_seed(0)
+        cfg = yaml_model_load(ref_yaml)
+        if cfg.get("scales") and not cfg.get("scale"):
+            # fork quirk: parse_model defaults to scales.keys()[1] and
+            # crashes on single-scale yamls (reference nn/tasks.py:1083);
+            # pin the first scale, matching our parser and upstream
+            cfg["scale"] = next(iter(cfg["scales"]))
+        tm = getattr(reference.nn.tasks, cls)(cfg, ch=3, verbose=False)
+        tn = sum(p.numel() for p in tm.parameters())
+        m = TaskModel(ours)
+        v = m.init(0, imgsz=64)
+        n = sum(int(x.size) for x in jax.tree.leaves(v["params"]))
+        assert n == tn + delta, (ours, n, tn, n - tn)
+
+
+def test_torchvision_resnet18_param_count():
+    """yolo11-cls-resnet18 builds through the TorchVision stand-in; the
+    truncated resnet18 body must match torchvision's published 11,176,512
+    params (reference cfg/models/11/yolo11-cls-resnet18.yaml; torchvision
+    itself is not installed here)."""
+    import jax
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("yolo11-cls-resnet18.yaml")
+    v = m.init(0, imgsz=64)
+    body = sum(int(x.size) for x in jax.tree.leaves(v["params"]["l0"]))
+    assert body == 11_176_512, body
+
+
+def test_sam_encoder_weight_transfer_parity(reference):
+    """Real-checkpoint readiness for SAM: build the reference's own
+    ImageEncoderViT (models/sam/modules/encoders.py) at a tiny config with
+    seeded weights, transfer the state_dict through
+    utils/torch_import.sam_encoder_params, and require matching features —
+    proves the rel-pos attention + window partition + neck all line up with
+    the released checkpoint layout."""
+    import torch
+
+    from xlstm_yolo_tpu.models_sam import ImageEncoderViT
+    from xlstm_yolo_tpu.utils.torch_import import load_sam_encoder
+
+    enc_mod = __import__("ultralytics.models.sam.modules.encoders",
+                         fromlist=["ImageEncoderViT"])
+    torch.manual_seed(0)
+    tenc = enc_mod.ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=64, depth=3, num_heads=2,
+        mlp_ratio=4.0, out_chans=32, use_rel_pos=True, window_size=2,
+        global_attn_indexes=(1,),
+    ).eval()
+    # reference forward interpolates pos_embed by img_size/1024 whenever
+    # img_size != 1024 (encoders.py:155) — at tiny sizes that rounds to a
+    # 0x0 grid and crashes; pin the attribute so the branch is skipped
+    # (pos_embed was already built at img_size//patch_size)
+    tenc.img_size = 1024
+    # randomize (module inits most things to zeros/trunc-normal already)
+    sd = tenc.state_dict()
+    g = torch.Generator().manual_seed(7)
+    for k, v in sd.items():
+        sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    tenc.load_state_dict(sd)
+
+    ours = ImageEncoderViT(img_size=64, patch_size=16, dim=64, depth=3,
+                           num_heads=2, window_size=2, global_attn_indexes=(1,),
+                           out_chans=32)
+    import jax
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    v = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    v = load_sam_encoder(
+        v, {"image_encoder." + k: t.numpy() for k, t in tenc.state_dict().items()})
+
+    with torch.no_grad():
+        ref_out = tenc(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    our_out = np.asarray(jax.jit(ours.apply)(v, jnp.asarray(x)))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-3, atol=1e-4)

@@ -92,3 +92,39 @@ def test_auto_annotate_tiny(tmp_path):
     for ln in out[0].read_text().splitlines():
         parts = ln.split()
         assert int(parts[0]) == 2 and len(parts[1:]) % 2 == 0
+
+
+def test_sam_amg_generate(tiny_sam):
+    """Automatic mask generation (reference models/sam/predict.py:297
+    Predictor.generate): grid prompts -> conf/stability filter -> NMS ->
+    original-space masks + boxes. Random weights: just the full pipeline
+    mechanics, shapes, and space mapping."""
+    from xlstm_yolo_tpu.models_sam import SAMAutoMaskGenerator
+
+    m, v = tiny_sam
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (96, 130, 3)).astype(np.uint8)
+    p = SAMPredictor(m, v, img_size=128)
+    gen = SAMAutoMaskGenerator(p, points_stride=4, points_batch_size=8,
+                               conf_thres=-1e9, stability_score_thresh=-1.0)
+    masks, scores, boxes = gen.generate(img)
+    assert masks.ndim == 3 and masks.shape[1:] == (96, 130)
+    assert len(masks) == len(scores) == len(boxes)
+    assert len(masks) >= 1  # thresholds disabled -> something survives NMS
+    assert boxes[:, 0].min() >= 0 and boxes[:, 2].max() <= 130
+    # crop layers path (2 extra crops per side)
+    masks2, s2, b2 = gen.generate(img, crop_n_layers=1)
+    assert masks2.shape[1:] == (96, 130)
+
+
+def test_sam_amg_point_grid_helpers():
+    from xlstm_yolo_tpu.models_sam import (
+        build_all_layer_point_grids, build_point_grid, generate_crop_boxes)
+
+    g = build_point_grid(4)
+    assert g.shape == (16, 2) and g.min() > 0 and g.max() < 1
+    grids = build_all_layer_point_grids(32, 1, 2)
+    assert grids[0].shape == (1024, 2) and grids[1].shape == (256, 2)
+    crops, layers = generate_crop_boxes((100, 200), 1, 0.34)
+    assert crops[0] == [0, 0, 200, 100] and layers[0] == 0
+    assert len(crops) == 5 and all(l == 1 for l in layers[1:])

@@ -25,6 +25,16 @@ def coco91_to_coco80_class() -> list:
     return x
 
 
+def coco80_to_coco91_class() -> list:
+    """80-index (dataset) -> 91-index (paper) category ids, the map
+    pycocotools scoring expects (reference converter.py coco80_to_coco91_class)."""
+    inv = [None] * 80
+    for i91, i80 in enumerate(coco91_to_coco80_class()):
+        if i80 is not None:
+            inv[i80] = i91 + 1  # COCO annotation category ids are 1-based
+    return inv
+
+
 def convert_coco(labels_json: str | Path, save_dir: str | Path, use_segments: bool = False,
                  cls91to80: bool = True) -> Path:
     """COCO instances JSON -> YOLO-format labels/ tree (reference

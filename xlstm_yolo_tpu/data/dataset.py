@@ -103,6 +103,9 @@ class YOLODataset:
             self.files = self.files[: max(1, round(len(self.files) * fraction))]
         self.labels = [self._load_label(f) for f in self.files]
         self.ni = len(self.files)
+        # original (h, w) per image, filled lazily by load_image; used by the
+        # validator to un-letterbox predictions (reference ops.scale_boxes)
+        self.ori_shapes: dict[int, tuple[int, int]] = {}
         if self.ni == 0:
             raise FileNotFoundError(f"no images found in {img_path}")
 
@@ -185,6 +188,7 @@ class YOLODataset:
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         # long-side resize to imgsz (reference data/base.py:151)
         h, w = img.shape[:2]
+        self.ori_shapes[i] = (h, w)
         r = self.imgsz / max(h, w)
         if r != 1:
             img = cv2.resize(img, (min(math.ceil(w * r), self.imgsz), min(math.ceil(h * r), self.imgsz)),
@@ -234,7 +238,18 @@ class YOLODataset:
             if n:
                 boxes[bi, :n] = lb
                 mask[bi, :n] = True
-        return {"img": batch_imgs, "cls_boxes": boxes, "mask": mask}
+        return {"img": batch_imgs, "cls_boxes": boxes, "mask": mask,
+                **self._batch_meta(idxs)}
+
+    def _batch_meta(self, idxs) -> dict:
+        """Host-side per-image metadata for val batches: original (h, w)
+        (for un-letterboxing, reference ops.scale_boxes) and the dataset
+        index (shard-correct file lookup)."""
+        idxs = [int(i) for i in idxs]
+        shapes = np.asarray(
+            [self.ori_shapes.get(i, (self.imgsz, self.imgsz)) for i in idxs],
+            np.float32)
+        return {"ori_shape": shapes, "im_idx": np.asarray(idxs, np.int32)}
 
     # -- sample assembly ------------------------------------------------------
     def get_sample(self, i: int, rng: np.random.Generator):
@@ -370,7 +385,7 @@ class YOLODataset:
             img, labels = A.random_flip(img, labels, g("fliplr", 0.5), g("flipud", 0.0), rng)
         return img, labels
 
-    def collate(self, samples: list) -> dict:
+    def collate(self, samples: list, idxs=None) -> dict:
         b = len(samples)
         sz = self.imgsz
         imgs = np.zeros((b, sz, sz, 3), np.float32)
@@ -412,7 +427,8 @@ class YOLODataset:
                     cv2.fillPoly(extras["masks"][bi], [poly], int(slot) + 1)
             elif self.task == "pose":
                 extras["keypoints"][bi, :n] = extra["keypoints"][keep]
-        return {"img": imgs, "cls_boxes": boxes, "mask": mask, **extras}
+        meta = {} if (idxs is None or self.augment) else self._batch_meta(idxs)
+        return {"img": imgs, "cls_boxes": boxes, "mask": mask, **extras, **meta}
 
 
 class Loader:
@@ -454,7 +470,7 @@ class Loader:
                 batch = self.ds.collate_native(batch_idx) if use_native else None
                 if batch is None:
                     samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
-                    batch = self.ds.collate(samples)
+                    batch = self.ds.collate(samples, batch_idx)
                 q.put(batch)
             q.put(None)
 

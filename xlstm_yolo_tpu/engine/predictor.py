@@ -118,9 +118,11 @@ class Predictor:
                 Path(project or "runs/predict") / (name or "exp"),
                 exist_ok=exist_ok, mkdir=True)
         self._writers = {}  # video path -> cv2.VideoWriter
-        # bf16 inference by default (the reference runs half() on CUDA);
-        # decode/NMS stay fp32 inside predictions_full
-        self.half = str(kwargs.get("dtype", "bfloat16")) == "bfloat16"
+        # fp32 by default, matching the reference's half: False
+        # (cfg/default.yaml:54); pass dtype='bfloat16' (or half=True) for MXU
+        # bf16 inference — decode/NMS stay fp32 inside predictions_full
+        self.half = bool(kwargs.get("half", False)) or (
+            str(kwargs.get("dtype", "float32")) == "bfloat16")
         self._jit = jax.jit(self._device_fn)
 
     def _device_fn(self, variables, img):
@@ -194,8 +196,9 @@ class Predictor:
                     y2 = d7c[:, 1] + d7c[:, 3] / 2
                     d = np.stack([x1, y1, x2, y2, d7c[:, 5], d7c[:, 6]], 1)
                 else:
-                    kw_obb = d7
+                    kw_obb = np.zeros((0, 7), np.float32)
                     d = np.zeros((0, 6), np.float32)
+                kw["obb"] = kw_obb
             else:
                 dets, valid = out[0], out[1]
                 d = np.asarray(dets[0])[np.asarray(valid[0])]
@@ -217,8 +220,6 @@ class Predictor:
                 speed={"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3,
                        "postprocess": (t3 - t2) * 1e3}, **kw,
             )
-            if task == "obb":
-                res.obb = kw_obb
             self.results = [res]
             self.callbacks.run("on_predict_postprocess_end", self)
             if self.save_dir is not None:

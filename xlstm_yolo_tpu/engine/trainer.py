@@ -83,6 +83,17 @@ class Trainer:
         # CPU core here) only letterboxes. Keyed off n_updates for
         # reproducibility; mosaic prob is a traced scalar (close_mosaic).
         dev_aug = bool(getattr(self.args, "device_augment", False))
+        if dev_aug and model.task != "detect":
+            # the XLA augment path only warps img/cls_boxes/mask: slot-encoded
+            # seg masks, keypoints, and world text slots would silently
+            # desynchronize from the permuted label slots — host augment
+            # handles those tasks correctly, so fall back to it.
+            from ..utils import LOGGER
+
+            LOGGER.warning(
+                f"device_augment supports task='detect' only (got "
+                f"'{model.task}'); falling back to host augmentation")
+            dev_aug = False
         if dev_aug:
             from ..data.device_augment import _device_augment_jit
 

@@ -23,14 +23,15 @@ class Validator:
     def __init__(self, model, data=None, imgsz: int = 640, conf: float = 0.001,
                  iou: float = 0.7, max_det: int = 300, max_labels: int = 128,
                  batch: int = 16, verbose: bool = False, callbacks=None,
-                 half: bool = True, save_json: bool = False,
+                 half: bool = False, save_json: bool = False,
                  save_dir: str | None = None):
         from ..utils.callbacks import default_callbacks
 
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
         self.model = model
-        # bf16 eval like the reference's half=True CUDA default; decode/NMS
-        # and metric math stay fp32
+        # fp32 by default, matching the reference's half: False
+        # (cfg/default.yaml:54); pass half=True for bf16 eval (decode/NMS and
+        # metric math stay fp32 either way)
         self.half = half
         # COCO-format predictions dump (reference detect/val.py:281 pred_to_json)
         self.save_json = save_json
@@ -88,6 +89,7 @@ class Validator:
         n_img = 0
         jdict = []
         files = list(getattr(loader.ds, "files", []))
+        class_map = self._class_map(data)
         t0 = time.time()
         for batch in loader:
             self.callbacks.run("on_val_batch_start", self)
@@ -98,7 +100,12 @@ class Validator:
             for bi in range(len(dets)):
                 d = dets[bi][valid[bi]]  # (n, 6) xyxy conf cls
                 if self.save_json:
-                    self._pred_to_json(jdict, d, files, n_img - len(dets) + bi)
+                    im_idx = int(batch["im_idx"][bi]) if "im_idx" in batch else (
+                        n_img - len(dets) + bi)
+                    ori = batch.get("ori_shape")
+                    ori = tuple(ori[bi]) if ori is not None else None
+                    self._pred_to_json(jdict, d, files, im_idx, ori,
+                                       self.imgsz, class_map)
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]  # (m, 5) cls xyxy
                 gt_cls = gt[:, 0]
@@ -150,16 +157,39 @@ class Validator:
         self.callbacks.run("on_val_end", self)
         return out
 
+    def _class_map(self, data):
+        """0..nc-1 -> COCO-format category ids: the coco80->coco91 paper map
+        when validating full COCO, else 1-based ids (reference
+        detect/val.py:71-77)."""
+        from ..data.converter import coco80_to_coco91_class
+
+        val = str(data.get("val", "")) if isinstance(data, dict) else ""
+        is_coco = "coco" in val and (
+            val.endswith("val2017.txt") or val.endswith("test-dev2017.txt"))
+        nc = int(getattr(self.model, "nc", 80) or 80)
+        return coco80_to_coco91_class() if is_coco else list(range(1, nc + 1))
+
     @staticmethod
-    def _pred_to_json(jdict, dets, files, img_idx):
-        """COCO-format detection records (reference detect/val.py
-        pred_to_json): image_id = numeric stem when possible, xywh boxes."""
+    def _pred_to_json(jdict, dets, files, img_idx, ori_shape, imgsz, class_map):
+        """COCO-format detection records (reference detect/val.py:281
+        pred_to_json): boxes un-letterboxed back to original image pixels
+        (reference ops.scale_boxes in _prepare_pred), image_id = numeric stem
+        when possible, category ids through ``class_map``."""
         stem = Path(files[img_idx]).stem if img_idx < len(files) else str(img_idx)
         image_id = int(stem) if stem.isnumeric() else stem
-        for x1, y1, x2, y2, conf, cls in np.asarray(dets, dtype=float):
+        d = np.asarray(dets, dtype=float)
+        if len(d) and ori_shape is not None:
+            h0, w0 = float(ori_shape[0]), float(ori_shape[1])
+            gain = min(imgsz / h0, imgsz / w0)
+            padx, pady = (imgsz - w0 * gain) / 2, (imgsz - h0 * gain) / 2
+            d = d.copy()
+            d[:, [0, 2]] = np.clip((d[:, [0, 2]] - padx) / gain, 0, w0)
+            d[:, [1, 3]] = np.clip((d[:, [1, 3]] - pady) / gain, 0, h0)
+        for x1, y1, x2, y2, conf, cls in d:
+            ci = int(cls)
             jdict.append({
                 "image_id": image_id,
-                "category_id": int(cls),
+                "category_id": class_map[ci] if ci < len(class_map) else ci,
                 "bbox": [round(x1, 3), round(y1, 3),
                          round(x2 - x1, 3), round(y2 - y1, 3)],
                 "score": round(float(conf), 5),

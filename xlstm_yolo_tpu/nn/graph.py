@@ -77,6 +77,7 @@ for _n, _c, _k in [
     ("SPPELAN", M.SPPELAN, "custom"),
     ("ELAN1", M.ELAN1, "custom"),
     ("ResNetLayer", M.ResNetLayer, "custom"),
+    ("TorchVision", M.TorchVision, "custom"),
     ("CBLinear", M.CBLinear, "custom"),
     ("CBFuse", M.CBFuse, "custom"),
     ("CBAM", M.CBAM, "plain"),
@@ -252,16 +253,17 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
             margs = []
             kwargs["ec"] = make_divisible(min(args[0] if args else 256, max_ch) * width, 8)
         elif kind == "elan":
-            # RepNCSPELAN4 [c2, c3, c4, n]: all channel args width-scaled
+            # RepNCSPELAN4 [c2, c3, c4, n]: only c2 is width-scaled; c3/c4
+            # pass through raw (reference parse_model scales args[0] only —
+            # v9m's c4=180 is deliberately not rounded to 184)
             c2 = make_divisible(min(args[0], max_ch) * width, 8)
-            c3 = make_divisible(min(args[1], max_ch) * width, 8)
-            c4 = make_divisible(min(args[2], max_ch) * width, 8)
-            margs = [c2, c3, c4, args[3] if len(args) > 3 else 1]
+            margs = [c2, args[1], args[2], args[3] if len(args) > 3 else 1]
             n_rep = 1
         elif kind == "hg":
-            # HGStem [cm, c2] / HGBlock [cm, c2, k, light, shortcut]
-            cm = make_divisible(min(args[0], max_ch) * width, 8)
-            c2 = make_divisible(min(args[1], max_ch) * width, 8)
+            # HGStem [cm, c2] / HGBlock [cm, c2, k, light, shortcut] — args
+            # pass through RAW (reference parse_model :1231 neither
+            # width-scales nor max_ch-clamps HG channels)
+            cm, c2 = int(args[0]), int(args[1])
             margs = [cm, c2]
             if name == "HGBlock":
                 if len(args) > 2:

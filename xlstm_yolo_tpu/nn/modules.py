@@ -77,8 +77,17 @@ def _act(x, act):
     raise ValueError(f"unknown act {act!r}")
 
 
-class DWConv(ConvBN):
-    """Depthwise conv: groups = gcd(c1, c2); here we require c1 == c2 == g."""
+class DWConv(nn.Module):
+    """Depthwise conv: groups = gcd(c1, c2). Positional args follow the
+    reference's DWConv(c1, c2, k, s, d, act) (conv.py:75) so YAML rows like
+    rt-detr's ``[128, 3, 2, 1, False]`` resolve identically."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: bool | str = True
+    p: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -488,11 +497,13 @@ class RepC3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # reference block.py RepC3: cv1/cv2 project to c2 (not c_); the
+        # RepConv chain runs at c_; cv3 (c_ -> c2) exists only when c_ != c2
         c_ = int(self.c2 * self.e)
-        a = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        a = ConvBN(self.c2, 1, 1, name="cv1")(x, train)
         for i in range(self.n):
             a = RepConv(c_, 3, name=f"m{i}")(a, train)
-        b = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        b = ConvBN(self.c2, 1, 1, name="cv2")(x, train)
         y = a + b
         if c_ != self.c2:
             y = ConvBN(self.c2, 1, 1, name="cv3")(y, train)
@@ -956,6 +967,73 @@ class ResNetLayer(nn.Module):
         y = ResNetBlock(self.c2, self.s, self.e, name="b0")(x, train)
         for i in range(1, self.n):
             y = ResNetBlock(self.c2, 1, self.e, name=f"b{i}")(y, train)
+        return y
+
+
+class BasicResBlock(nn.Module):
+    """ResNet basic block (two 3x3 convs, expansion 1) — the resnet18/34
+    block shape torchvision uses; consumed by TorchVision below."""
+
+    c2: int
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.c2, 3, self.s, act="relu", name="conv1")(x, train)
+        y = ConvBN(self.c2, 3, 1, act=False, name="conv2")(y, train)
+        if self.s != 1 or x.shape[-1] != self.c2:
+            x = ConvBN(self.c2, 1, self.s, act=False, name="down")(x, train)
+        return nn.relu(x + y)
+
+
+class TorchVision(nn.Module):
+    """TPU-native stand-in for the reference's TorchVision wrapper
+    (block.py:1135): builds the named torchvision topology in flax instead of
+    loading torch modules. The resnet family is supported; ``truncate=2`` with
+    ``unwrap=True`` (the YAML zoo's only use) drops avgpool+fc, leaving the
+    P5/32 feature map. Pretrained weights are not auto-downloaded (zero
+    egress) — import a checkpoint via utils/torch_import.py instead."""
+
+    c2: int
+    model: str = "resnet18"
+    weights: str | None = "DEFAULT"
+    unwrap: bool = True
+    truncate: int = 2
+    split: bool = False
+
+    _CFG = {
+        "resnet18": ((2, 2, 2, 2), False),
+        "resnet34": ((3, 4, 6, 3), False),
+        "resnet50": ((3, 4, 6, 3), True),
+        "resnet101": ((3, 4, 23, 3), True),
+        "resnet152": ((3, 8, 36, 3), True),
+    }
+
+    @classmethod
+    def parse(cls, args, channels, fs, width=1.0, **kw):
+        # YAML row: [c2, model, weights, unwrap, truncate] — c2 unscaled
+        return int(args[0]), list(args), {}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.model not in self._CFG:
+            raise NotImplementedError(
+                f"TorchVision stand-in supports {sorted(self._CFG)}, got {self.model!r}")
+        if self.split or not self.unwrap or self.truncate != 2:
+            raise NotImplementedError(
+                "TorchVision stand-in supports unwrap=True, truncate=2, split=False")
+        blocks, bottleneck = self._CFG[self.model]
+        y = ConvBN(64, 7, 2, p=3, act="relu", name="stem")(x, train)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        c = 64
+        for si, n in enumerate(blocks):
+            for bi in range(n):
+                s = 2 if (si > 0 and bi == 0) else 1
+                if bottleneck:
+                    y = ResNetBlock(c, s, 4, name=f"s{si}b{bi}")(y, train)
+                else:
+                    y = BasicResBlock(c, s, name=f"s{si}b{bi}")(y, train)
+            c *= 2
         return y
 
 

@@ -47,7 +47,7 @@ class HGStem(nn.Module):
             jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0))), train)
         x1 = nn.max_pool(x, (2, 2), strides=(1, 1), padding=((0, 1), (0, 1)))
         x = jnp.concatenate([x1, x2], axis=-1)
-        x = ConvBN(self.c2, 3, 2, act="relu", name="stem3")(x, train)
+        x = ConvBN(self.cm, 3, 2, act="relu", name="stem3")(x, train)
         return ConvBN(self.c2, 1, 1, act="relu", name="stem4")(x, train)
 
 
@@ -326,17 +326,24 @@ class RTDETRDecoder(nn.Module):
 
         # anchors for every position/level (normalized cxcywh priors)
         anchors, valid_mask = _build_anchors(shapes, dtype=value.dtype)
-        memory = value * valid_mask
+        # enc_output bottleneck (Linear + LayerNorm) before query selection
+        # (reference head.py RTDETRDecoder self.enc_output)
+        features = nn.LayerNorm(name="enc_output_norm")(
+            nn.Dense(self.hd, name="enc_output")(value * valid_mask))
 
-        enc_scores = nn.Dense(self.nc, name="enc_score_head")(memory)  # (B, L, nc)
-        enc_boxes_delta = MLPHead(self.hd, 4, name="enc_bbox_head")(memory)
+        enc_scores = nn.Dense(self.nc, name="enc_score_head")(features)  # (B, L, nc)
+        enc_boxes_delta = MLPHead(self.hd, 4, name="enc_bbox_head")(features)
         enc_boxes = jax.nn.sigmoid(enc_boxes_delta + _inv_sigmoid(anchors))  # (B, L, 4)
 
         # top-k query selection by max class score (clamped for tiny inputs)
         nq = min(self.nq, enc_scores.shape[1])
         topv, topi = jax.lax.top_k(jnp.max(enc_scores, axis=-1), nq)  # (B, nq)
         ref = jnp.take_along_axis(enc_boxes, topi[..., None], axis=1)  # (B, nq, 4)
-        tgt = jnp.take_along_axis(memory, topi[..., None], axis=1)  # (B, nq, hd)
+        tgt = jnp.take_along_axis(features, topi[..., None], axis=1)  # (B, nq, hd)
+        if train:
+            # reference detaches the selected queries in training (:556-559)
+            ref = jax.lax.stop_gradient(ref)
+            tgt = jax.lax.stop_gradient(tgt)
 
         num_dn, attn_mask = 0, None
         if dn is not None:
@@ -349,8 +356,11 @@ class RTDETRDecoder(nn.Module):
 
         dec_out_b, dec_out_s = [], []
         x = tgt
+        # ONE query_pos MLP shared by all decoder layers (reference
+        # self.query_pos_head — not per-layer)
+        query_pos_head = MLPHead(2 * self.hd, self.hd, 2, name="query_pos_head")
         for li in range(self.ndl):
-            query_pos = MLPHead(2 * self.hd, self.hd, 2, name=f"query_pos{li}")(ref)
+            query_pos = query_pos_head(ref)
             x = DeformableDecoderLayer(self.hd, self.nh, len(feats), self.ndp,
                                        name=f"layer{li}")(x, ref, value, shapes, query_pos,
                                                           attn_mask)

@@ -88,10 +88,12 @@ def unzip_file(file, path=None, exclude=(".DS_Store", "__MACOSX"), exist_ok: boo
     path = Path(path or file.parent)
     with ZipFile(file) as zf:
         names = [n for n in zf.namelist() if all(x not in n for x in exclude)]
-        for n in names:  # zip-slip guard
-            target = (path / n).resolve()
-            if not str(target).startswith(str(path.resolve())):
-                raise ValueError(f"unsafe path in archive: {n}")
+        root = path.resolve()
+        for n in names:  # zip-slip guard (prefix match alone would pass /dest_evil for /dest)
+            try:
+                (path / n).resolve().relative_to(root)
+            except ValueError:
+                raise ValueError(f"unsafe path in archive: {n}") from None
         top = {n.split("/")[0] for n in names}
         unzip_as_dir = len(top) > 1 or (len(names) > 1 and not names[0].endswith("/"))
         extract_path = (path / file.stem) if unzip_as_dir else path

@@ -184,3 +184,79 @@ def _set(tree, key, value):
     import jax.numpy as jnp
 
     node[key[-1]] = jnp.asarray(value)
+
+
+# ---------------------------------------------------------------------------
+# SAM checkpoint import (reference models/sam/build.py:23-121 builds from the
+# released sam_*.pt checkpoints; this maps the image-encoder tensors into our
+# flax ImageEncoderViT tree — models_sam.py)
+# ---------------------------------------------------------------------------
+
+def sam_encoder_params(sd: dict, prefix: str = "image_encoder.") -> dict:
+    """Translate a torch SAM image-encoder state_dict into a params subtree
+    for ``models_sam.ImageEncoderViT``.
+
+    Layout map (torch -> flax):
+      patch_embed.proj.{weight,bias} -> patch_embed/{kernel(T),bias}
+      pos_embed (1,H,W,C, already channels-last in SAM) -> pos_embed
+      blocks.i.norm{1,2}.{weight,bias} -> block{i}/norm{1,2}/{scale,bias}
+      blocks.i.attn.qkv/proj (out,in) -> block{i}/attn/{qkv,proj}/kernel (in,out)
+      blocks.i.attn.rel_pos_{h,w} -> block{i}/attn/rel_pos_{h,w}
+      blocks.i.mlp.lin{1,2} -> block{i}/mlp/Dense_{0,1}
+      neck.{0,2} convs -> neck{0,1}/kernel; neck.{1,3} LayerNorm2d -> neck_ln{0,1}
+    """
+    def g(k):
+        return np.asarray(sd[prefix + k], np.float32)
+
+    def lin(k):
+        return {"kernel": g(k + ".weight").T, "bias": g(k + ".bias")}
+
+    p = {
+        "patch_embed": {"kernel": g("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+                        "bias": g("patch_embed.proj.bias")},
+        "pos_embed": g("pos_embed"),
+        "neck0": {"kernel": g("neck.0.weight").transpose(2, 3, 1, 0)},
+        "neck_ln0": {"scale": g("neck.1.weight"), "bias": g("neck.1.bias")},
+        "neck1": {"kernel": g("neck.2.weight").transpose(2, 3, 1, 0)},
+        "neck_ln1": {"scale": g("neck.3.weight"), "bias": g("neck.3.bias")},
+    }
+    i = 0
+    while f"{prefix}blocks.{i}.norm1.weight" in sd:
+        b = f"blocks.{i}."
+        blk = {
+            "norm1": {"scale": g(b + "norm1.weight"), "bias": g(b + "norm1.bias")},
+            "norm2": {"scale": g(b + "norm2.weight"), "bias": g(b + "norm2.bias")},
+            "attn": {"qkv": lin(b + "attn.qkv"), "proj": lin(b + "attn.proj")},
+            "mlp": {"Dense_0": lin(b + "mlp.lin1"), "Dense_1": lin(b + "mlp.lin2")},
+        }
+        if prefix + b + "attn.rel_pos_h" in sd:
+            blk["attn"]["rel_pos_h"] = g(b + "attn.rel_pos_h")
+            blk["attn"]["rel_pos_w"] = g(b + "attn.rel_pos_w")
+        p[f"block{i}"] = blk
+        i += 1
+    return p
+
+
+def load_sam_encoder(variables: dict, sd: dict, prefix: str = "image_encoder.") -> dict:
+    """Return ``variables`` with the image-encoder params replaced by the
+    checkpoint's (shape-checked against the initialized tree)."""
+    new_enc = sam_encoder_params(sd, prefix)
+    nested = "image_encoder" in variables["params"]  # full SAM vs bare encoder
+    old_enc = variables["params"]["image_encoder"] if nested else variables["params"]
+    flat_old = dict(_flatten(old_enc))
+    flat_new = dict(_flatten(new_enc))
+    missing = set(flat_old) - set(flat_new)
+    extra = set(flat_new) - set(flat_old)
+    if missing or extra:
+        raise ValueError(f"SAM encoder map mismatch: missing={sorted(missing)[:4]} "
+                         f"extra={sorted(extra)[:4]}")
+    for k, v in flat_new.items():
+        if flat_old[k].shape != v.shape:
+            raise ValueError(f"shape mismatch at {k}: {flat_old[k].shape} vs {v.shape}")
+    out = dict(variables)
+    if nested:
+        out["params"] = dict(variables["params"])
+        out["params"]["image_encoder"] = new_enc
+    else:
+        out["params"] = new_enc
+    return out
