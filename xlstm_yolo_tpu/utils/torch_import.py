@@ -53,6 +53,12 @@ def _flax_path(torch_name: str) -> tuple | None:
     # merge numeric sequential indices into their parent name:
     #   m.2 (CSP bottleneck list)        -> m2
     #   cv2.0.1 (per-scale head branch)  -> cv2_0_1
+    #   proto.cv1 / proto.upsample      -> proto_cv1 / proto_up (Segment)
+    if "proto" in parts:
+        i = parts.index("proto")
+        child = parts[i + 1]
+        parts[i: i + 2] = ["proto_up" if child == "upsample" else f"proto_{child}"]
+        mods = parts[:-1]
     merged: list[str] = []
     for p in mods:
         if p.isdigit() and merged:
@@ -76,6 +82,9 @@ def _flax_path(torch_name: str) -> tuple | None:
         kind = "bn_stats"
     elif leaf == "num_batches_tracked":
         return None
+    elif leaf == "weight" and merged and merged[-1] == "proto_up":
+        # ConvTranspose2d weight is (in, out, kh, kw); flax wants (kh, kw, in, out)
+        coll, name, kind = "params", "kernel", "deconv"
     elif leaf == "weight" and merged and merged[-1] == "conv":
         coll, name, kind = "params", "kernel", "conv"
     elif leaf == "weight":
@@ -111,13 +120,21 @@ def load_torch_state_dict(variables: dict, sd: dict, verbose: bool = True):
             continue
         coll, path, kind = mapped
         key = (coll,) + path
+        if key not in flat and len(path) > 1:
+            # Segment/Pose/OBB heads nest the shared Detect branches under a
+            # "detect" submodule in our tree; torch has cv2/cv3 on the head
+            alt = (coll, path[0], "detect") + tuple(path[1:])
+            if alt in flat:
+                key = alt
         if key not in flat:
             # bottleneck lists inside CSP blocks: torch "m.0.cv1..." already
             # merged to "m0"; detect branches "cv2.0.0" -> "cv2_0_0"
             missed.append(tname)
             continue
         want_shape = flat[key].shape
-        if kind in ("conv", "linear") and arr.ndim == 4:
+        if kind == "deconv" and arr.ndim == 4:
+            arr = np.transpose(arr, (2, 3, 0, 1))  # IOHW -> HWIO
+        elif kind in ("conv", "linear") and arr.ndim == 4:
             arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
         elif kind == "linear" and arr.ndim == 2:
             arr = arr.T
