@@ -89,8 +89,14 @@ class YOLODataset:
     def __init__(self, img_path: str, imgsz: int = 640, augment: bool = False, hyp=None,
                  max_labels: int = 128, rect: bool = False, single_cls: bool = False,
                  fraction: float = 1.0, task: str = "detect", kpt_shape: tuple = (17, 3),
-                 mask_ratio: int = 4):
+                 mask_ratio: int = 4, cache: str | bool = False):
         self.imgsz = imgsz
+        # "ram" (or True) keeps decoded+resized images in memory after first
+        # touch (reference data/base.py:151 cache_images) — on this 1-core
+        # host JPEG decode dominates the producer thread, so epoch 2+ feeds
+        # from memory. ~3*imgsz^2 bytes/img resident.
+        self.cache = "ram" if cache is True else (cache or "")
+        self._im_cache: dict[int, np.ndarray] = {}
         self.augment = augment
         self.hyp = hyp or {}
         self.max_labels = max_labels
@@ -182,6 +188,10 @@ class YOLODataset:
         return self.ni
 
     def load_image(self, i: int):
+        if self.cache == "ram":
+            hit = self._im_cache.get(i)
+            if hit is not None:
+                return hit
         img = cv2.imread(self.files[i])
         if img is None:
             raise FileNotFoundError(self.files[i])
@@ -193,6 +203,8 @@ class YOLODataset:
         if r != 1:
             img = cv2.resize(img, (min(math.ceil(w * r), self.imgsz), min(math.ceil(h * r), self.imgsz)),
                              interpolation=cv2.INTER_LINEAR)
+        if self.cache == "ram":
+            self._im_cache[i] = img
         return img
 
     def labels_px(self, i: int, shape) -> np.ndarray:
@@ -488,7 +500,8 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
                      imgsz: int = 640, augment: bool | None = None, hyp=None,
                      max_labels: int = 128, seed: int = 0, fraction: float = 1.0,
                      single_cls: bool = False, task: str = "detect",
-                     embed_fn=None, text_cfg: dict | None = None):
+                     embed_fn=None, text_cfg: dict | None = None,
+                     cache: str | bool = False):
     """Convenience: dataset YAML/dir -> (Loader, data_dict).
 
     task="world": open-vocab training — a MultiModalDataset samples per-batch
@@ -518,7 +531,8 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
     else:
         ds = YOLODataset(d[split], imgsz=imgsz, augment=augment, hyp=hyp,
                          max_labels=max_labels, single_cls=single_cls,
-                         fraction=fraction, task=task, kpt_shape=kpt_shape)
+                         fraction=fraction, task=task, kpt_shape=kpt_shape,
+                         cache=cache)
     # per-host shard on multi-host pods (DistributedSampler equivalent)
     from ..parallel.distributed import local_shard
 

@@ -165,6 +165,7 @@ class Trainer:
             task=self.model.task, embed_fn=self.text_encoder,
             # with device-side augmentation the host path is letterbox-only
             augment=False if dev_aug else None,
+            cache=getattr(args, "cache", False),
         )
         self.data = data_dict
         if self.model.nc != data_dict["nc"]:

