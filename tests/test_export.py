@@ -64,3 +64,32 @@ def test_autobackend_ckpt(small_model, tmp_path):
     backend = AutoBackend(tmp_path / "m.ckpt", imgsz=64).warmup()
     out = backend.forward(np.zeros((1, 64, 64, 3), np.float32))
     assert out.shape[-1] == 4 + 3
+
+
+@pytest.mark.slow
+def test_export_tflite_int8(small_model, tmp_path):
+    """INT8 post-training quantization with a representative dataset
+    (reference exporter.py:483 int8 calibration). Quantized model must load
+    in the TFLite interpreter and produce outputs in the float ballpark."""
+    import numpy as np
+
+    from xlstm_yolo_tpu.engine.exporter import Exporter
+
+    m, v = small_model
+    path = Exporter(m, v, format="tflite", imgsz=64, batch=1, int8=True,
+                    calib_batches=2, output_dir=str(tmp_path))()
+    assert path.endswith("_int8.tflite")
+    import tensorflow as tf
+
+    interp = tf.lite.Interpreter(model_path=path)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.random((1, 64, 64, 3)), np.float32)
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()
+    out = interp.get_tensor(interp.get_output_details()[0]["index"])
+    assert np.isfinite(out).all()
+    # quantization actually happened: int8 tensors present in the graph
+    kinds = {t["dtype"].__name__ for t in interp.get_tensor_details() if "dtype" in t}
+    assert "int8" in kinds, kinds

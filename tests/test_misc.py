@@ -503,3 +503,27 @@ def test_loader_ram_cache_and_throughput(tmp_path):
     a = ds.load_image(0)
     b = ds.load_image(0)
     assert a is b
+
+
+def test_dataset_descriptor_zoo():
+    """Every reference dataset descriptor has a parseable counterpart with
+    matching class maps (reference cfg/datasets/, 30 files)."""
+    import glob
+    from pathlib import Path
+
+    import yaml as _y
+
+    from xlstm_yolo_tpu.data.dataset import check_det_dataset
+
+    ours = sorted(glob.glob("xlstm_yolo_tpu/cfg/datasets/*.yaml"))
+    assert len(ours) >= 30
+    for f in ours:
+        d = check_det_dataset(f)
+        assert d["nc"] > 0 and len(d["names"]) == d["nc"], f
+        ref = Path("/root/reference/cfg/datasets") / Path(f).name
+        if ref.exists():
+            rd = _y.safe_load(ref.read_text())
+            rn = rd.get("names")
+            if isinstance(rn, list):
+                rn = dict(enumerate(rn))
+            assert d["names"] == rn, f

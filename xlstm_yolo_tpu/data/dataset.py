@@ -56,8 +56,13 @@ def check_det_dataset(data: str | dict) -> dict:
     out["path"] = root
     for split in ("train", "val", "test"):
         if d.get(split):
-            p = Path(d[split])
-            out[split] = str(p if p.is_absolute() else root / p)
+            v = d[split]
+            if isinstance(v, (list, tuple)):  # multi-dir splits (GlobalWheat2020)
+                out[split] = [str(Path(p) if Path(p).is_absolute() else root / p)
+                              for p in v]
+            else:
+                p = Path(v)
+                out[split] = str(p if p.is_absolute() else root / p)
     names = d.get("names")
     if isinstance(names, list):
         names = dict(enumerate(names))
@@ -116,7 +121,12 @@ class YOLODataset:
             raise FileNotFoundError(f"no images found in {img_path}")
 
     @staticmethod
-    def _scan(img_path: str) -> list:
+    def _scan(img_path) -> list:
+        if isinstance(img_path, (list, tuple)):  # multi-dir split
+            out = []
+            for sub in img_path:
+                out.extend(YOLODataset._scan(sub))
+            return out
         p = Path(img_path)
         if p.is_dir():
             files = sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_FORMATS)

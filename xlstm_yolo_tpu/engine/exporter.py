@@ -33,7 +33,8 @@ class Exporter:
     def __init__(self, model, variables, format: str = "stablehlo", imgsz: int = 640,
                  batch: int = 1, nms: bool = False, conf: float = 0.25, iou: float = 0.7,
                  max_det: int = 300, half: bool = False, output_dir: str = "runs/export",
-                 callbacks=None, **kwargs):
+                 int8: bool = False, data: str | dict | None = None,
+                 calib_batches: int = 8, callbacks=None, **kwargs):
         from ..utils.callbacks import default_callbacks
 
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
@@ -47,6 +48,12 @@ class Exporter:
         self.iou = iou
         self.max_det = max_det
         self.half = half
+        # INT8 quantized TFLite (reference exporter.py:483 int8 calibration):
+        # post-training quantization with a representative dataset drawn from
+        # ``data``'s val split (random frames if no data given)
+        self.int8 = int8
+        self.data = data
+        self.calib_batches = calib_batches
         self.output_dir = Path(output_dir)
 
     def _infer_fn(self):
@@ -119,6 +126,37 @@ class Exporter:
         tf.saved_model.save(module, str(out), signatures={"serving_default": tf_fn})
         return out
 
+    def _representative_dataset(self, shape):
+        """Calibration sample generator for INT8 quantization (reference
+        exporter.py:483 builds a 100-image dataloader; here: up to
+        ``calib_batches`` real val batches, random frames as fallback)."""
+        import numpy as np
+
+        batches = []
+        if self.data is not None:
+            try:
+                from ..data.dataset import build_dataloader
+
+                loader, _ = build_dataloader(
+                    self.data, "val", batch=shape[0], imgsz=self.imgsz,
+                    augment=False, task=self.model.task)
+                for bi, b in enumerate(loader):
+                    batches.append(np.asarray(b["img"], np.float32))
+                    if bi + 1 >= self.calib_batches:
+                        break
+            except Exception:
+                batches = []
+        if not batches:
+            rng = np.random.default_rng(0)
+            batches = [rng.uniform(size=shape).astype(np.float32)
+                       for _ in range(self.calib_batches)]
+
+        def gen():
+            for b in batches:
+                yield [b[: shape[0]]]
+
+        return gen
+
     def _export_tflite(self, fn, shape) -> Path:
         import tensorflow as tf
 
@@ -127,8 +165,19 @@ class Exporter:
         converter.target_spec.supported_ops = [
             tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS,
         ]
+        suffix = ".tflite"
+        if self.int8:
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.representative_dataset = self._representative_dataset(shape)
+            converter.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS_INT8,
+                tf.lite.OpsSet.TFLITE_BUILTINS,
+                tf.lite.OpsSet.SELECT_TF_OPS,
+            ]
+            # io stays float32 ([0,1] images in, dets out) — int8 internals
+            suffix = "_int8.tflite"
         blob = converter.convert()
-        out = self.output_dir / f"{self._stem()}.tflite"
+        out = self.output_dir / f"{self._stem()}{suffix}"
         out.write_bytes(blob)
         return out
 
