@@ -219,36 +219,30 @@ def _pick_layout(bnh: int, s: int, cs: int, dh: int, in_bytes: int) -> tuple:
     return best
 
 
-def _mlstm_pallas_fwd_impl(q, k, v, i_preact, f_preact, chunk_size, igate_act, eps,
-                           interpret=False, mxu_dtype="bfloat16"):
-    B, NH, S, DH = q.shape
+def _mlstm_pallas_t_impl(qf, kf, vf, i2, f2, chunk_size, igate_act, eps,
+                         interpret=False, mxu_dtype="bfloat16", out_dtype=None):
+    """Layout-native entry: q/k/v (BNH, DH, S), gates (BNH, 1, S) ->
+    h (BNH, DH, S). No HBM relayouts — the caller's producers (headwise
+    projection einsums) emit this layout directly."""
+    BNH, DH, S = qf.shape
     CS = chunk_size
     assert S % CS == 0, f"S={S} must be divisible by chunk_size={CS}"
     NS = S // CS
-    BNH = B * NH
-    G, NSEG = _pick_layout(BNH, S, CS, DH, q.dtype.itemsize)
+    G, NSEG = _pick_layout(BNH, S, CS, DH, qf.dtype.itemsize)
     SEG = S // NSEG
     mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
-
-    # transposed (BNH, DH, S) layout: sequence on lanes (no 8x lane padding
-    # for DH <= 16 head dims); XLA fuses these transposes with the
-    # producers/consumers (the cell's (B,S,NH,DH)->(B,NH,S,DH) moves).
-    qf = q.reshape(BNH, S, DH).swapaxes(1, 2)
-    kf = k.reshape(BNH, S, DH).swapaxes(1, 2)
-    vf = v.reshape(BNH, S, DH).swapaxes(1, 2)
-    i2 = i_preact.reshape(BNH, 1, S)
-    f2 = f_preact.reshape(BNH, 1, S)
+    out_dtype = out_dtype or qf.dtype
 
     qkv_spec = pl.BlockSpec((G, DH, SEG), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM)
     gate_spec = pl.BlockSpec((G, 1, SEG), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM)
 
-    h = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, g=G, ns=SEG // CS, cs=CS, dh=DH, igate_act=igate_act,
                           eps=eps, mxu=mxu),
         grid=(BNH // G, NSEG),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, gate_spec, gate_spec],
         out_specs=pl.BlockSpec((G, DH, SEG), lambda r, t: (r, 0, t), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BNH, DH, S), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((G, DH, DH), jnp.float32),
             pltpu.VMEM((G, DH, 1), jnp.float32),
@@ -259,11 +253,27 @@ def _mlstm_pallas_fwd_impl(q, k, v, i_preact, f_preact, chunk_size, igate_act, e
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * BNH * NS * (2 * CS * CS * DH + 2 * CS * DH * DH),
-            bytes_accessed=BNH * S * (DH * 3 * q.dtype.itemsize + DH * 4 + 8),
+            bytes_accessed=BNH * S * (DH * 3 * qf.dtype.itemsize + DH * 4 + 8),
             transcendentals=BNH * S * (CS + 4),
         ),
         interpret=interpret,
     )(qf, kf, vf, i2, f2)
+
+
+def _mlstm_pallas_fwd_impl(q, k, v, i_preact, f_preact, chunk_size, igate_act, eps,
+                           interpret=False, mxu_dtype="bfloat16"):
+    B, NH, S, DH = q.shape
+    BNH = B * NH
+    # transposed (BNH, DH, S) layout: sequence on lanes (no 8x lane padding
+    # for DH <= 16 head dims); XLA fuses these transposes with the
+    # producers/consumers (the cell's (B,S,NH,DH)->(B,NH,S,DH) moves).
+    qf = q.reshape(BNH, S, DH).swapaxes(1, 2)
+    kf = k.reshape(BNH, S, DH).swapaxes(1, 2)
+    vf = v.reshape(BNH, S, DH).swapaxes(1, 2)
+    i2 = i_preact.reshape(BNH, 1, S)
+    f2 = f_preact.reshape(BNH, 1, S)
+    h = _mlstm_pallas_t_impl(qf, kf, vf, i2, f2, chunk_size, igate_act, eps,
+                             interpret, mxu_dtype, out_dtype=jnp.float32)
     return h.swapaxes(1, 2).reshape(B, NH, S, DH)
 
 
@@ -344,3 +354,103 @@ def mlstm_chunkwise_pallas(
     h = _mlstm_pallas(q, k, v, i_preact, f_preact, cs, igate_act, eps,
                       interpret, mxu_dtype)
     return h[:, :, :S] if pad else h
+
+
+# ---------------------------------------------------------------------------
+# Layout-native entry: (B, NH, DH, S) in / out.
+#
+# The ViL cell's headwise projections emit the kernel's transposed layout
+# directly (einsum "bsnd,nod->bnos"), so q/k/v never take an HBM relayout on
+# the way in, and h comes back in the same layout for an on-layout outnorm.
+# On this host's ~300 GB/s effective HBM that removes ~2.5 GB of pure
+# transpose traffic per ViL-P3 layer (measured 31 -> ~23 ms, e2e profile).
+# Backward transposes to the natural layout and reuses the fused reverse-
+# streaming backward kernel (train-only cost).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _mlstm_pallas_t(q_t, k_t, v_t, i2, f2, chunk_size, igate_act, eps, interpret, mxu_dtype):
+    return _mlstm_pallas_t_impl(q_t, k_t, v_t, i2, f2, chunk_size, igate_act, eps,
+                                interpret, mxu_dtype)
+
+
+def _fwd_t(q_t, k_t, v_t, i2, f2, chunk_size, igate_act, eps, interpret, mxu_dtype):
+    h = _mlstm_pallas_t_impl(q_t, k_t, v_t, i2, f2, chunk_size, igate_act, eps,
+                             interpret, mxu_dtype)
+    return h, (q_t, k_t, v_t, i2, f2)
+
+
+def _bwd_t(chunk_size, igate_act, eps, interpret, mxu_dtype, res, g):
+    q_t, k_t, v_t, i2, f2 = res
+    BNH, DH, S = q_t.shape
+    to_nat = lambda x: x.swapaxes(1, 2).reshape(1, BNH, S, DH)
+    q = to_nat(q_t)
+    k = to_nat(k_t)
+    v = to_nat(v_t)
+    ip = i2.reshape(1, BNH, S)
+    fp = f2.reshape(1, BNH, S)
+    gn = g.astype(jnp.float32).swapaxes(1, 2).reshape(1, BNH, S, DH)
+    if DH == v.shape[-1]:
+        from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd
+
+        dq, dk, dv, di, df = mlstm_chunkwise_pallas_bwd(
+            q, k, v, ip, fp, gn, chunk_size=chunk_size, igate_act=igate_act,
+            eps=eps, interpret=interpret, mxu_dtype=mxu_dtype)
+    else:
+        from .mlstm_bwd import mlstm_chunkwise_bwd_ref
+
+        dq, dk, dv, di, df = mlstm_chunkwise_bwd_ref(
+            q, k, v, ip, fp, gn, chunk_size=chunk_size, igate_act=igate_act, eps=eps)
+    back = lambda x: x.reshape(BNH, S, DH).swapaxes(1, 2).astype(q_t.dtype)
+    return (back(dq), back(dk), back(dv),
+            di.reshape(BNH, 1, S).astype(i2.dtype), df.reshape(BNH, 1, S).astype(f2.dtype))
+
+
+_mlstm_pallas_t.defvjp(_fwd_t, _bwd_t)
+
+
+def mlstm_chunkwise_pallas_t(
+    q_t: jnp.ndarray,
+    k_t: jnp.ndarray,
+    v_t: jnp.ndarray,
+    i_preact: jnp.ndarray,
+    f_preact: jnp.ndarray,
+    chunk_size: int = 64,
+    igate_act: str = "exp",
+    eps: float = 1e-6,
+    interpret: bool | None = None,
+    mxu_dtype: str = "bfloat16",
+) -> jnp.ndarray:
+    """Fused chunkwise mLSTM, transposed layout: q/k/v (B, NH, DH, S),
+    gate preacts (B, NH, S) -> h (B, NH, DH, S) in the input dtype.
+
+    On non-TPU backends falls back to the native jnp chunkwise form (with
+    the layout moves XLA-CPU handles fine); on TPU it is the zero-relayout
+    fast path used by the ViL cell."""
+    B, NH, DH, S = q_t.shape
+    if jax.default_backend() != "tpu" and not interpret:
+        cs = min(chunk_size, S)
+        while S % cs:
+            cs //= 2
+        q = q_t.swapaxes(2, 3)
+        h = mlstm_chunkwise(q, k_t.swapaxes(2, 3), v_t.swapaxes(2, 3), i_preact, f_preact,
+                            chunk_size=cs, igate_act=igate_act, eps=eps)
+        return h.swapaxes(2, 3).astype(q_t.dtype)
+    cs = max(128, (min(chunk_size, S) // 128) * 128)
+    pad = (-S) % cs
+    if pad:
+        padw = ((0, 0), (0, 0), (0, 0), (0, pad))
+        q_t = jnp.pad(q_t, padw)
+        k_t = jnp.pad(k_t, padw)
+        v_t = jnp.pad(v_t, padw)
+        i_preact = jnp.pad(i_preact, ((0, 0), (0, 0), (0, pad)), constant_values=-40.0)
+        f_preact = jnp.pad(f_preact, ((0, 0), (0, 0), (0, pad)), constant_values=40.0)
+    Sp = S + pad
+    qf = q_t.reshape(B * NH, DH, Sp)
+    kf = k_t.reshape(B * NH, DH, Sp)
+    vf = v_t.reshape(B * NH, DH, Sp)
+    i2 = i_preact.reshape(B * NH, 1, Sp)
+    f2 = f_preact.reshape(B * NH, 1, Sp)
+    h = _mlstm_pallas_t(qf, kf, vf, i2, f2, cs, igate_act, eps, bool(interpret), mxu_dtype)
+    h = h.reshape(B, NH, DH, Sp)
+    return h[..., :S] if pad else h

@@ -83,19 +83,23 @@ class MultiHeadLayerNorm(nn.Module):
     num_heads: int
     eps: float = 1e-3
     with_bias: bool = True
+    transposed: bool = False  # input is (B, NH, DH, S); normalize over DH
 
     @nn.compact
-    def __call__(self, x):  # (B, NH, S, DH)
-        b, nh, s, dh = x.shape
+    def __call__(self, x):  # (B, NH, S, DH) or (B, NH, DH, S) if transposed
         dtype = x.dtype
+        nh = self.num_heads
+        dh = x.shape[2] if self.transposed else x.shape[3]
+        axis = 2 if self.transposed else 3
+        shp = (1, nh, dh, 1) if self.transposed else (1, nh, 1, dh)
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
+        mean = jnp.mean(xf, axis=axis, keepdims=True)
+        var = jnp.var(xf, axis=axis, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        weight = self.param("scale", nn.initializers.ones, (nh * dh,)).reshape(1, nh, 1, dh)
+        weight = self.param("scale", nn.initializers.ones, (nh * dh,)).reshape(shp)
         y = y * weight
         if self.with_bias:
-            bias = self.param("bias", nn.initializers.zeros, (nh * dh,)).reshape(1, nh, 1, dh)
+            bias = self.param("bias", nn.initializers.zeros, (nh * dh,)).reshape(shp)
             y = y + bias
         return y.astype(dtype)
 
@@ -107,6 +111,7 @@ class LinearHeadwiseExpand(nn.Module):
     dim: int
     num_heads: int
     use_bias: bool = True
+    transpose_out: bool = False  # emit (B, NH, DH, S) — the mLSTM kernel layout
 
     @nn.compact
     def __call__(self, x):  # (..., dim)
@@ -114,6 +119,14 @@ class LinearHeadwiseExpand(nn.Module):
         w = self.param("weight", nn.initializers.normal(stddev=math.sqrt(2.0 / 5.0 / dh)),
                        (self.num_heads, dh, dh))
         xs = x.reshape(*x.shape[:-1], self.num_heads, dh)
+        if self.transpose_out:
+            # transposed output layout folds the kernel-entry relayout into
+            # this dot's output indexing — no separate HBM transpose pass
+            y = jnp.einsum("bsnd,nod->bnos", xs, w.astype(x.dtype))
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros, (self.dim,))
+                y = y + b.astype(x.dtype).reshape(self.num_heads, dh, 1)
+            return y  # (B, NH, DH, S)
         y = jnp.einsum("...nd,nod->...no", xs, w.astype(x.dtype))
         y = y.reshape(*x.shape[:-1], self.dim)
         if self.use_bias:
@@ -200,6 +213,36 @@ class SequenceConv3d(nn.Module):
         return y.reshape(b, -1, self.out_channels)
 
 
+class _GateProj(nn.Module):
+    """Gate preactivation projection over cat(q, k, v) — parameter-identical
+    to the reference's single ``nn.Dense`` over the concatenation (kernel
+    (3*D, NH), bias (NH,)), but computed as three split dots so the 3x-wide
+    concat tensor is never materialized in HBM (measured 5.4 -> 3.4 ms at
+    ViL-P3/b128). In the transposed layout the dots contract (NH, DH)
+    directly from the kernel-layout operands and emit (B, NH, S)."""
+
+    features: int
+    bias_init: object = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, q, k, v, transposed: bool = False):
+        if transposed:
+            d = q.shape[1] * q.shape[2]
+        else:
+            d = q.shape[-1]
+        w = self.param("kernel", nn.initializers.zeros, (3 * d, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        if transposed:
+            nh_in, dh = q.shape[1], q.shape[2]
+            rs = lambda wm: wm.reshape(nh_in, dh, self.features).astype(q.dtype)
+            y = (jnp.einsum("bnos,noh->bhs", q, rs(w[:d]), preferred_element_type=jnp.float32)
+                 + jnp.einsum("bnos,noh->bhs", k, rs(w[d:2 * d]), preferred_element_type=jnp.float32)
+                 + jnp.einsum("bnos,noh->bhs", v, rs(w[2 * d:]), preferred_element_type=jnp.float32))
+            return y + bias.astype(y.dtype).reshape(1, self.features, 1)  # (B, NH, S)
+        wq, wk, wv = w[:d].astype(q.dtype), w[d:2 * d].astype(q.dtype), w[2 * d:].astype(q.dtype)
+        return q @ wq + k @ wk + v @ wv + bias.astype(q.dtype)  # (B, S, NH)
+
+
 class MatrixLSTMCell(nn.Module):
     """mLSTM cell with matrix memory (reference vision_lstm2.py:802).
 
@@ -217,23 +260,35 @@ class MatrixLSTMCell(nn.Module):
     backend: str = "auto"  # auto | pallas | native
 
     @nn.compact
-    def __call__(self, q, k, v):
-        b, s, d = q.shape
+    def __call__(self, q, k, v, transposed: bool = False):
+        """q/k/v: (B, S, D) natural, or (B, NH, DH, S) when ``transposed``
+        (the mLSTM kernel layout, as emitted by LinearHeadwiseExpand's
+        ``transpose_out`` — the zero-relayout TPU fast path)."""
         nh = self.num_heads
-        dh = d // nh
-        gate_in = jnp.concatenate([q, k, v], axis=-1)
+        gate_bias_i = lambda key, shape, dtype=jnp.float32: jnp.full(shape, -10.0, dtype)
+        gate_bias_f = lambda key, shape, dtype=jnp.float32: jnp.linspace(3.0, 6.0, shape[0], dtype=dtype)
         # gates init: f bias linspace 3->6, i bias -10, zero weights (fork init)
-        igate = nn.Dense(
-            nh, kernel_init=nn.initializers.zeros,
-            bias_init=lambda key, shape, dtype=jnp.float32: jnp.full(shape, -10.0, dtype),
-            name="igate",
-        )(gate_in)
-        fgate = nn.Dense(
-            nh, kernel_init=nn.initializers.zeros,
-            bias_init=lambda key, shape, dtype=jnp.float32: jnp.linspace(3.0, 6.0, shape[0], dtype=dtype),
-            name="fgate",
-        )(gate_in)
+        igate = _GateProj(nh, bias_init=gate_bias_i, name="igate")(q, k, v, transposed)
+        fgate = _GateProj(nh, bias_init=gate_bias_f, name="fgate")(q, k, v, transposed)
 
+        if transposed:
+            b, _, dh, s = q.shape
+            d = nh * dh
+            i_pre, f_pre = igate, fgate  # already (B, NH, S)
+            from ..kernels.mlstm_pallas import mlstm_chunkwise_pallas_t
+
+            h = mlstm_chunkwise_pallas_t(q, k, v, i_pre, f_pre,
+                                         chunk_size=self.chunk_size,
+                                         igate_act=self.igate_act)
+            h = h.astype(q.dtype)
+            if self.use_outnorm:
+                h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias,
+                                       transposed=True, name="outnorm")(h)
+            # the single relayout back to the natural activation layout
+            return h.transpose(0, 3, 1, 2).reshape(b, s, d)
+
+        b, s, d = q.shape
+        dh = d // nh
         qh = q.reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
         kh = k.reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
         vh = v.reshape(b, s, nh, dh).transpose(0, 2, 1, 3)
@@ -329,15 +384,25 @@ class ViLLayer(nn.Module):
                 inner, self.conv_kernel_size, groups=inner, seqlens=self.seqlens, name="conv"
             )(x_mlstm)
         )
-        q = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias, name="q_proj")(conv_act)
-        k = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias, name="k_proj")(conv_act)
-        v = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias, name="v_proj")(x_mlstm)
+        # On TPU the headwise projections emit the kernel's (B, NH, DH, S)
+        # layout directly and the cell consumes it relayout-free; elsewhere
+        # everything stays in the natural (B, S, D) layout.
+        backend = self.mlstm_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "native"
+        tp = backend == "pallas"
+        q = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
+                                 transpose_out=tp, name="q_proj")(conv_act)
+        k = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
+                                 transpose_out=tp, name="k_proj")(conv_act)
+        v = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
+                                 transpose_out=tp, name="v_proj")(x_mlstm)
 
         h = MatrixLSTMCell(
             dim=inner, num_heads=num_heads, chunk_size=self.chunk_size,
-            igate_act=self.igate_act, backend=self.mlstm_backend,
+            igate_act=self.igate_act, backend=backend,
             use_outnorm=self.use_outnorm, name="mlstm_cell",
-        )(q, k, v)
+        )(q, k, v, transposed=tp)
 
         skip = self.param("learnable_skip", nn.initializers.ones, (inner,))
         h = h + skip.astype(h.dtype) * conv_act
