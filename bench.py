@@ -1,8 +1,17 @@
 """Benchmark: end-to-end detection throughput on the local accelerator.
 
-Measures the full device pipeline the reference times with its three Profile
-blocks (engine/predictor.py:245-268): normalize -> forward -> DFL decode ->
-fixed-shape NMS, on a YOLOv8n-class model at 640x640, bf16 compute.
+Boundary (BASELINE.md "preproc -> NMS", reference engine/predictor.py:245-268
+Profile blocks): raw uint8 frames at camera resolution (540x810) ->
+ON-DEVICE letterbox (resize+pad+normalize fused in-graph, ops/letterbox.py)
+-> forward -> DFL decode -> fixed-shape NMS. This is the TPU-native preproc
+design: instead of the reference's host letterbox + float PCIe transfer, the
+uint8 frame ships to the device and preprocessing runs inside the same XLA
+program as the network (the host C++ letterbox, native/imgproc.cpp, remains
+for ragged offline inputs).
+
+Models: yolov8n (conv baseline) and vil_yolon (the ViL-YOLO flagship —
+printed LAST, it is the headline metric). Conv+BN folded (Model.fuse
+analogue), bf16 params/compute, NMS pre_topk 512 (predict-path default).
 
 Methodology notes for this environment:
   * the axon relay's block_until_ready does not synchronize, so iterations
@@ -10,7 +19,7 @@ Methodology notes for this environment:
   * a persistent compilation cache is used (first AOT compile through the
     relay takes minutes).
 
-Prints ONE JSON line:
+Prints ONE JSON line per model:
     {"metric": "...", "value": N, "unit": "img/s", "vs_baseline": N}
 vs_baseline is relative to the driver-assigned north star of 2000 img/s/chip
 on TPU v5e (BASELINE.md).
@@ -23,19 +32,19 @@ import time
 import numpy as np
 
 
-def main():
+def bench_model(name: str, metric: str, imgsz: int = 640, batch: int = 128,
+                iters: int = 5, src_hw: tuple = (540, 810)) -> dict:
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
+    from xlstm_yolo_tpu.nn.fuse import fuse_conv_bn
     from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.ops.letterbox import letterbox_device
     from xlstm_yolo_tpu.ops.nms import non_max_suppression
 
-    imgsz, batch, iters = 640, 128, 5
-    model = TaskModel("yolov8n.yaml")
+    model = TaskModel(name)
     variables = model.init(0, imgsz=imgsz)
+    variables = fuse_conv_bn(variables)
     # bf16 params for MXU-friendly inference (BN stats stay fp32)
     variables = {
         "params": jax.tree.map(lambda x: x.astype(jnp.bfloat16), variables["params"]),
@@ -43,9 +52,10 @@ def main():
     }
 
     def one(raw):
-        x = raw.astype(jnp.bfloat16) / 255.0
+        x, _meta = letterbox_device(raw, imgsz=imgsz)
         pred = model.predictions(variables, x)
-        dets, valid = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.7, max_det=300)
+        dets, valid = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.7,
+                                          max_det=300, pre_topk=512)
         return dets
 
     @jax.jit
@@ -56,7 +66,7 @@ def main():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     rng = np.random.default_rng(0)
-    raw = jnp.asarray(rng.integers(0, 255, (batch, imgsz, imgsz, 3)), jnp.uint8)
+    raw = jnp.asarray(rng.integers(0, 255, (batch, *src_hw, 3)), jnp.uint8)
 
     _ = float(many(raw))  # compile + warm (forces a real readback)
     best = float("inf")
@@ -65,13 +75,23 @@ def main():
         _ = float(many(raw))
         best = min(best, (time.perf_counter() - t0) / iters)
     img_s = batch / best
-
-    print(json.dumps({
-        "metric": "yolov8n_640_e2e_throughput",
+    return {
+        "metric": metric,
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / 2000.0, 3),
-    }))
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    print(json.dumps(bench_model("yolov8n.yaml", "yolov8n_640_e2e_throughput")), flush=True)
+    # flagship last: the driver's parsed line
+    print(json.dumps(bench_model("vil_yolon.yaml", "vil_yolon_640_e2e_throughput")), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,39 @@
+"""On-device letterbox: resize + pad + normalize inside the XLA program.
+
+TPU-native counterpart of the reference's host-side ``LetterBox`` transform
+(reference ``data/augment.py:1099``, ``engine/predictor.py:116`` pre_transform):
+instead of resizing on CPU and shipping a float batch over PCIe, raw uint8
+frames go to the device and the whole preproc (bilinear resize, 114-gray
+padding, /255 normalize) runs fused into the same jit as the forward pass.
+Static shapes only (one compile per input resolution — the serving case of a
+fixed camera/feed size), center-padded like the reference's default.
+
+The host path (``data/augment.py:letterbox`` + ``native/imgproc.cpp``) stays
+for ragged/arbitrary-size offline inputs.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("imgsz", "fill", "dtype_name"))
+def letterbox_device(img: jnp.ndarray, imgsz: int = 640, fill: float = 114.0,
+                     dtype_name: str = "bfloat16"):
+    """Letterbox a uint8 (B, H, W, 3) batch to (B, imgsz, imgsz, 3), normalized
+    to [0, 1] in ``dtype_name``. Returns (batch, (ratio, pad_x, pad_y)) with
+    the same meta convention as the host letterbox (scale then top-left pad
+    offsets) so ``ops.boxes.scale_boxes`` un-maps predictions identically."""
+    b, h, w, c = img.shape
+    dtype = jnp.dtype(dtype_name)
+    r = min(imgsz / h, imgsz / w)
+    nh, nw = round(h * r), round(w * r)
+    x = img.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
+    x = jax.image.resize(x, (b, nh, nw, c), method="bilinear")
+    top = (imgsz - nh) // 2
+    left = (imgsz - nw) // 2
+    out = jnp.full((b, imgsz, imgsz, c), fill / 255.0, dtype)
+    out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
+    return out, (r, float(left), float(top))
