@@ -55,7 +55,7 @@ def bench_model(name: str, metric: str, imgsz: int = 640, batch: int = 128,
         x, _meta = letterbox_device(raw, imgsz=imgsz)
         pred = model.predictions(variables, x)
         dets, valid = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.7,
-                                          max_det=300, pre_topk=512)
+                                          max_det=300, pre_topk=512, fast_sel=True)
         return dets
 
     @jax.jit

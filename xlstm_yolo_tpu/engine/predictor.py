@@ -150,7 +150,7 @@ class Predictor:
         # wider default pool + multi_label in validator.py)
         dets, valid = non_max_suppression(
             full["cands"], conf_thres=self.conf, iou_thres=self.iou, max_det=self.max_det,
-            pre_topk=512, class_agnostic=self.agnostic,
+            pre_topk=512, fast_sel=True, class_agnostic=self.agnostic,
         )
         if task == "segment":
             return dets, valid, full["cands"], full["coefs"], full["proto"]

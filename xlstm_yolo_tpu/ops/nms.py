@@ -52,7 +52,7 @@ def _suppress_exact(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "multi_label", "exact", "max_wh", "class_agnostic"),
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "multi_label", "exact", "max_wh", "class_agnostic", "fast_sel"),
 )
 def non_max_suppression(
     prediction: jnp.ndarray,
@@ -64,6 +64,7 @@ def non_max_suppression(
     exact: bool = False,
     max_wh: float = 7680.0,
     class_agnostic: bool = False,
+    fast_sel: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched fixed-shape NMS.
 
@@ -94,6 +95,19 @@ def non_max_suppression(
         cls = flat_cls[top_idx]
         boxes = jnp.take_along_axis(boxes_xywh, box_idx[..., None], axis=1)
         scores = top_scores
+    elif fast_sel:
+        # predict-path selection: bf16 score reduce + TPU-optimized
+        # approximate top-k (recall_target 0.95 over candidates that are
+        # ranked near the pool cutoff only — max_det is far smaller than the
+        # pool, so the kept set is unchanged in practice)
+        s16 = scores_all.astype(jnp.bfloat16)
+        smax = jnp.max(s16, axis=-1)
+        cls_full = jnp.argmax(s16, axis=-1).astype(jnp.float32)
+        k = min(pre_topk, n)
+        scores, top_idx = jax.lax.approx_max_k(smax, k, recall_target=0.95)
+        scores = scores.astype(jnp.float32)
+        boxes = jnp.take_along_axis(boxes_xywh, top_idx[..., None], axis=1)
+        cls = jnp.take_along_axis(cls_full, top_idx, axis=1)
     else:
         scores = jnp.max(scores_all, axis=-1)
         cls_full = jnp.argmax(scores_all, axis=-1).astype(jnp.float32)
