@@ -31,12 +31,29 @@ Design (v3 — row-resident, segmented):
   * backward: custom_vjp recomputes through the native jnp chunkwise form
     (rematerialization — the standard trade of FLOPs for HBM on TPU).
 
-Performance (v5e, loop-carried inputs so nothing hoists; native = XLA
-batched-einsum chunkwise):
-  ViL-P3 (B128 NH8  S6400 DH16, CS256): native 54.2 ms -> pallas 21.8 ms
-  ViL-P4 (B128 NH16 S1600 DH16):        native 24.3 ms -> pallas 14.8 ms
-  ViL-P5 (B128 NH32 S400  DH16):        native 28.5 ms -> pallas 11.9 ms
-ViL-YOLO-n e2e 640px b128: 875 -> 1459 img/s (vs 616 at the old default).
+Performance (v5e, loop-carried inputs so nothing hoists; current flagship
+shapes, qkv_block_size 64 -> DH 64):
+  ViL-P3 (B128 NH2 S6400 DH64, CS256): 5.3 ms   (e2e stage incl. XLA ops: ~23 ms)
+  ViL-P4 (B128 NH4 S1600 DH64, CS128): 4.2 ms
+  ViL-P5 (B128 NH8 S400  DH64, CS128): 3.2 ms
+ViL-YOLO-n e2e 640px b128: 56.2 ms = 2278 img/s (normalize->NMS, fused BN).
+
+Layout studies (measured on-chip, kept for the record — git history has the
+implementations):
+  * activation-natural I/O with in-kernel (CS, G*DH) XLU transposes:
+    kernel 5.3 -> 8.5 ms at P3 (bf16 AND fp32 transposes are slow at this
+    rate: 4 per chunk x 25 chunks x 128 rows);
+  * row-form math (un-transposed equations, per-head 64-aligned lane
+    slices, operand transposes absorbed into MXU dimension numbers):
+    10.2 ms at P3 — lane extracts/concats per row cost more than the
+    XLA-side relayout copies they replace.
+  The transposed-resident layout wins: sequence on lanes makes every gate
+  vector broadcast free, and the XLA-side entry/exit relayouts (~4.5 ms per
+  step at P3, profiled) are cheaper than moving the reorientation on-chip.
+  Next candidate: fuse the headwise q/k/v projections INTO the kernel
+  ("NT"-form dots ingest natural conv_act/x_mlstm and emit transposed q/k/v
+  on-chip), which would delete the projection round-trips AND the relayout
+  copies; gates fuse too when a block covers all heads.
 
 Known Mosaic pitfalls worked around here (see git history for repros):
   * no cumsum primitive -> tril-ones matmul;
