@@ -487,13 +487,20 @@ class Loader:
         use_native = (not self.ds.augment) and self.ds.task == "detect"
 
         def producer():
-            for b in range(nb):
-                batch_idx = idxs[b * self.bs : (b + 1) * self.bs]
-                batch = self.ds.collate_native(batch_idx) if use_native else None
-                if batch is None:
-                    samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
-                    batch = self.ds.collate(samples, batch_idx)
-                q.put(batch)
+            # any producer exception must reach the consumer — a silently
+            # dead producer leaves q.get() blocked forever (observed as a
+            # SIGTERM-proof hang in the world-trainer test)
+            try:
+                for b in range(nb):
+                    batch_idx = idxs[b * self.bs : (b + 1) * self.bs]
+                    batch = self.ds.collate_native(batch_idx) if use_native else None
+                    if batch is None:
+                        samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
+                        batch = self.ds.collate(samples, batch_idx)
+                    q.put(batch)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
+                return
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -502,6 +509,8 @@ class Loader:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
         self.epoch += 1
 
@@ -601,7 +610,7 @@ class ClassificationDataset:
         img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
         return img, label
 
-    def collate(self, samples: list) -> dict:
+    def collate(self, samples: list, idxs=None) -> dict:
         imgs = np.stack([s[0] for s in samples]).astype(np.float32) / 255.0
         labels = np.asarray([s[1] for s in samples], np.int64)
         return {"img": imgs, "label": labels}

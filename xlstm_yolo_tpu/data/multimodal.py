@@ -103,8 +103,8 @@ class MultiModalDataset(YOLODataset):
         batch = super().collate_native(idxs)
         return self._attach_texts(batch)
 
-    def collate(self, samples):
-        batch = super().collate(samples)
+    def collate(self, samples, idxs=None):
+        batch = super().collate(samples, idxs)
         return self._attach_texts(batch)
 
     def _attach_texts(self, batch):
