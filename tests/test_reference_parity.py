@@ -242,6 +242,32 @@ def test_model_zoo_param_fidelity(reference):
 
 
 @pytest.mark.slow
+def test_yolov10_variant_param_fidelity(reference):
+    """The reference v10 scales differ STRUCTURALLY (C2fCIB placement and
+    large-kernel flags vary per variant — cfg/models/v10/yolov10{n..x}.yaml),
+    so each variant ships its own repo YAML; every one must be bit-exact vs
+    the live reference (modulo functional-DFL -16)."""
+    import jax
+    import torch
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    yaml_model_load = reference.nn.tasks.yaml_model_load
+    for v in "nsmblx":
+        torch.manual_seed(0)
+        cfg = yaml_model_load(f"yolov10{v}.yaml")
+        # fork quirk: parse_model indexes scales.keys()[1] on single-scale
+        # yamls (reference nn/tasks.py:1083); pin the scale explicitly
+        cfg["scale"] = v
+        tm = reference.nn.tasks.DetectionModel(cfg, ch=3, nc=80, verbose=False)
+        tn = sum(p.numel() for p in tm.parameters())
+        m = TaskModel(f"yolov10{v}.yaml", nc=80)
+        var = m.init(0, imgsz=64)
+        n = sum(int(x.size) for x in jax.tree.leaves(var["params"]))
+        assert n == tn - 16, (v, n, tn, n - tn)
+
+
+@pytest.mark.slow
 def test_model_zoo_param_fidelity_round2(reference):
     """Round-2 zoo additions: yolo11/12 task variants, ghost-p2/p6, v9m,
     v9e-seg, cls-resnet101, v8-rtdetr, rtdetr-resnet50/101, rtdetr-l/x —

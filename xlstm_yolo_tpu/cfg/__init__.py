@@ -156,8 +156,10 @@ def load_model_yaml(name: str | Path) -> tuple[dict, str | None]:
     p = Path(name)
     stem = p.stem
     scale = None
-    # "yolov8n.yaml" -> yolov8.yaml scale n; "yolov8s-seg.yaml" -> yolov8-seg.yaml scale s
-    m = re.match(r"^(.*?)([nsmlx])(-[a-z0-9]+)?$", stem)
+    # "yolov8n.yaml" -> yolov8.yaml scale n; "yolov8s-seg.yaml" -> yolov8-seg.yaml
+    # scale s; the letter class covers every scale the zoo defines
+    # (n/s/m/l/x + v9's t/c/e and v10's b) — exact zoo files always win below
+    m = re.match(r"^(.*?)([nsmlxtcbe])(-[a-z0-9]+)?$", stem)
     if not p.exists() and (MODELS_DIR / p.with_suffix(".yaml").name).exists():
         m = None  # an exact zoo file wins over scale-letter stripping (yolov9s.yaml)
     if not p.exists() and m is not None:
