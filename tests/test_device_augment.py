@@ -2,11 +2,15 @@
 v8_transforms stages as jitted XLA ops — identity behavior, flip/label
 consistency, mosaic label packing, HSV roundtrip."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from xlstm_yolo_tpu.data.device_augment import device_augment, hsv_jitter
+
+
+pytestmark = pytest.mark.slow
 
 
 def _batch(B=2, S=64, M=8, seed=0):

@@ -10,6 +10,9 @@ from xlstm_yolo_tpu.utils import downloads as D
 from xlstm_yolo_tpu.utils.callbacks import Callbacks, HOOKS, default_callbacks
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_working_directory(tmp_path):
     cwd = Path.cwd()
     with F.WorkingDirectory(tmp_path):

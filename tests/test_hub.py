@@ -9,6 +9,9 @@ import pytest
 from xlstm_yolo_tpu.hub import Auth, HubTrainingSession, smart_request
 
 
+pytestmark = pytest.mark.smoke
+
+
 class _Handler(BaseHTTPRequestHandler):
     store = {"metrics": [], "ckpts": [], "auth": 0, "fail_next": 0}
 

@@ -3,6 +3,9 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow
+
+
 def _result_with_tracks(boxes, ids):
     from xlstm_yolo_tpu.engine.results import Results
 
@@ -76,6 +79,7 @@ def test_callbacks_registry(tmp_path):
     assert row["epoch"] == 3 and row["mAP50"] == 0.5
 
 
+@pytest.mark.smoke
 def test_cli_parse():
     from xlstm_yolo_tpu.__main__ import _coerce, parse_kv
 
@@ -147,6 +151,7 @@ def test_classification_dataset(tmp_path):
     assert "accuracy_top1" in out and 0.0 <= out["accuracy_top1"] <= 1.0
 
 
+@pytest.mark.smoke
 def test_fuse_conv_bn_identity():
     """Fused model output must match unfused at eval."""
     import jax

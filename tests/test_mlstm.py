@@ -14,6 +14,9 @@ import jax.numpy as jnp
 from xlstm_yolo_tpu.kernels import mlstm_native as K
 
 
+pytestmark = pytest.mark.smoke
+
+
 def _rand_inputs(B=2, NH=3, S=32, DH=16, seed=0, gate_scale=1.0):
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.normal(size=(B, NH, S, DH)), jnp.float32)

@@ -9,6 +9,9 @@ from xlstm_yolo_tpu.nn.tasks import TaskModel
 from xlstm_yolo_tpu.utils import tal
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def v8n():
     m = TaskModel("yolov8n.yaml")

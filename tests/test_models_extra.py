@@ -6,6 +6,9 @@ import jax
 import jax.numpy as jnp
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_world_blocks():
     from xlstm_yolo_tpu.models_extra import C2fAttn, ContrastiveHead, WorldDetectHead
 

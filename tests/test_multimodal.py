@@ -13,6 +13,9 @@ from xlstm_yolo_tpu.data.multimodal import (
 from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("mm")

@@ -5,6 +5,9 @@ import pytest
 from xlstm_yolo_tpu import native
 
 
+pytestmark = pytest.mark.smoke
+
+
 @pytest.mark.skipif(not native.available(), reason="no compiler")
 def test_native_letterbox_matches_cv2():
     from xlstm_yolo_tpu.data.augment import letterbox

@@ -10,6 +10,9 @@ from xlstm_yolo_tpu.ops import anchors as A
 from xlstm_yolo_tpu.ops.nms import non_max_suppression
 
 
+pytestmark = pytest.mark.smoke
+
+
 def test_xywh_roundtrip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(1, 100, (32, 4)), jnp.float32)

@@ -15,6 +15,9 @@ from xlstm_yolo_tpu.kernels.mlstm_native import mlstm_chunkwise
 from xlstm_yolo_tpu.kernels.mlstm_pallas import _mlstm_pallas_fwd_impl, mlstm_chunkwise_pallas
 
 
+pytestmark = pytest.mark.slow
+
+
 def _inputs(B=2, NH=4, S=256, DH=16, seed=0):
     rng = np.random.default_rng(seed)
     mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)

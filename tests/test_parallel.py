@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from xlstm_yolo_tpu.parallel import mesh as M
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_mesh_shapes():
     m = M.build_mesh(dp=4, tp=2, sp=1)
     assert m.shape == {"dp": 4, "tp": 2, "sp": 1}
@@ -120,6 +123,7 @@ def test_distributed_helpers_single_host():
     assert D.is_main_process()
 
 
+@pytest.mark.smoke
 def test_loader_process_sharding():
     """Loader with shard_index/num_shards partitions the index space without
     overlap — the DistributedSampler equivalent."""
@@ -140,7 +144,7 @@ def test_loader_process_sharding():
         def collate_native(self, idxs):
             return None
 
-        def collate(self, samples):
+        def collate(self, samples, idxs=None):
             return list(samples)
 
     seen = []

@@ -15,6 +15,9 @@ from xlstm_yolo_tpu.parallel.pipeline import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def _mesh(**axes):
     devs = np.asarray(jax.devices()[: int(np.prod(list(axes.values())))])
     return Mesh(devs.reshape(*axes.values()), axis_names=tuple(axes))

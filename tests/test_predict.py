@@ -6,6 +6,9 @@ import jax
 import jax.numpy as jnp
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def trained_setup(tmp_path_factory):
     """A lightly-trained tiny model + its synthetic dataset."""

@@ -22,6 +22,9 @@ BACKENDS = "/root/reference/nn/modules/vision_lstm/xlstm/blocks/mlstm/backends.p
 VANILLA = "/root/reference/nn/modules/vision_lstm/xlstm/blocks/slstm/src/vanilla/slstm.py"
 
 
+pytestmark = pytest.mark.smoke
+
+
 def _load(path, name):
     if not pathlib.Path(path).exists():
         pytest.skip("reference mount not present")

@@ -23,6 +23,9 @@ import pytest
 REF = "/root/reference/__init__.py"
 
 
+pytestmark = pytest.mark.slow
+
+
 def _install_stub_tree(root: str):
     """Meta-path finder fabricating empty modules for ``root`` and any
     submodule, so ``from root.a.b import name`` succeeds; looked-up names

@@ -15,6 +15,9 @@ IMG = np.zeros((100, 200, 3), np.uint8)
 NAMES = {0: "a", 1: "b"}
 
 
+pytestmark = pytest.mark.smoke
+
+
 def _det_results():
     boxes = np.asarray([[10, 10, 50, 60, 0.9, 1], [100, 20, 150, 80, 0.7, 0]], np.float32)
     return Results(IMG, path="t.jpg", names=NAMES, boxes=boxes)

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from xlstm_yolo_tpu.nn import rtdetr as R
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_deform_sample_identity():
     """Sampling exactly at pixel centers returns the pixel values."""
     b, h, w, nh, dh = 1, 4, 4, 2, 3

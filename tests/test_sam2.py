@@ -16,6 +16,9 @@ from xlstm_yolo_tpu.models_sam2 import (
 SZ = 128  # tiny image size for tests
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_hiera_multiscale_shapes():
     m = Hiera(embed_dim=32, stages=(1, 1, 1, 1))
     x = jnp.zeros((1, SZ, SZ, 3))

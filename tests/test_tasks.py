@@ -15,6 +15,9 @@ COMMON = dict(epochs=2, imgsz=96, batch=4, val=True, max_labels=16, optimizer="S
               fliplr=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, plots=False)
 
 
+pytestmark = pytest.mark.slow
+
+
 def _train(model, data_yaml, tmp_path, name):
     tr = Trainer(model, overrides={**COMMON, "data": data_yaml,
                                    "project": str(tmp_path), "name": name})

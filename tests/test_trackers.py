@@ -5,6 +5,9 @@ import pytest
 from xlstm_yolo_tpu.trackers import BOTSORT, BYTETracker, create_tracker
 
 
+pytestmark = pytest.mark.smoke
+
+
 def _det(x, y, w=20, h=20, conf=0.9, cls=0):
     return [x - w / 2, y - h / 2, x + w / 2, y + h / 2, conf, cls]
 

@@ -9,12 +9,16 @@ import jax.numpy as jnp
 from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def data_yaml(tmp_path_factory):
     root = tmp_path_factory.mktemp("synth")
     return make_synthetic_dataset(root, n_train=8, n_val=4, imgsz=96)
 
 
+@pytest.mark.smoke
 def test_dataset_pipeline(data_yaml):
     from xlstm_yolo_tpu.data.dataset import build_dataloader
 

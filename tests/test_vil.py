@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from xlstm_yolo_tpu.nn import vil as V
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_linear_headwise_expand_blockdiag():
     """Headwise projection must not mix heads."""
     m = V.LinearHeadwiseExpand(dim=32, num_heads=4, use_bias=False)
@@ -41,6 +44,7 @@ def test_sequence_conv2d_shapes():
     assert m2.apply(p2, x).shape == (2, 6, 32)
 
 
+@pytest.mark.smoke
 def test_vil_block_pair_runs_and_shape():
     m = V.ViLBlockPair(dim=32, qkv_block_size=16, seqlens=(4, 4), chunk_size=8)
     x = jnp.ones((2, 16, 32))

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from xlstm_yolo_tpu.nn import vil_extra as VE
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_vil_layer_large_and_state_carry():
     m = VE.ViLLayerLarge(dim=32, num_heads=4, chunk_size=8, seqlens=(4, 4))
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 32)), jnp.float32)

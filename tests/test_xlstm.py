@@ -37,6 +37,7 @@ def _np_slstm_ref(wx, r, b):
     return np.stack(outs, 1)
 
 
+@pytest.mark.smoke
 def test_slstm_scan_matches_numpy():
     rng = np.random.default_rng(0)
     B, S, NH, DH = 2, 16, 3, 8
