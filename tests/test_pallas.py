@@ -32,6 +32,66 @@ def test_pallas_interpret_matches_native(igate_act):
     np.testing.assert_allclose(hp, hn, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("igate_act", ["exp", "sigmoid"])
+def test_vil_fused_interpret_matches_composite(igate_act):
+    """The fully-fused ViL cell kernel (projections + gates + chunkwise
+    mLSTM in one Pallas program) must match the unfused composite."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_fused_composite, mlstm_vil_fused_pallas)
+
+    B, NH, S, DH = 2, 2, 256, 16
+    INNER = NH * DH
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    conv_act, x_mlstm = mk(B, S, INNER), mk(B, S, INNER)
+    wq, wk, wv = mk(NH, DH, DH) * 0.3, mk(NH, DH, DH) * 0.3, mk(NH, DH, DH) * 0.3
+    bq, bk, bv = mk(INNER) * 0.1, mk(INNER) * 0.1, mk(INNER) * 0.1
+    wgi, wgf = mk(3 * INNER, NH) * 0.05, mk(3 * INNER, NH) * 0.05
+    bgi = jnp.full((NH,), -8.0)
+    bgf = jnp.full((NH,), 4.0)
+
+    got = mlstm_vil_fused_pallas(conv_act, x_mlstm, wq, bq, wk, bk, wv, bv,
+                                 wgi, bgi, wgf, bgf, NH, chunk_size=128,
+                                 igate_act=igate_act, interpret=True,
+                                 mxu_dtype="float32")
+    want = _vil_fused_composite(conv_act, x_mlstm, wq, wk, wv, bq, bk, bv,
+                                wgi, bgi, wgf, bgf, NH, 128, igate_act,
+                                1e-6).reshape(B, NH, DH, S)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
+def test_vil_fused_gradients_match_composite():
+    """custom_vjp backward (recompute through the composite) must equal
+    autodiff of the composite itself."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_fused_composite, mlstm_vil_fused_pallas)
+
+    B, NH, S, DH = 1, 2, 64, 8
+    INNER = NH * DH
+    rng = np.random.default_rng(1)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    args = (mk(B, S, INNER), mk(B, S, INNER), mk(NH, DH, DH) * 0.3, mk(INNER) * 0.1,
+            mk(NH, DH, DH) * 0.3, mk(INNER) * 0.1, mk(NH, DH, DH) * 0.3, mk(INNER) * 0.1,
+            mk(3 * INNER, NH) * 0.05, jnp.full((NH,), -8.0),
+            mk(3 * INNER, NH) * 0.05, jnp.full((NH,), 4.0))
+
+    def loss_fused(ca, xm, wq, bq, wk, bk, wv, bv, wgi, bgi, wgf, bgf):
+        h = mlstm_vil_fused_pallas(ca, xm, wq, bq, wk, bk, wv, bv,
+                                   wgi, bgi, wgf, bgf, NH, chunk_size=64)
+        return jnp.sum(h ** 2)
+
+    def loss_ref(ca, xm, wq, bq, wk, bk, wv, bv, wgi, bgi, wgf, bgf):
+        h = _vil_fused_composite(ca, xm, wq, wk, wv, bq, bk, bv,
+                                 wgi, bgi, wgf, bgf, NH, 64, "exp", 1e-6)
+        return jnp.sum(h ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(12)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(12)))(*args)
+    for a, b, i in zip(gf, gr, range(12)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=str(i))
+
+
 def test_pallas_head_grouping_consistent():
     # different (B, NH) factorizations of the same rows give the same result
     q, k, v, i, f = _inputs(B=1, NH=8, S=128, DH=16)

@@ -77,6 +77,92 @@ from .mlstm_native import mlstm_chunkwise
 NEG_INF = -1e30
 
 
+def _chunk_math(qt, kt, vt, i_pre, f_pre, c_prev, n_prev, m_prev, *,
+                g, cs, dh, igate_act, eps, mxu, causal_t, cum_mat, lane_ids):
+    """The transposed-layout chunkwise step on VMEM-resident values:
+    inputs (G, DH, CS) q/k/v (q pre-scaled by dh^-0.5), (G, 1, CS) gate
+    preacts, (G, DH, DH)/(G, DH, 1)/(G, 1, 1) carried states. Returns
+    (hT, c_new, n_new, m_new). Shared by every kernel entry."""
+    # NOTE: Precision.HIGHEST on these thin transposed dots miscompiles in
+    # Mosaic (observed 0.8 abs error on v5e vs 2e-3 at DEFAULT; HIGH is
+    # unsupported). fp32 mode therefore only keeps OPERANDS un-truncated;
+    # the MXU pass itself stays DEFAULT. Interpret mode (CPU parity tests)
+    # is exact regardless.
+    def dot32(a, b):
+        return jnp.dot(a.astype(mxu), b.astype(mxu),
+                       preferred_element_type=jnp.float32)
+
+    logf = jax.nn.log_sigmoid(f_pre)  # (G, 1, CS)
+    logi = jax.nn.log_sigmoid(i_pre) if igate_act == "sigmoid" else i_pre
+    # precision=HIGHEST: bf16 rounding on this fp32 matmul corrupts the
+    # log-space gate accumulation (errors get exponentiated downstream)
+    b = jnp.stack([
+        jnp.dot(logf[gi], cum_mat, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        for gi in range(g)
+    ])  # (G, 1, CS) inclusive cumsum over lanes
+    btot = jnp.sum(logf, axis=2, keepdims=True)  # (G, 1, 1)
+
+    # rowwise max of log_d equals b_s + cummax_{t<=s}(logi_t - b_t): a
+    # lane cumulative max (log2(CS) roll+max) replaces materializing and
+    # reducing the (CS, CS) matrix.
+    w_vec = logi - b  # (G, 1, CS)
+    cm = w_vec
+    sh = 1
+    while sh < cs:
+        rolled = pltpu.roll(cm, shift=sh, axis=2)
+        rolled = jnp.where(lane_ids >= sh, rolled, NEG_INF)
+        cm = jnp.maximum(cm, rolled)
+        sh *= 2
+    d_max = b + cm  # (G, 1, CS)
+
+    inter_decay_log = m_prev + b  # (G, 1, CS)
+    stab = jnp.maximum(d_max, inter_decay_log)
+
+    q_inter = qt * jnp.exp(inter_decay_log - stab)  # (G, DH, CS) lane-scaled
+    g_acc = logi + (btot - b)  # (G, 1, CS)
+    m_loc = jnp.max(g_acc, axis=2, keepdims=True)  # (G, 1, 1)
+    gw = jnp.exp(g_acc - m_loc)  # (G, 1, CS)
+
+    m_new = jnp.maximum(btot + m_prev, m_loc)
+    decay_old = jnp.exp(btot + m_prev - m_new)  # (G, 1, 1)
+    decay_new = jnp.exp(m_loc - m_new)
+    # Mosaic can't broadcast (G,1,1)->(G,DH,DH) in one shot (sublane+
+    # lane); materialize the sublane expansion through the exp so it
+    # can't be fused back into a single two-axis broadcast.
+    decay_old_c = jnp.exp(jnp.broadcast_to(btot + m_prev - m_new, (g, dh, 1)))
+    decay_new_c = jnp.exp(jnp.broadcast_to(m_loc - m_new, (g, dh, 1)))
+
+    hT_out, e_sums, kvs, ksums = [], [], [], []
+    w_col = jnp.swapaxes(w_vec, 1, 2)  # (G, CS, 1)
+    b_stab = b - stab  # (G, 1, CS)
+    for gi in range(g):
+        # transposed D, built per head so only ~2 (CS, CS) temporaries are
+        # live at once (keeps VMEM independent of G):
+        # argT[t, s] = w_t + (b_s - stab_s); mask BEFORE exp
+        argT = jnp.where(causal_t, w_col[gi] + b_stab[gi], NEG_INF)
+        # eT = (q k^T * D)^T = k^T q * D^T: contraction over DH sublanes
+        eT = dot32(kt[gi].T, qt[gi]) * jnp.exp(argT)  # (CS_t, CS_s)
+        # intra numerator, transposed: v^T e^T -> (DHv, CS_s)
+        intra = dot32(vt[gi], eT)
+        # inter numerator, transposed: C^T q_inter -> (DHv, CS_s)
+        inter = dot32(c_prev[gi], q_inter[gi])
+        e_sums.append(jnp.sum(eT, axis=0, keepdims=True))  # (1, CS_s)
+        hT_out.append(intra + inter)
+        kg = kt[gi] * gw[gi]  # (DHq, CS)
+        kvs.append(dot32(vt[gi], kg.T))  # C^T update: (DHv, DHq)
+        ksums.append(jnp.sum(kg, axis=1, keepdims=True))  # (DHq, 1)
+
+    e_sum = jnp.stack(e_sums)  # (G, 1, CS)
+    inter_norm = jnp.sum(q_inter * n_prev, axis=1, keepdims=True)  # (G, 1, CS)
+    normalizer = jnp.maximum(jnp.abs(e_sum + inter_norm), jnp.exp(-stab)) + eps
+    hT = jnp.stack(hT_out) / normalizer  # (G, DH, CS) / (G, 1, CS)
+
+    c_new = c_prev * decay_old_c + jnp.stack(kvs) * decay_new_c
+    n_new = n_prev * decay_old + jnp.stack(ksums) * decay_new
+    return hT, c_new, n_new, m_new
+
+
 def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
             g, ns, cs, dh, igate_act, eps, mxu):
     """One grid step = G head-rows, full sequence; chunk loop inside.
@@ -87,15 +173,6 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
     math below is the standard chunkwise form with every equation
     transposed; positions live on lanes, head-dims on sublanes.
     """
-    # NOTE: Precision.HIGHEST on these thin transposed dots miscompiles in
-    # Mosaic (observed 0.8 abs error on v5e vs 2e-3 at DEFAULT; HIGH is
-    # unsupported). fp32 mode therefore only keeps OPERANDS un-truncated;
-    # the MXU pass itself stays DEFAULT. Interpret mode (CPU parity tests)
-    # is exact regardless.
-    def dot32(a, b):
-        return jnp.dot(a.astype(mxu), b.astype(mxu),
-                       preferred_element_type=jnp.float32)
-
     # loop-invariant constants; s = output position, t = source position
     t_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
     s_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
@@ -120,79 +197,14 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, h_ref, c_scr, n_scr, m_scr, *,
         i_pre = i_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32)  # (G, 1, CS)
         f_pre = f_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32)
 
-        logf = jax.nn.log_sigmoid(f_pre)  # (G, 1, CS)
-        logi = jax.nn.log_sigmoid(i_pre) if igate_act == "sigmoid" else i_pre
-        # precision=HIGHEST: bf16 rounding on this fp32 matmul corrupts the
-        # log-space gate accumulation (errors get exponentiated downstream)
-        b = jnp.stack([
-            jnp.dot(logf[gi], cum_mat, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-            for gi in range(g)
-        ])  # (G, 1, CS) inclusive cumsum over lanes
-        btot = jnp.sum(logf, axis=2, keepdims=True)  # (G, 1, 1)
-
-        c_prev = c_scr[:]
-        n_prev = n_scr[:]
-        m_prev = m_scr[:]
-
-        # rowwise max of log_d equals b_s + cummax_{t<=s}(logi_t - b_t): a
-        # lane cumulative max (log2(CS) roll+max) replaces materializing and
-        # reducing the (CS, CS) matrix.
-        w_vec = logi - b  # (G, 1, CS)
-        cm = w_vec
-        sh = 1
-        while sh < cs:
-            rolled = pltpu.roll(cm, shift=sh, axis=2)
-            rolled = jnp.where(lane_ids >= sh, rolled, NEG_INF)
-            cm = jnp.maximum(cm, rolled)
-            sh *= 2
-        d_max = b + cm  # (G, 1, CS)
-
-        inter_decay_log = m_prev + b  # (G, 1, CS)
-        stab = jnp.maximum(d_max, inter_decay_log)
-
-        q_inter = qt * jnp.exp(inter_decay_log - stab)  # (G, DH, CS) lane-scaled
-        g_acc = logi + (btot - b)  # (G, 1, CS)
-        m_loc = jnp.max(g_acc, axis=2, keepdims=True)  # (G, 1, 1)
-        gw = jnp.exp(g_acc - m_loc)  # (G, 1, CS)
-
-        m_new = jnp.maximum(btot + m_prev, m_loc)
-        decay_old = jnp.exp(btot + m_prev - m_new)  # (G, 1, 1)
-        decay_new = jnp.exp(m_loc - m_new)
-        # Mosaic can't broadcast (G,1,1)->(G,DH,DH) in one shot (sublane+
-        # lane); materialize the sublane expansion through the exp so it
-        # can't be fused back into a single two-axis broadcast.
-        decay_old_c = jnp.exp(jnp.broadcast_to(btot + m_prev - m_new, (g, dh, 1)))
-        decay_new_c = jnp.exp(jnp.broadcast_to(m_loc - m_new, (g, dh, 1)))
-
-        hT_out, e_sums, kvs, ksums = [], [], [], []
-        w_col = jnp.swapaxes(w_vec, 1, 2)  # (G, CS, 1)
-        b_stab = b - stab  # (G, 1, CS)
-        for gi in range(g):
-            # transposed D, built per head so only ~2 (CS, CS) temporaries are
-            # live at once (keeps VMEM independent of G):
-            # argT[t, s] = w_t + (b_s - stab_s); mask BEFORE exp
-            argT = jnp.where(causal_t, w_col[gi] + b_stab[gi], NEG_INF)
-            # eT = (q k^T * D)^T = k^T q * D^T: contraction over DH sublanes
-            eT = dot32(kt[gi].T, qt[gi]) * jnp.exp(argT)  # (CS_t, CS_s)
-            # intra numerator, transposed: v^T e^T -> (DHv, CS_s)
-            intra = dot32(vt[gi], eT)
-            # inter numerator, transposed: C^T q_inter -> (DHv, CS_s)
-            inter = dot32(c_prev[gi], q_inter[gi])
-            e_sums.append(jnp.sum(eT, axis=0, keepdims=True))  # (1, CS_s)
-            hT_out.append(intra + inter)
-            kg = kt[gi] * gw[gi]  # (DHq, CS)
-            kvs.append(dot32(vt[gi], kg.T))  # C^T update: (DHv, DHq)
-            ksums.append(jnp.sum(kg, axis=1, keepdims=True))  # (DHq, 1)
-
-        e_sum = jnp.stack(e_sums)  # (G, 1, CS)
-        inter_norm = jnp.sum(q_inter * n_prev, axis=1, keepdims=True)  # (G, 1, CS)
-        normalizer = jnp.maximum(jnp.abs(e_sum + inter_norm), jnp.exp(-stab)) + eps
-        hT = jnp.stack(hT_out) / normalizer  # (G, DH, CS) / (G, 1, CS)
+        hT, c_new, n_new, m_new = _chunk_math(
+            qt, kt, vt, i_pre, f_pre, c_scr[:], n_scr[:], m_scr[:],
+            g=g, cs=cs, dh=dh, igate_act=igate_act, eps=eps, mxu=mxu,
+            causal_t=causal_t, cum_mat=cum_mat, lane_ids=lane_ids)
         h_ref[:, :, pl.ds(s0, cs)] = hT.astype(h_ref.dtype)
 
-        c_scr[:] = c_prev * decay_old_c + jnp.stack(kvs) * decay_new_c
-        n_scr[:] = n_prev * decay_old + jnp.stack(ksums) * decay_new
+        c_scr[:] = c_new
+        n_scr[:] = n_new
         m_scr[:] = m_new
         return 0
 
@@ -470,4 +482,279 @@ def mlstm_chunkwise_pallas_t(
     f2 = f_preact.reshape(B * NH, 1, Sp)
     h = _mlstm_pallas_t(qf, kf, vf, i2, f2, cs, igate_act, eps, bool(interpret), mxu_dtype)
     h = h.reshape(B, NH, DH, Sp)
+    return h[..., :S] if pad else h
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused ViL cell entry: the headwise q/k/v projections AND the gate
+# dots move INTO the kernel. Inputs are the activation-natural conv branch
+# (post-silu) and the raw mLSTM branch; per batch element the block-diagonal
+# projection runs as one "NT"-form dot_general (contraction over the lane
+# dim of the natural chunk), emitting q/k/v directly in the kernel's
+# transposed (G, DH, CS) layout on-chip. This deletes every q/k/v HBM
+# round-trip: the separate projection outputs, their relayout copies, and
+# the 3x gate re-read (~2.7 GB at ViL-P3 b128 on a ~300 GB/s part).
+# Backward: custom_vjp recomputes through the unfused composite (projection
+# einsums + the _t entry, which carries the fused reverse-streaming
+# backward kernel), so training reuses the existing fast bwd path.
+# ---------------------------------------------------------------------------
+
+def _kernel_vil_fused(conv_ref, xm_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                      bv_ref, wgi_ref, bgi_ref, wgf_ref, bgf_ref, h_ref,
+                      c_scr, n_scr, m_scr, *, bb, nh, ns, cs, dh, inner,
+                      igate_act, eps, mxu):
+    g = bb * nh
+
+    t_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    causal_t = t_i <= s_i
+    cum_mat = causal_t.astype(jnp.float32)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (g, 1, cs), 2)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset():
+        c_scr[:] = jnp.zeros((g, dh, dh), jnp.float32)
+        n_scr[:] = jnp.zeros((g, dh, 1), jnp.float32)
+        m_scr[:] = jnp.zeros((g, 1, 1), jnp.float32)
+
+    def nt_dot(w, x):
+        # (O, I) x (CS, I) -> (O, CS): contraction over both minor (lane)
+        # dims — the MXU's native "NT" form, no relayout emitted
+        return jax.lax.dot_general(
+            w.astype(mxu), x.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def tn_dot(w, x):
+        # (I, O) x (I, CS) -> (O, CS): contraction over both sublane dims
+        return jax.lax.dot_general(
+            w.astype(mxu), x.astype(mxu), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def chunk_body(j, _):
+        s0 = j * cs
+        x_c = conv_ref[:, pl.ds(s0, cs), :]   # (BB, CS, INNER)
+        xm_c = xm_ref[:, pl.ds(s0, cs), :]
+        wq = wq_ref[...]
+        wk = wk_ref[...]
+        wv = wv_ref[...]
+        bq = bq_ref[...].astype(jnp.float32)  # (INNER, 1)
+        bk = bk_ref[...].astype(jnp.float32)
+        bv = bv_ref[...].astype(jnp.float32)
+        wgi = wgi_ref[...]                    # (3*INNER, NH)
+        wgf = wgf_ref[...]
+        bgi = bgi_ref[...].astype(jnp.float32)  # (NH, 1)
+        bgf = bgf_ref[...].astype(jnp.float32)
+
+        qs, ks, vs, gis, gfs = [], [], [], [], []
+        for bi in range(bb):
+            qf = nt_dot(wq, x_c[bi]) + bq   # (INNER, CS) fp32
+            kf = nt_dot(wk, x_c[bi]) + bk
+            vf = nt_dot(wv, xm_c[bi]) + bv
+            gi_pre = (tn_dot(wgi[:inner], qf) + tn_dot(wgi[inner:2 * inner], kf)
+                      + tn_dot(wgi[2 * inner:], vf) + bgi)  # (NH, CS)
+            gf_pre = (tn_dot(wgf[:inner], qf) + tn_dot(wgf[inner:2 * inner], kf)
+                      + tn_dot(wgf[2 * inner:], vf) + bgf)
+            qs.append(qf)
+            ks.append(kf)
+            vs.append(vf)
+            gis.append(gi_pre)
+            gfs.append(gf_pre)
+
+        qt = jnp.stack(qs).reshape(g, dh, cs) * (dh**-0.5)
+        kt = jnp.stack(ks).reshape(g, dh, cs)
+        vt = jnp.stack(vs).reshape(g, dh, cs)
+        i_pre = jnp.stack(gis).reshape(g, 1, cs)
+        f_pre = jnp.stack(gfs).reshape(g, 1, cs)
+
+        hT, c_new, n_new, m_new = _chunk_math(
+            qt, kt, vt, i_pre, f_pre, c_scr[:], n_scr[:], m_scr[:],
+            g=g, cs=cs, dh=dh, igate_act=igate_act, eps=eps, mxu=mxu,
+            causal_t=causal_t, cum_mat=cum_mat, lane_ids=lane_ids)
+        h_ref[:, :, pl.ds(s0, cs)] = hT.astype(h_ref.dtype)
+        c_scr[:] = c_new
+        n_scr[:] = n_new
+        m_scr[:] = m_new
+        return 0
+
+    jax.lax.fori_loop(0, ns, chunk_body, 0)
+
+
+def _pick_layout_fused(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
+                       in_bytes: int) -> tuple:
+    """(BB, NSEG): batch elements per grid step (g = BB*NH rows, capped at
+    the measured VPU sweet spot 32) and the largest segment that fits VMEM
+    (streams: 2 natural input blocks + the transposed h block; temps: the
+    fp32 q/k/v/h stacks + (CS, CS) transients + weights)."""
+    budget = 10 * 1024 * 1024
+    ns = s // cs
+    bb = max(1, min(b, 32 // nh))
+    while b % bb:
+        bb -= 1
+    g = bb * nh
+    w_bytes = (3 * inner * inner + 6 * inner * 128 + 3 * cs * cs) * 4
+    temps = (4 * g * dh * cs + 3 * g * dh * dh) * 4
+    while bb >= 1:
+        g = bb * nh
+        temps = (4 * g * dh * cs + 3 * g * dh * dh) * 4
+        for nseg in range(1, ns + 1):
+            if ns % nseg:
+                continue
+            seg = s // nseg
+            stream = 2 * bb * (2 * seg * inner * in_bytes + nh * dh * seg * in_bytes)
+            if stream + temps + w_bytes <= budget:
+                return (bb, nseg)
+        nb = bb - 1
+        while nb > 1 and b % nb:
+            nb -= 1
+        bb = nb if nb != bb else bb - 1
+    return (1, ns)
+
+
+def _vil_fused_impl(conv_act, x_mlstm, wq_bd, wk_bd, wv_bd, bq, bk, bv,
+                    wgi, bgi, wgf, bgf, nh, chunk_size, igate_act, eps,
+                    interpret=False, mxu_dtype="bfloat16"):
+    """conv_act/x_mlstm (B, S, INNER) natural -> h (B*NH, DH, S) transposed,
+    input dtype."""
+    B, S, INNER = conv_act.shape
+    dh = INNER // nh
+    CS = chunk_size
+    assert S % CS == 0
+    BB, NSEG = _pick_layout_fused(B, nh, S, CS, dh, INNER, conv_act.dtype.itemsize)
+    SEG = S // NSEG
+    G = BB * nh
+    mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
+
+    in_spec = pl.BlockSpec((BB, SEG, INNER), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((INNER, INNER), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((INNER, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    wg_spec = pl.BlockSpec((3 * INNER, nh), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    bg_spec = pl.BlockSpec((nh, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((G, dh, SEG), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_vil_fused, bb=BB, nh=nh, ns=SEG // CS, cs=CS,
+                          dh=dh, inner=INNER, igate_act=igate_act, eps=eps, mxu=mxu),
+        grid=(B // BB, NSEG),
+        in_specs=[in_spec, in_spec, w_spec, w_spec, w_spec, b_spec, b_spec,
+                  b_spec, wg_spec, bg_spec, wg_spec, bg_spec],
+        out_specs=h_spec,
+        out_shape=jax.ShapeDtypeStruct((B * nh, dh, S), conv_act.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, dh, dh), jnp.float32),
+            pltpu.VMEM((G, dh, 1), jnp.float32),
+            pltpu.VMEM((G, 1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * (3 * INNER * INNER + nh * (2 * CS * dh + 2 * dh * dh)),
+            bytes_accessed=B * S * INNER * 3 * conv_act.dtype.itemsize,
+            transcendentals=B * nh * S * (CS + 4),
+        ),
+        interpret=interpret,
+    )(conv_act, x_mlstm, wq_bd, wk_bd, wv_bd, bq, bk, bv, wgi, bgi, wgf, bgf)
+
+
+def _vil_fused_composite(conv_act, x_mlstm, wq, wk, wv, bq, bk, bv,
+                         wgi, bgi, wgf, bgf, nh, chunk_size, igate_act, eps):
+    """Unfused reference composite (projection einsums + the _t entry) —
+    the recompute target for the fused entry's backward, and the non-TPU
+    fallback. Weights in headwise (NH, DH, DH) form."""
+    B, S, INNER = conv_act.shape
+    dh = INNER // nh
+    xs = conv_act.reshape(B, S, nh, dh)
+    xms = x_mlstm.reshape(B, S, nh, dh)
+    dt = conv_act.dtype
+    q_t = jnp.einsum("bsnd,nod->bnos", xs, wq.astype(dt)) + bq.astype(dt).reshape(nh, dh, 1)
+    k_t = jnp.einsum("bsnd,nod->bnos", xs, wk.astype(dt)) + bk.astype(dt).reshape(nh, dh, 1)
+    v_t = jnp.einsum("bsnd,nod->bnos", xms, wv.astype(dt)) + bv.astype(dt).reshape(nh, dh, 1)
+    rs = lambda wm: wm.reshape(nh, dh, nh).astype(dt)
+    i_pre = (jnp.einsum("bnos,noh->bhs", q_t, rs(wgi[:INNER]), preferred_element_type=jnp.float32)
+             + jnp.einsum("bnos,noh->bhs", k_t, rs(wgi[INNER:2 * INNER]), preferred_element_type=jnp.float32)
+             + jnp.einsum("bnos,noh->bhs", v_t, rs(wgi[2 * INNER:]), preferred_element_type=jnp.float32)
+             + bgi.astype(jnp.float32).reshape(1, nh, 1))
+    f_pre = (jnp.einsum("bnos,noh->bhs", q_t, rs(wgf[:INNER]), preferred_element_type=jnp.float32)
+             + jnp.einsum("bnos,noh->bhs", k_t, rs(wgf[INNER:2 * INNER]), preferred_element_type=jnp.float32)
+             + jnp.einsum("bnos,noh->bhs", v_t, rs(wgf[2 * INNER:]), preferred_element_type=jnp.float32)
+             + bgf.astype(jnp.float32).reshape(1, nh, 1))
+    h = mlstm_chunkwise_pallas_t(q_t, k_t, v_t, i_pre, f_pre,
+                                 chunk_size=chunk_size, igate_act=igate_act, eps=eps)
+    return h.reshape(B * nh, dh, S)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+def _vil_fused(conv_act, x_mlstm, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf, bgf,
+               nh, chunk_size, igate_act, eps, interpret, mxu_dtype):
+    import jax.scipy.linalg as jsl
+
+    wq_bd = jsl.block_diag(*wq).astype(conv_act.dtype)
+    wk_bd = jsl.block_diag(*wk).astype(conv_act.dtype)
+    wv_bd = jsl.block_diag(*wv).astype(conv_act.dtype)
+    inner = conv_act.shape[-1]
+    return _vil_fused_impl(
+        conv_act, x_mlstm, wq_bd, wk_bd, wv_bd,
+        bq.reshape(inner, 1).astype(conv_act.dtype),
+        bk.reshape(inner, 1).astype(conv_act.dtype),
+        bv.reshape(inner, 1).astype(conv_act.dtype),
+        wgi.astype(conv_act.dtype), bgi.reshape(nh, 1).astype(jnp.float32),
+        wgf.astype(conv_act.dtype), bgf.reshape(nh, 1).astype(jnp.float32),
+        nh, chunk_size, igate_act, eps, interpret, mxu_dtype)
+
+
+def _vil_fused_fwd(conv_act, x_mlstm, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf, bgf,
+                   nh, chunk_size, igate_act, eps, interpret, mxu_dtype):
+    h = _vil_fused(conv_act, x_mlstm, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf, bgf,
+                   nh, chunk_size, igate_act, eps, interpret, mxu_dtype)
+    return h, (conv_act, x_mlstm, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf, bgf)
+
+
+def _vil_fused_bwd(nh, chunk_size, igate_act, eps, interpret, mxu_dtype, res, gout):
+    # recompute through the unfused composite; its mLSTM hop carries the
+    # fused reverse-streaming pallas backward via mlstm_chunkwise_pallas_t
+    fn = lambda *args: _vil_fused_composite(*args, nh, chunk_size, igate_act, eps)
+    _, vjp = jax.vjp(fn, *res)
+    return vjp(gout)
+
+
+_vil_fused.defvjp(_vil_fused_fwd, _vil_fused_bwd)
+
+
+def mlstm_vil_fused_pallas(
+    conv_act: jnp.ndarray,
+    x_mlstm: jnp.ndarray,
+    wq: jnp.ndarray, bq: jnp.ndarray,
+    wk: jnp.ndarray, bk: jnp.ndarray,
+    wv: jnp.ndarray, bv: jnp.ndarray,
+    wgi: jnp.ndarray, bgi: jnp.ndarray,
+    wgf: jnp.ndarray, bgf: jnp.ndarray,
+    num_heads: int,
+    chunk_size: int = 64,
+    igate_act: str = "exp",
+    eps: float = 1e-6,
+    interpret: bool | None = None,
+    mxu_dtype: str = "bfloat16",
+) -> jnp.ndarray:
+    """Fused ViL cell core: headwise projections + gate dots + chunkwise
+    mLSTM in ONE kernel. conv_act/x_mlstm (B, S, INNER) natural; headwise
+    weights (NH, DH, DH) + biases (INNER,); gate weights (3*INNER, NH) +
+    biases (NH,). Returns h (B, NH, DH, S) in the input dtype (outnorm and
+    the output gate stay outside)."""
+    B, S, INNER = conv_act.shape
+    dh = INNER // num_heads
+    if jax.default_backend() != "tpu" and not interpret:
+        h = _vil_fused_composite(conv_act, x_mlstm, wq, wk, wv, bq, bk, bv,
+                                 wgi, bgi, wgf, bgf, num_heads,
+                                 min(chunk_size, S), igate_act, eps)
+        return h.reshape(B, num_heads, dh, S)
+    cs = max(128, (min(chunk_size, S) // 128) * 128)
+    pad = (-S) % cs
+    if pad:
+        # end-padding is causally inert: padded positions only influence
+        # later (also padded) positions, which are sliced off
+        conv_act = jnp.pad(conv_act, ((0, 0), (0, pad), (0, 0)))
+        x_mlstm = jnp.pad(x_mlstm, ((0, 0), (0, pad), (0, 0)))
+    h = _vil_fused(conv_act, x_mlstm, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf, bgf,
+                   num_heads, cs, igate_act, eps, bool(interpret), mxu_dtype)
+    h = h.reshape(B, num_heads, dh, S + pad)
     return h[..., :S] if pad else h

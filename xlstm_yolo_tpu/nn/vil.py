@@ -135,6 +135,27 @@ class LinearHeadwiseExpand(nn.Module):
         return y
 
 
+class _HeadwiseParams(nn.Module):
+    """Parameter-only twin of LinearHeadwiseExpand (same names, shapes and
+    init) for paths that consume the weights directly — the fused ViL cell
+    kernel applies the projection on-chip."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        dh = self.dim // self.num_heads
+        w = self.param("weight", nn.initializers.normal(stddev=math.sqrt(2.0 / 5.0 / dh)),
+                       (self.num_heads, dh, dh))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        else:
+            b = jnp.zeros((self.dim,), w.dtype)
+        return w, b
+
+
 class SequenceConv2d(nn.Module):
     """Conv2d over the token grid of a (B, S, D) sequence
     (reference vision_lstm_util.py:96). NHWC internally — no transposes."""
@@ -223,9 +244,15 @@ class _GateProj(nn.Module):
 
     features: int
     bias_init: object = nn.initializers.zeros
+    dim: int = 0  # required only for return_params (no input to infer from)
 
     @nn.compact
-    def __call__(self, q, k, v, transposed: bool = False):
+    def __call__(self, q, k, v, transposed: bool = False, return_params: bool = False):
+        if return_params:
+            d = self.dim
+            w = self.param("kernel", nn.initializers.zeros, (3 * d, self.features))
+            bias = self.param("bias", self.bias_init, (self.features,))
+            return w, bias
         if transposed:
             d = q.shape[1] * q.shape[2]
         else:
@@ -260,13 +287,38 @@ class MatrixLSTMCell(nn.Module):
     backend: str = "auto"  # auto | pallas | native
 
     @nn.compact
-    def __call__(self, q, k, v, transposed: bool = False):
+    def __call__(self, q, k, v, transposed: bool = False, fused=None):
         """q/k/v: (B, S, D) natural, or (B, NH, DH, S) when ``transposed``
         (the mLSTM kernel layout, as emitted by LinearHeadwiseExpand's
-        ``transpose_out`` — the zero-relayout TPU fast path)."""
+        ``transpose_out`` — the zero-relayout TPU fast path).
+
+        ``fused``: (conv_act, x_mlstm, wq, bq, wk, bk, wv, bv) — the fully
+        fused TPU path: headwise projections + gate dots + chunkwise mLSTM
+        run in ONE Pallas kernel (q/k/v never exist in HBM); q/k/v args are
+        ignored."""
         nh = self.num_heads
         gate_bias_i = lambda key, shape, dtype=jnp.float32: jnp.full(shape, -10.0, dtype)
         gate_bias_f = lambda key, shape, dtype=jnp.float32: jnp.linspace(3.0, 6.0, shape[0], dtype=dtype)
+
+        if fused is not None:
+            conv_act, x_mlstm, wq, bq_, wk, bk_, wv, bv_ = fused
+            d = conv_act.shape[-1]
+            wgi, bgi = _GateProj(nh, bias_init=gate_bias_i, dim=d,
+                                 name="igate")(None, None, None, return_params=True)
+            wgf, bgf = _GateProj(nh, bias_init=gate_bias_f, dim=d,
+                                 name="fgate")(None, None, None, return_params=True)
+            from ..kernels.mlstm_pallas import mlstm_vil_fused_pallas
+
+            h = mlstm_vil_fused_pallas(
+                conv_act, x_mlstm, wq, bq_, wk, bk_, wv, bv_, wgi, bgi, wgf, bgf,
+                nh, chunk_size=self.chunk_size, igate_act=self.igate_act)
+            h = h.astype(conv_act.dtype)  # (B, NH, DH, S)
+            if self.use_outnorm:
+                h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias,
+                                       transposed=True, name="outnorm")(h)
+            b, s = conv_act.shape[0], conv_act.shape[1]
+            return h.transpose(0, 3, 1, 2).reshape(b, s, d)
+
         # gates init: f bias linspace 3->6, i bias -10, zero weights (fork init)
         igate = _GateProj(nh, bias_init=gate_bias_i, name="igate")(q, k, v, transposed)
         fgate = _GateProj(nh, bias_init=gate_bias_f, name="fgate")(q, k, v, transposed)
@@ -391,18 +443,30 @@ class ViLLayer(nn.Module):
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "native"
         tp = backend == "pallas"
-        q = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
-                                 transpose_out=tp, name="q_proj")(conv_act)
-        k = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
-                                 transpose_out=tp, name="k_proj")(conv_act)
-        v = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
-                                 transpose_out=tp, name="v_proj")(x_mlstm)
+        if tp:
+            # fully fused cell: projections + gates + mLSTM in one kernel;
+            # q/k/v never materialize in HBM
+            wq, bq_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="q_proj")()
+            wk, bk_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="k_proj")()
+            wv, bv_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="v_proj")()
+            h = MatrixLSTMCell(
+                dim=inner, num_heads=num_heads, chunk_size=self.chunk_size,
+                igate_act=self.igate_act, backend=backend,
+                use_outnorm=self.use_outnorm, name="mlstm_cell",
+            )(None, None, None, fused=(conv_act, x_mlstm, wq, bq_, wk, bk_, wv, bv_))
+        else:
+            q = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
+                                     name="q_proj")(conv_act)
+            k = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
+                                     name="k_proj")(conv_act)
+            v = LinearHeadwiseExpand(inner, num_heads, use_bias=self.proj_bias,
+                                     name="v_proj")(x_mlstm)
 
-        h = MatrixLSTMCell(
-            dim=inner, num_heads=num_heads, chunk_size=self.chunk_size,
-            igate_act=self.igate_act, backend=backend,
-            use_outnorm=self.use_outnorm, name="mlstm_cell",
-        )(q, k, v, transposed=tp)
+            h = MatrixLSTMCell(
+                dim=inner, num_heads=num_heads, chunk_size=self.chunk_size,
+                igate_act=self.igate_act, backend=backend,
+                use_outnorm=self.use_outnorm, name="mlstm_cell",
+            )(q, k, v)
 
         skip = self.param("learnable_skip", nn.initializers.ones, (inner,))
         h = h + skip.astype(h.dtype) * conv_act
