@@ -51,7 +51,58 @@ def test_dp_training_matches_single_device():
     np.testing.assert_allclose(float(single), float(sharded), rtol=1e-4)
 
 
-def test_sequence_parallel_mlstm():
+def test_tp_sp_multistep_training_matches_single_device():
+    """Convergence under sharding: N SGD steps with params tp=2-sharded and
+    the batch dp=2/sp-sharded must produce the same loss trajectory as the
+    unsharded run (not just a single forward) — the round-1 gap where
+    tp/sp only had forward-equivalence checks."""
+    import optax
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    m = TaskModel("vil_yolon.yaml", nc=3)
+    v = m.init(0, imgsz=64)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": np.asarray(rng.random((4, 64, 64, 3)), np.float32),
+        "cls_boxes": np.tile(np.asarray([[1.0, 8, 8, 40, 40]], np.float32), (4, 4, 1)),
+        "mask": np.ones((4, 4), bool),
+    }
+    tx = optax.sgd(0.01, momentum=0.9)
+
+    def run(params, stats, db, nsteps=3):
+        opt = tx.init(params)
+        losses = []
+
+        @jax.jit
+        def step(params, opt, b):
+            def loss_fn(p):
+                (total, _aux), _upd = m.loss({"params": p, "batch_stats": stats}, b)
+                return total
+
+            total, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), opt, total
+
+        for _ in range(nsteps):
+            params, opt, total = step(params, opt, db)
+            losses.append(float(total))
+        return losses
+
+    ref = run(v["params"], v["batch_stats"], jax.tree.map(jnp.asarray, batch))
+
+    mesh = M.build_mesh(dp=2, tp=2, sp=2)
+    rules = M.param_sharding_rules(mesh, v["params"])
+    vp = jax.device_put(v["params"], rules)
+    stats_sh = M.shard_params(mesh, v["batch_stats"])
+    db = M.shard_batch(mesh, batch)
+    with mesh:
+        got = run(vp, stats_sh, db)
+
+    # fp32 reduction-order differences (XLA collectives vs local sums)
+    # compound through SGD momentum + TAL re-assignment across steps:
+    # measured 5.5e-4 relative after 3 steps, trajectory identical
+    np.testing.assert_allclose(got, ref, rtol=2e-3)
     """sp-sharded chunkwise mLSTM must match the single-shard result."""
     from xlstm_yolo_tpu.kernels.mlstm_native import mlstm_chunkwise
     from xlstm_yolo_tpu.kernels.mlstm_sp import mlstm_chunkwise_sp
