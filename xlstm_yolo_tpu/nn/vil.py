@@ -76,14 +76,51 @@ class RMSNorm(nn.Module):
         return y.astype(dtype)
 
 
+class LayerNorm(nn.Module):
+    """LayerNorm with the torch reference's residual-weight convention
+    (vision_lstm2.py:1262 / xlstm components/ln.py:8): the stored ``scale``
+    initializes to ZERO and the effective weight is ``1 + scale``, so torch
+    checkpoints transfer verbatim. ``residual=False`` gives the plain
+    init-ones semantics (xlstm_large components.py:49 stores weight
+    directly)."""
+
+    eps: float = 1e-5
+    with_bias: bool = False
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        init = nn.initializers.zeros if self.residual else nn.initializers.ones
+        scale = self.param("scale", init, (x.shape[-1],))
+        y = y * ((1.0 + scale) if self.residual else scale)
+        if self.with_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return y.astype(dtype)
+
+
 class MultiHeadLayerNorm(nn.Module):
     """Per-head LayerNorm over DH of a (B, NH, S, DH) tensor, with a single
-    (NH*DH,) affine — the reference's group-norm trick (vision_lstm2.py:1309)."""
+    (NH*DH,) affine — the reference's group-norm trick (vision_lstm2.py:1309).
+
+    ``residual=True`` (default) keeps the torch convention of the ViL fork
+    and the vendored xlstm library (components/ln.py:30 ``weight_proxy =
+    1 + weight``, init zeros): the stored ``scale`` transfers verbatim from
+    those checkpoints. xlstm_large-family norms store the weight directly
+    (xlstm_large/components.py:49, init ones) — pass ``residual=False``."""
 
     num_heads: int
+    # default matches the ViL fork's cell outnorm (vision_lstm2.py:812
+    # eps=1e-3); the vendored xlstm library uses 1e-5 (components/ln.py:16)
+    # — pass eps explicitly on those paths
     eps: float = 1e-3
     with_bias: bool = True
     transposed: bool = False  # input is (B, NH, DH, S); normalize over DH
+    residual: bool = True
 
     @nn.compact
     def __call__(self, x):  # (B, NH, S, DH) or (B, NH, DH, S) if transposed
@@ -96,8 +133,9 @@ class MultiHeadLayerNorm(nn.Module):
         mean = jnp.mean(xf, axis=axis, keepdims=True)
         var = jnp.var(xf, axis=axis, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
-        weight = self.param("scale", nn.initializers.ones, (nh * dh,)).reshape(shp)
-        y = y * weight
+        init = nn.initializers.zeros if self.residual else nn.initializers.ones
+        weight = self.param("scale", init, (nh * dh,)).reshape(shp)
+        y = y * ((1.0 + weight) if self.residual else weight)
         if self.with_bias:
             bias = self.param("bias", nn.initializers.zeros, (nh * dh,)).reshape(shp)
             y = y + bias
@@ -284,7 +322,11 @@ class MatrixLSTMCell(nn.Module):
     igate_act: str = "exp"  # "exp" (canonical xLSTM) | "sigmoid" ("siging" variant)
     use_outnorm: bool = True
     norm_bias: bool = True
+    norm_eps: float = 1e-3  # fork cell outnorm eps; xlstm library uses 1e-5
     backend: str = "auto"  # auto | pallas | native
+    # i-gate bias init: "vil" = constant -10 (ViL fork, vision_lstm2.py:834);
+    # "xlstm" = N(0, 0.1) (vendored library, blocks/mlstm/cell.py:140)
+    igate_init: str = "vil"
 
     @nn.compact
     def __call__(self, q, k, v, transposed: bool = False, fused=None):
@@ -297,7 +339,10 @@ class MatrixLSTMCell(nn.Module):
         run in ONE Pallas kernel (q/k/v never exist in HBM); q/k/v args are
         ignored."""
         nh = self.num_heads
-        gate_bias_i = lambda key, shape, dtype=jnp.float32: jnp.full(shape, -10.0, dtype)
+        if self.igate_init == "xlstm":
+            gate_bias_i = nn.initializers.normal(stddev=0.1)
+        else:
+            gate_bias_i = lambda key, shape, dtype=jnp.float32: jnp.full(shape, -10.0, dtype)
         gate_bias_f = lambda key, shape, dtype=jnp.float32: jnp.linspace(3.0, 6.0, shape[0], dtype=dtype)
 
         if fused is not None:
@@ -314,7 +359,7 @@ class MatrixLSTMCell(nn.Module):
                 nh, chunk_size=self.chunk_size, igate_act=self.igate_act)
             h = h.astype(conv_act.dtype)  # (B, NH, DH, S)
             if self.use_outnorm:
-                h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias,
+                h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias, eps=self.norm_eps,
                                        transposed=True, name="outnorm")(h)
             b, s = conv_act.shape[0], conv_act.shape[1]
             return h.transpose(0, 3, 1, 2).reshape(b, s, d)
@@ -334,7 +379,7 @@ class MatrixLSTMCell(nn.Module):
                                          igate_act=self.igate_act)
             h = h.astype(q.dtype)
             if self.use_outnorm:
-                h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias,
+                h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias, eps=self.norm_eps,
                                        transposed=True, name="outnorm")(h)
             # the single relayout back to the natural activation layout
             return h.transpose(0, 3, 1, 2).reshape(b, s, d)
@@ -368,7 +413,7 @@ class MatrixLSTMCell(nn.Module):
         h = h.astype(q.dtype)
 
         if self.use_outnorm:
-            h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias, name="outnorm")(h)
+            h = MultiHeadLayerNorm(num_heads=nh, with_bias=self.norm_bias, eps=self.norm_eps, name="outnorm")(h)
         return h.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 

@@ -72,9 +72,10 @@ class ViLLayerLarge(nn.Module):
             return_last_state=return_last_state,
         )
         h, last = out if return_last_state else (out, None)
-        h = MultiHeadLayerNorm(num_heads=NH, with_bias=self.use_bias, eps=1e-6, name="multihead_norm")(
-            h.astype(x.dtype)
-        )
+        # xlstm_large-family norm: weight stored directly (init ones), not
+        # the ViL fork's residual 1+w convention (xlstm_large/components.py:49)
+        h = MultiHeadLayerNorm(num_heads=NH, with_bias=self.use_bias, eps=1e-6,
+                               residual=False, name="multihead_norm")(h.astype(x.dtype))
         h = h.transpose(0, 2, 1, 3).reshape(B, S, v_dim)
         y = nn.sigmoid(o_preact) * h
         y = nn.Dense(D, use_bias=self.use_bias, dtype=x.dtype, name="out_proj")(y)

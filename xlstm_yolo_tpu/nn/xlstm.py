@@ -26,7 +26,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..kernels.slstm import powerlaw_blockdependent_bias, slstm_scan
-from .vil import LinearHeadwiseExpand, MatrixLSTMCell, MultiHeadLayerNorm, RMSNorm, small_init, wang_init
+from .vil import LayerNorm, LinearHeadwiseExpand, MatrixLSTMCell, MultiHeadLayerNorm, small_init, wang_init
+
+
+def _round_up_proj(dim: int, factor: float, multiple: int = 64) -> int:
+    """Up-projection width: ceil to a multiple of 64 (reference
+    utils.py:12 UpProjConfigMixin, round_proj_up_dim_up=True)."""
+    return int(math.ceil(dim * factor / multiple) * multiple)
 
 
 class CausalConv1d(nn.Module):
@@ -93,7 +99,7 @@ class sLSTMLayer(nn.Module):
                                 return_last_state=return_last_state)
         y, last = out if return_last_state else (out, None)
         y = y.transpose(0, 2, 1, 3)  # (B, NH, S, DH)
-        y = MultiHeadLayerNorm(num_heads=NH, with_bias=False, name="group_norm")(y)
+        y = MultiHeadLayerNorm(num_heads=NH, with_bias=False, eps=1e-5, name="group_norm")(y)
         y = y.transpose(0, 2, 1, 3).reshape(B, S, D).astype(x.dtype)
         if return_last_state:
             return y, last
@@ -103,9 +109,15 @@ class sLSTMLayer(nn.Module):
 class mLSTMLayer1d(nn.Module):
     """Causal mLSTM mixing layer for 1D sequences (reference
     blocks/mlstm/layer.py:39): proj_up -> split -> causal conv -> headwise
-    q, k (conv'd), v (raw) -> mLSTM cell -> skip + gate -> proj_down."""
+    q, k (conv'd), v (raw) -> mLSTM cell -> skip + gate -> proj_down.
+
+    Projection head count is ``inner // qkv_proj_blocksize`` (block-diagonal
+    qkv, reference layer.py:52) while the CELL runs its own ``num_heads``
+    (default 4, reference mLSTMLayerConfig.num_heads / cell.py:30) — the two
+    are independent knobs in the reference and must not be conflated."""
 
     embedding_dim: int
+    num_heads: int = 4
     expansion: float = 2.0
     qkv_proj_blocksize: int = 4
     conv1d_kernel_size: int = 4
@@ -115,16 +127,20 @@ class mLSTMLayer1d(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, S, D)
         D = self.embedding_dim
-        inner = int(self.expansion * D)
-        NH = inner // self.qkv_proj_blocksize
+        inner = _round_up_proj(D, self.expansion)  # ceil to 64 (utils.py:20)
+        NP = inner // self.qkv_proj_blocksize  # projection (block-diag) heads
         y = nn.Dense(2 * inner, use_bias=False, kernel_init=small_init(D), dtype=x.dtype,
                      name="proj_up")(x)
         x_m, z = jnp.split(y, 2, axis=-1)
         conv_act = nn.silu(CausalConv1d(inner, self.conv1d_kernel_size, name="conv1d")(x_m))
-        q = LinearHeadwiseExpand(inner, NH, use_bias=False, name="q_proj")(conv_act)
-        k = LinearHeadwiseExpand(inner, NH, use_bias=False, name="k_proj")(conv_act)
-        v = LinearHeadwiseExpand(inner, NH, use_bias=False, name="v_proj")(x_m)
-        h = MatrixLSTMCell(dim=inner, num_heads=NH, chunk_size=self.chunk_size,
+        q = LinearHeadwiseExpand(inner, NP, use_bias=False, name="q_proj")(conv_act)
+        k = LinearHeadwiseExpand(inner, NP, use_bias=False, name="k_proj")(conv_act)
+        v = LinearHeadwiseExpand(inner, NP, use_bias=False, name="v_proj")(x_m)
+        # cell: 4 wide heads (DH = inner/4), norm without bias, igate bias
+        # ~ N(0, 0.1) — the vendored-library inits (cell.py:133-140), which
+        # differ from the ViL fork's (-10 igate, norm bias)
+        h = MatrixLSTMCell(dim=inner, num_heads=self.num_heads, chunk_size=self.chunk_size,
+                           norm_bias=False, norm_eps=1e-5, igate_init="xlstm",
                            name="mlstm_cell")(q, k, v)
         skip = self.param("learnable_skip", nn.initializers.ones, (inner,))
         h = h + skip.astype(h.dtype) * conv_act
@@ -134,21 +150,27 @@ class mLSTMLayer1d(nn.Module):
 
 
 class GatedFeedForward(nn.Module):
-    """SwiGLU FFN (reference components/feedforward.py:49)."""
+    """Gated FFN (reference components/feedforward.py:49). Default activation
+    is gelu (FeedForwardConfig.act_fn, feedforward.py:34); "swish" gives the
+    SwiGLU form."""
 
     embedding_dim: int
     proj_factor: float = 1.3
     num_blocks: int = 1
+    act_fn: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
-        up = int(round(self.proj_factor * self.embedding_dim / 64) * 64) or self.embedding_dim
+        act = {"gelu": nn.gelu, "relu": nn.relu, "swish": nn.silu,
+               "sigmoid": nn.sigmoid, "selu": nn.selu,
+               "relu^2": lambda v: jnp.square(nn.relu(v))}[self.act_fn]
+        up = _round_up_proj(self.embedding_dim, self.proj_factor)
         gu = nn.Dense(2 * up, use_bias=False, kernel_init=small_init(self.embedding_dim),
                       dtype=x.dtype, name="proj_up")(x)
         g, u = jnp.split(gu, 2, axis=-1)
         return nn.Dense(self.embedding_dim, use_bias=False,
                         kernel_init=wang_init(self.embedding_dim, self.num_blocks),
-                        dtype=x.dtype, name="proj_down")(nn.silu(g) * u)
+                        dtype=x.dtype, name="proj_down")(act(g) * u)
 
 
 class xLSTMBlock(nn.Module):
@@ -167,9 +189,12 @@ class xLSTMBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = RMSNorm(name="norm_xlstm")(x)
+        # pre-norms are LayerNorm (weight, no bias, residual 1+w) in the
+        # vendored library (blocks/xlstm_block.py:58) — not RMSNorm
+        h = LayerNorm(name="norm_xlstm")(x)
         if self.kind == "mlstm":
-            h = mLSTMLayer1d(self.embedding_dim, qkv_proj_blocksize=self.qkv_proj_blocksize,
+            h = mLSTMLayer1d(self.embedding_dim, num_heads=self.num_heads,
+                             qkv_proj_blocksize=self.qkv_proj_blocksize,
                              conv1d_kernel_size=self.conv1d_kernel_size,
                              chunk_size=self.chunk_size, num_blocks=self.num_blocks,
                              name="xlstm")(h)
@@ -180,7 +205,7 @@ class xLSTMBlock(nn.Module):
                            name="xlstm")(h)
         x = x + h
         if self.ffn_proj_factor > 0:
-            h = RMSNorm(name="norm_ffn")(x)
+            h = LayerNorm(name="norm_ffn")(x)
             h = GatedFeedForward(self.embedding_dim, self.ffn_proj_factor,
                                  num_blocks=self.num_blocks, name="ffn")(h)
             x = x + h
@@ -212,7 +237,8 @@ class xLSTMBlockStack(nn.Module):
                 block_idx=i, num_blocks=self.num_blocks, name=f"block{i}",
             )(x)
         if self.add_post_norm:
-            x = RMSNorm(name="post_norm")(x)
+            # post_blocks_norm is LayerNorm (xlstm_block_stack.py:86)
+            x = LayerNorm(name="post_norm")(x)
         return x
 
 

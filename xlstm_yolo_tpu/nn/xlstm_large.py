@@ -106,7 +106,9 @@ class mLSTMTextLayer(nn.Module):
             out = mlstm_recurrent(qh, kh, vh, ih, fh, initial_state=state,
                                   return_last_state=return_last_state)
         h, last = out if return_last_state else (out, None)
-        h = MultiHeadLayerNorm(num_heads=NH, with_bias=self.use_bias,
+        # xlstm_large stores the norm weight directly (init ones,
+        # xlstm_large/components.py:49) — not the fork's residual 1+w
+        h = MultiHeadLayerNorm(num_heads=NH, with_bias=self.use_bias, residual=False,
                                eps=self.norm_eps, name="multihead_norm")(h.astype(x.dtype))
         h = h.transpose(0, 2, 1, 3).reshape(B, S, v_dim)
         y = nn.sigmoid(o_preact) * h
