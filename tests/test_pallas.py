@@ -156,3 +156,134 @@ def test_slstm_pallas_matches_scan_interpret():
     y2, last = slstm_scan_pallas(wx, R, b, return_last_state=True)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y0), rtol=1e-6, atol=1e-6)
     assert len(last) == 4
+
+
+def _vil_block_args(B=2, NH=2, S=256, DH=16, DIM=16, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    INNER = NH * DH
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), dtype)
+    return dict(
+        conv_act=mk(B, S, INNER), x_mlstm=mk(B, S, INNER), z=mk(B, S, INNER),
+        x_res=mk(B, S, DIM),
+        wq=mk(NH, DH, DH) * 0.3, bq=mk(INNER) * 0.1,
+        wk=mk(NH, DH, DH) * 0.3, bk=mk(INNER) * 0.1,
+        wv=mk(NH, DH, DH) * 0.3, bv=mk(INNER) * 0.1,
+        wgi=mk(3 * INNER, NH) * 0.05, bgi=jnp.full((NH,), -8.0),
+        wgf=mk(3 * INNER, NH) * 0.05, bgf=jnp.full((NH,), 4.0),
+        nscale=1.0 + mk(INNER) * 0.2, nbias=mk(INNER) * 0.1,
+        skip=1.0 + mk(INNER) * 0.1,
+        wd=mk(INNER, DIM) * 0.2, bd=mk(DIM) * 0.1,
+    )
+
+
+def test_vil_block_fused_interpret_matches_composite():
+    """The v2 whole-branch kernel (projections + gates + chunkwise mLSTM +
+    outnorm + skip + output gate + proj_down + residual in one program)
+    must match the unfused composite. bf16 inputs: the kernel's MXU
+    identity-dot transposes round fp32 operands to bf16 at DEFAULT TPU
+    precision (lossless on already-bf16 activations — the production
+    regime), so fp32 inputs would only measure that rounding."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_block_composite, mlstm_vil_block_fused_pallas)
+
+    a = _vil_block_args(dtype=jnp.bfloat16)
+    got = mlstm_vil_block_fused_pallas(
+        a["conv_act"], a["x_mlstm"], a["z"], a["x_res"], a["wq"], a["bq"],
+        a["wk"], a["bk"], a["wv"], a["bv"], a["wgi"], a["bgi"], a["wgf"],
+        a["bgf"], a["nscale"], a["nbias"], a["skip"], a["wd"], a["bd"],
+        2, chunk_size=128, interpret=True)
+    want = _vil_block_composite(
+        a["conv_act"], a["x_mlstm"], a["z"], a["x_res"], a["wq"], a["wk"],
+        a["wv"], a["bq"], a["bk"], a["bv"], a["wgi"], a["bgi"], a["wgf"],
+        a["bgf"], a["nscale"], a["nbias"], a["skip"], a["wd"], a["bd"],
+        2, 128, "exp", 1e-6, 1e-3)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_vil_block_fused_padded_sequence():
+    """Non-multiple-of-chunk S: end-padding must be causally inert and the
+    padded rows sliced off."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_block_composite, mlstm_vil_block_fused_pallas)
+
+    a = _vil_block_args(S=200, dtype=jnp.bfloat16)
+    got = mlstm_vil_block_fused_pallas(
+        a["conv_act"], a["x_mlstm"], a["z"], a["x_res"], a["wq"], a["bq"],
+        a["wk"], a["bk"], a["wv"], a["bv"], a["wgi"], a["bgi"], a["wgf"],
+        a["bgf"], a["nscale"], a["nbias"], a["skip"], a["wd"], a["bd"],
+        2, chunk_size=128, interpret=True)
+    assert got.shape == (2, 200, 16)
+    want = _vil_block_composite(
+        a["conv_act"], a["x_mlstm"], a["z"], a["x_res"], a["wq"], a["wk"],
+        a["wv"], a["bq"], a["bk"], a["bv"], a["wgi"], a["bgi"], a["wgf"],
+        a["bgf"], a["nscale"], a["nbias"], a["skip"], a["wd"], a["bd"],
+        2, 200, "exp", 1e-6, 1e-3)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_vil_block_fused_gradients_match_composite():
+    """custom_vjp backward (recompute through the composite) must equal
+    autodiff of the composite itself."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_block_composite, mlstm_vil_block_fused_pallas)
+
+    a = _vil_block_args(B=1, NH=2, S=64, DH=8, DIM=8, seed=1)
+    names = ["conv_act", "x_mlstm", "z", "x_res", "wq", "bq", "wk", "bk",
+             "wv", "bv", "wgi", "bgi", "wgf", "bgf", "nscale", "nbias",
+             "skip", "wd", "bd"]
+    args = [a[n] for n in names]
+
+    def loss_fused(*t):
+        kw = dict(zip(names, t))
+        out = mlstm_vil_block_fused_pallas(
+            kw["conv_act"], kw["x_mlstm"], kw["z"], kw["x_res"], kw["wq"],
+            kw["bq"], kw["wk"], kw["bk"], kw["wv"], kw["bv"], kw["wgi"],
+            kw["bgi"], kw["wgf"], kw["bgf"], kw["nscale"], kw["nbias"],
+            kw["skip"], kw["wd"], kw["bd"], 2, chunk_size=64, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_comp(*t):
+        kw = dict(zip(names, t))
+        out = _vil_block_composite(
+            kw["conv_act"], kw["x_mlstm"], kw["z"], kw["x_res"], kw["wq"],
+            kw["wk"], kw["wv"], kw["bq"], kw["bk"], kw["bv"], kw["wgi"],
+            kw["bgi"], kw["wgf"], kw["bgf"], kw["nscale"], kw["nbias"],
+            kw["skip"], kw["wd"], kw["bd"], 2, 64, "exp", 1e-6, 1e-3)
+        return jnp.sum(out ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    gc = jax.grad(loss_comp, argnums=tuple(range(len(args))))(*args)
+    # tolerance note: the vjp itself IS the composite's (recompute), but the
+    # outer sum(out^2) cotangent uses the fused forward's out, whose MXU
+    # identity-dot transposes round to bf16 at DEFAULT TPU precision
+    for n, x, y in zip(names, gf, gc):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-2, atol=2e-2, err_msg=n)
+
+
+def test_vil_layer_block_fused_wiring_matches_native():
+    """ViLBlockPair with the pallas (v2 block-fused) path vs the native
+    path, same params — the wiring check for the in-kernel epilogue
+    (on CPU the v2 entry runs its composite, so this validates the
+    flax-side parameter routing and the residual/flip handling)."""
+    from xlstm_yolo_tpu.nn.vil import ViLBlockPair
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    for bidir in (False, True):
+        pn = ViLBlockPair(dim=32, qkv_block_size=8, chunk_size=8,
+                          mlstm_backend="native", bidirectional=bidir)
+        pp = ViLBlockPair(dim=32, qkv_block_size=8, chunk_size=8,
+                          mlstm_backend="pallas", bidirectional=bidir)
+        v = pn.init(jax.random.PRNGKey(int(bidir)), x)
+        v2 = pp.init(jax.random.PRNGKey(int(bidir)), x)
+        t1 = jax.tree_util.tree_structure(v)
+        t2 = jax.tree_util.tree_structure(v2)
+        assert t1 == t2
+        np.testing.assert_allclose(np.asarray(pn.apply(v, x)),
+                                   np.asarray(pp.apply(v, x)),
+                                   rtol=2e-2, atol=5e-3)

@@ -758,3 +758,337 @@ def mlstm_vil_fused_pallas(
                    num_heads, cs, igate_act, eps, bool(interpret), mxu_dtype)
     h = h.reshape(B, num_heads, dh, S + pad)
     return h[..., :S] if pad else h
+
+
+# ---------------------------------------------------------------------------
+# v2: whole-branch fusion — projections + gates + chunkwise mLSTM + outnorm +
+# learnable-skip + output gate + proj_down + residual in ONE kernel.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_vil_block(conv_ref, xm_ref, z_ref, xr_ref, wq_ref, wk_ref, wv_ref,
+                      bq_ref, bk_ref, bv_ref, wgi_ref, bgi_ref, wgf_ref,
+                      bgf_ref, nsc_ref, nbi_ref, skip_ref, wd_ref, bd_ref,
+                      out_ref, c_scr, n_scr, m_scr, *, bb, nh, ns, cs, dh,
+                      inner, dim, igate_act, eps, norm_eps, mxu):
+    """The ViL mLSTM branch end-to-end on VMEM-resident values.
+
+    Per chunk: batched NT projections over all BB batch elements at once
+    (one (INNER, INNER) x (BB*CS, INNER) dot per projection — the v1 kernel
+    unrolled BB thin dots and was MXU-issue-bound), gate dots, the shared
+    transposed chunkwise math, then the epilogue: per-head layernorm over
+    DH (sublanes — no relayout), affine, + skip * conv_act^T, * silu(z^T)
+    (both transposes are single MXU identity-dots), proj_down as a TN-form
+    dot that emits the NATURAL (CS, DIM) block, + bias + residual. h, the
+    normalized h, and the gated products never touch HBM."""
+    g = bb * nh
+
+    t_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    causal_t = t_i <= s_i
+    cum_mat = causal_t.astype(jnp.float32)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (g, 1, cs), 2)
+    # MXU transpose helper: y^T = I_inner(NT)x for natural (CS, INNER) x
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 1)
+    ident = (r_i == c_i).astype(mxu)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset():
+        c_scr[:] = jnp.zeros((g, dh, dh), jnp.float32)
+        n_scr[:] = jnp.zeros((g, dh, 1), jnp.float32)
+        m_scr[:] = jnp.zeros((g, 1, 1), jnp.float32)
+
+    def nt_dot(w, x):
+        return jax.lax.dot_general(
+            w.astype(mxu), x.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def tn_dot(w, x):
+        return jax.lax.dot_general(
+            w.astype(mxu), x.astype(mxu), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def chunk_body(j, _):
+        s0 = j * cs
+        x_c = conv_ref[:, pl.ds(s0, cs), :]   # (BB, CS, INNER)
+        xm_c = xm_ref[:, pl.ds(s0, cs), :]
+        z_c = z_ref[:, pl.ds(s0, cs), :]
+        xf = x_c.reshape(bb * cs, inner)
+        xmf = xm_c.reshape(bb * cs, inner)
+        zf = z_c.reshape(bb * cs, inner)
+
+        bq = bq_ref[...].astype(jnp.float32)  # (INNER, 1)
+        bk = bk_ref[...].astype(jnp.float32)
+        bv = bv_ref[...].astype(jnp.float32)
+        wgi = wgi_ref[...]                    # (3*INNER, NH)
+        wgf = wgf_ref[...]
+        bgi = bgi_ref[...].astype(jnp.float32)  # (NH, 1)
+        bgf = bgf_ref[...].astype(jnp.float32)
+
+        # batched projections: one MXU dot per projection for all BB rows
+        qf_all = nt_dot(wq_ref[...], xf) + bq   # (INNER, BB*CS) fp32
+        kf_all = nt_dot(wk_ref[...], xf) + bk
+        vf_all = nt_dot(wv_ref[...], xmf) + bv
+        gi_all = (tn_dot(wgi[:inner], qf_all) + tn_dot(wgi[inner:2 * inner], kf_all)
+                  + tn_dot(wgi[2 * inner:], vf_all) + bgi)  # (NH, BB*CS)
+        gf_all = (tn_dot(wgf[:inner], qf_all) + tn_dot(wgf[inner:2 * inner], kf_all)
+                  + tn_dot(wgf[2 * inner:], vf_all) + bgf)
+        # transposed natural inputs for the epilogue (MXU identity-dots)
+        cT_all = nt_dot(ident, xf)              # (INNER, BB*CS)
+        zT_all = nt_dot(ident, zf)
+
+        qt = jnp.stack([qf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs) * (dh**-0.5)
+        kt = jnp.stack([kf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs)
+        vt = jnp.stack([vf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs)
+        i_pre = jnp.stack([gi_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                          ).reshape(g, 1, cs)
+        f_pre = jnp.stack([gf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                          ).reshape(g, 1, cs)
+
+        hT, c_new, n_new, m_new = _chunk_math(
+            qt, kt, vt, i_pre, f_pre, c_scr[:], n_scr[:], m_scr[:],
+            g=g, cs=cs, dh=dh, igate_act=igate_act, eps=eps, mxu=mxu,
+            causal_t=causal_t, cum_mat=cum_mat, lane_ids=lane_ids)
+        c_scr[:] = c_new
+        n_scr[:] = n_new
+        m_scr[:] = m_new
+
+        # epilogue: per-head layernorm over DH (sublane reductions)
+        mu = jnp.mean(hT, axis=1, keepdims=True)          # (G, 1, CS)
+        var = jnp.mean((hT - mu) ** 2, axis=1, keepdims=True)
+        hn = (hT - mu) * jax.lax.rsqrt(var + norm_eps)    # (G, DH, CS)
+
+        nsc = nsc_ref[...].astype(jnp.float32)    # (INNER, 1) effective scale
+        nbi = nbi_ref[...].astype(jnp.float32)    # (INNER, 1)
+        skip = skip_ref[...].astype(jnp.float32)  # (INNER, 1)
+        wd = wd_ref[...]                          # (INNER, DIM)
+        bd = bd_ref[...].astype(jnp.float32)      # (1, DIM)
+
+        outs = []
+        for bi in range(bb):
+            y = hn[bi * nh:(bi + 1) * nh].reshape(inner, cs)
+            y = y * nsc + nbi
+            cT = cT_all[:, bi * cs:(bi + 1) * cs]
+            zT = zT_all[:, bi * cs:(bi + 1) * cs]
+            y = (y + skip * cT) * (zT * jax.nn.sigmoid(zT))
+            o = jax.lax.dot_general(y.astype(mxu), wd.astype(mxu),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            outs.append(o + bd)                   # (CS, DIM)
+        out = jnp.stack(outs)                     # (BB, CS, DIM)
+        xr_c = xr_ref[:, pl.ds(s0, cs), :].astype(jnp.float32)
+        out_ref[:, pl.ds(s0, cs), :] = (out + xr_c).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns, chunk_body, 0)
+
+
+def _pick_layout_block(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
+                       dim: int, in_bytes: int) -> tuple:
+    """(BB, NSEG) for the block-fused kernel: streams 3 INNER-wide + 2
+    DIM-wide natural blocks; temps add the (INNER, BB*CS) fp32 projection/
+    transpose planes on top of the v1 stacks. Weights (incl. the identity
+    for the MXU transposes) live in VMEM at the INPUT dtype — they are cast
+    to the MXU dtype at use."""
+    budget = 10 * 1024 * 1024
+    ns = s // cs
+    bb = max(1, min(b, 32 // nh))
+    while b % bb:
+        bb -= 1
+    w_bytes = ((4 * inner * inner + inner * dim + 6 * inner * nh) * in_bytes
+               + 4 * cs * cs * 4)
+    while bb >= 1:
+        g = bb * nh
+        # peak live fp32 planes per chunk: qf/kf/vf_all + qt/kt/vt stacks
+        # overlap briefly (liveness frees the _all forms), cT/zT persist
+        # through the epilogue, + hT — ~8 (INNER, BB*CS)-equivalents
+        temps = (4 * g * dh * cs + 3 * g * dh * dh
+                 + 5 * inner * bb * cs + bb * cs * dim) * 4
+        for nseg in range(1, ns + 1):
+            if ns % nseg:
+                continue
+            seg = s // nseg
+            stream = 2 * bb * seg * (3 * inner + 2 * dim) * in_bytes
+            if stream + temps + w_bytes <= budget:
+                return (bb, nseg)
+        nb = bb - 1
+        while nb > 1 and b % nb:
+            nb -= 1
+        bb = nb if nb != bb else bb - 1
+    return (1, ns)
+
+
+def _vil_block_impl(conv_act, x_mlstm, z, x_res, wq_bd, wk_bd, wv_bd, bq, bk,
+                    bv, wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh,
+                    chunk_size, igate_act, eps, norm_eps, interpret=False,
+                    mxu_dtype="bfloat16", layout=None):
+    """(B, S, INNER) natural branch inputs -> (B, S, DIM) final output.
+    ``layout`` overrides the (BB, NSEG) auto-pick (tuning sweeps)."""
+    B, S, INNER = conv_act.shape
+    DIM = x_res.shape[-1]
+    dh = INNER // nh
+    CS = chunk_size
+    assert S % CS == 0
+    BB, NSEG = layout or _pick_layout_block(B, nh, S, CS, dh, INNER, DIM,
+                                            conv_act.dtype.itemsize)
+    SEG = S // NSEG
+    G = BB * nh
+    mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
+
+    in_spec = pl.BlockSpec((BB, SEG, INNER), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    res_spec = pl.BlockSpec((BB, SEG, DIM), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((INNER, INNER), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((INNER, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    wg_spec = pl.BlockSpec((3 * INNER, nh), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    bg_spec = pl.BlockSpec((nh, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    wd_spec = pl.BlockSpec((INNER, DIM), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    bd_spec = pl.BlockSpec((1, DIM), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_vil_block, bb=BB, nh=nh, ns=SEG // CS, cs=CS,
+                          dh=dh, inner=INNER, dim=DIM, igate_act=igate_act,
+                          eps=eps, norm_eps=norm_eps, mxu=mxu),
+        grid=(B // BB, NSEG),
+        in_specs=[in_spec, in_spec, in_spec, res_spec, w_spec, w_spec, w_spec,
+                  b_spec, b_spec, b_spec, wg_spec, bg_spec, wg_spec, bg_spec,
+                  b_spec, b_spec, b_spec, wd_spec, bd_spec],
+        out_specs=res_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, DIM), conv_act.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, dh, dh), jnp.float32),
+            pltpu.VMEM((G, dh, 1), jnp.float32),
+            pltpu.VMEM((G, 1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * (5 * INNER * INNER + INNER * DIM
+                               + nh * (2 * CS * dh + 2 * dh * dh)),
+            bytes_accessed=B * S * (3 * INNER + 2 * DIM) * conv_act.dtype.itemsize,
+            transcendentals=B * nh * S * (CS + 4),
+        ),
+        interpret=interpret,
+    )(conv_act, x_mlstm, z, x_res, wq_bd, wk_bd, wv_bd, bq, bk, bv,
+      wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd)
+
+
+def _vil_block_composite(conv_act, x_mlstm, z, x_res, wq, wk, wv, bq, bk, bv,
+                         wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd,
+                         nh, chunk_size, igate_act, eps, norm_eps):
+    """Unfused reference for the block-fused entry (backward recompute +
+    non-TPU fallback): mirrors nn/vil.py's ViLLayer tail exactly —
+    MultiHeadLayerNorm (transposed, fp32, EFFECTIVE scale nsc) -> relayout
+    -> + skip * conv_act -> * silu(z) -> proj_down -> + residual."""
+    B, S, INNER = conv_act.shape
+    dh = INNER // nh
+    h = _vil_fused_composite(conv_act, x_mlstm, wq, wk, wv, bq, bk, bv,
+                             wgi, bgi, wgf, bgf, nh, chunk_size, igate_act,
+                             eps).reshape(B, nh, dh, S)
+    hf = h.astype(jnp.float32)
+    mu = jnp.mean(hf, axis=2, keepdims=True)
+    var = jnp.var(hf, axis=2, keepdims=True)
+    hn = (hf - mu) * jax.lax.rsqrt(var + norm_eps)
+    hn = hn * nsc.reshape(1, nh, dh, 1) + nbi.reshape(1, nh, dh, 1)
+    hn = hn.astype(conv_act.dtype).transpose(0, 3, 1, 2).reshape(B, S, INNER)
+    y = (hn + skip.astype(hn.dtype) * conv_act) * jax.nn.silu(z)
+    out = jnp.dot(y, wd.astype(y.dtype), preferred_element_type=jnp.float32)
+    out = (out + bd.astype(jnp.float32)).astype(conv_act.dtype)
+    return out + x_res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21, 22, 23, 24, 25))
+def _vil_block(conv_act, x_mlstm, z, x_res, wq, wk, wv, bq, bk, bv, wgi, bgi,
+               wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size, igate_act,
+               eps, norm_eps, interpret, mxu_dtype):
+    import jax.scipy.linalg as jsl
+
+    dt = conv_act.dtype
+    inner = conv_act.shape[-1]
+    dim = x_res.shape[-1]
+    return _vil_block_impl(
+        conv_act, x_mlstm, z, x_res,
+        jsl.block_diag(*wq).astype(dt), jsl.block_diag(*wk).astype(dt),
+        jsl.block_diag(*wv).astype(dt),
+        bq.reshape(inner, 1).astype(dt), bk.reshape(inner, 1).astype(dt),
+        bv.reshape(inner, 1).astype(dt),
+        wgi.astype(dt), bgi.reshape(nh, 1).astype(jnp.float32),
+        wgf.astype(dt), bgf.reshape(nh, 1).astype(jnp.float32),
+        nsc.reshape(inner, 1).astype(jnp.float32),
+        nbi.reshape(inner, 1).astype(jnp.float32),
+        skip.reshape(inner, 1).astype(jnp.float32),
+        wd.astype(dt), bd.reshape(1, dim).astype(jnp.float32),
+        nh, chunk_size, igate_act, eps, norm_eps, interpret, mxu_dtype)
+
+
+def _vil_block_fwd(conv_act, x_mlstm, z, x_res, wq, wk, wv, bq, bk, bv, wgi,
+                   bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size,
+                   igate_act, eps, norm_eps, interpret, mxu_dtype):
+    out = _vil_block(conv_act, x_mlstm, z, x_res, wq, wk, wv, bq, bk, bv, wgi,
+                     bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size,
+                     igate_act, eps, norm_eps, interpret, mxu_dtype)
+    return out, (conv_act, x_mlstm, z, x_res, wq, wk, wv, bq, bk, bv, wgi,
+                 bgi, wgf, bgf, nsc, nbi, skip, wd, bd)
+
+
+def _vil_block_bwd(nh, chunk_size, igate_act, eps, norm_eps, interpret,
+                   mxu_dtype, res, gout):
+    fn = lambda *args: _vil_block_composite(*args, nh, chunk_size, igate_act,
+                                            eps, norm_eps)
+    _, vjp = jax.vjp(fn, *res)
+    return vjp(gout)
+
+
+_vil_block.defvjp(_vil_block_fwd, _vil_block_bwd)
+
+
+def mlstm_vil_block_fused_pallas(
+    conv_act: jnp.ndarray,
+    x_mlstm: jnp.ndarray,
+    z: jnp.ndarray,
+    x_res: jnp.ndarray,
+    wq: jnp.ndarray, bq: jnp.ndarray,
+    wk: jnp.ndarray, bk: jnp.ndarray,
+    wv: jnp.ndarray, bv: jnp.ndarray,
+    wgi: jnp.ndarray, bgi: jnp.ndarray,
+    wgf: jnp.ndarray, bgf: jnp.ndarray,
+    nscale: jnp.ndarray, nbias: jnp.ndarray,
+    skip: jnp.ndarray,
+    wd: jnp.ndarray, bd: jnp.ndarray,
+    num_heads: int,
+    chunk_size: int = 64,
+    igate_act: str = "exp",
+    eps: float = 1e-6,
+    norm_eps: float = 1e-3,
+    interpret: bool | None = None,
+    mxu_dtype: str = "bfloat16",
+) -> jnp.ndarray:
+    """Whole ViL mLSTM branch in one kernel (v2 of the fused cell): headwise
+    projections + gate dots + chunkwise mLSTM + per-head outnorm (EFFECTIVE
+    scale ``nscale`` — pass 1+w for the residual convention) + learnable
+    skip + SiLU output gate + proj_down + residual. Natural (B, S, INNER)
+    branch inputs, (B, S, DIM) natural output; h never exists in HBM."""
+    B, S, INNER = conv_act.shape
+    if jax.default_backend() != "tpu" and not interpret:
+        return _vil_block_composite(
+            conv_act, x_mlstm, z, x_res, wq, wk, wv, bq, bk, bv, wgi, bgi,
+            wgf, bgf, nsc=nscale, nbi=nbias, skip=skip, wd=wd, bd=bd,
+            nh=num_heads, chunk_size=min(chunk_size, S), igate_act=igate_act,
+            eps=eps, norm_eps=norm_eps)
+    cs = max(128, (min(chunk_size, S) // 128) * 128)
+    pad = (-S) % cs
+    if pad:
+        # end-padding is causally inert; padded output rows are sliced off
+        conv_act = jnp.pad(conv_act, ((0, 0), (0, pad), (0, 0)))
+        x_mlstm = jnp.pad(x_mlstm, ((0, 0), (0, pad), (0, 0)))
+        z = jnp.pad(z, ((0, 0), (0, pad), (0, 0)))
+        x_res = jnp.pad(x_res, ((0, 0), (0, pad), (0, 0)))
+    out = _vil_block(conv_act, x_mlstm, z, x_res, wq, wk, wv, bq, bk, bv,
+                     wgi, bgi, wgf, bgf, nscale, nbias, skip, wd, bd,
+                     num_heads, cs, igate_act, eps, norm_eps, bool(interpret),
+                     mxu_dtype)
+    return out[:, :S] if pad else out

@@ -194,6 +194,46 @@ class _HeadwiseParams(nn.Module):
         return w, b
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only twin of nn.Dense (same names, shapes and init) for the
+    block-fused TPU path, which applies proj_down inside the kernel."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_uniform(),
+                       (self.in_features, self.features))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+        else:
+            b = jnp.zeros((self.features,), k.dtype)
+        return k, b
+
+
+class _MHLNParams(nn.Module):
+    """Parameter-only twin of MultiHeadLayerNorm (same names and init);
+    returns the EFFECTIVE affine (1+w under the residual convention) for
+    paths that apply the norm inside a kernel."""
+
+    features: int
+    with_bias: bool = True
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self):
+        init = nn.initializers.zeros if self.residual else nn.initializers.ones
+        w = self.param("scale", init, (self.features,))
+        eff = (1.0 + w) if self.residual else w
+        if self.with_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+        else:
+            b = jnp.zeros((self.features,), w.dtype)
+        return eff, b
+
+
 class SequenceConv2d(nn.Module):
     """Conv2d over the token grid of a (B, S, D) sequence
     (reference vision_lstm_util.py:96). NHWC internally — no transposes."""
@@ -329,7 +369,8 @@ class MatrixLSTMCell(nn.Module):
     igate_init: str = "vil"
 
     @nn.compact
-    def __call__(self, q, k, v, transposed: bool = False, fused=None):
+    def __call__(self, q, k, v, transposed: bool = False, fused=None,
+                 fused_block=None):
         """q/k/v: (B, S, D) natural, or (B, NH, DH, S) when ``transposed``
         (the mLSTM kernel layout, as emitted by LinearHeadwiseExpand's
         ``transpose_out`` — the zero-relayout TPU fast path).
@@ -337,13 +378,39 @@ class MatrixLSTMCell(nn.Module):
         ``fused``: (conv_act, x_mlstm, wq, bq, wk, bk, wv, bv) — the fully
         fused TPU path: headwise projections + gate dots + chunkwise mLSTM
         run in ONE Pallas kernel (q/k/v never exist in HBM); q/k/v args are
-        ignored."""
+        ignored.
+
+        ``fused_block``: (conv_act, x_mlstm, z, x_res, wq, bq, wk, bk, wv,
+        bv, skip, wd, bd) — the v2 whole-branch kernel: everything in
+        ``fused`` PLUS outnorm, learnable skip, SiLU output gate, proj_down
+        and the residual, returning the final (B, S, DIM) layer output."""
         nh = self.num_heads
         if self.igate_init == "xlstm":
             gate_bias_i = nn.initializers.normal(stddev=0.1)
         else:
             gate_bias_i = lambda key, shape, dtype=jnp.float32: jnp.full(shape, -10.0, dtype)
         gate_bias_f = lambda key, shape, dtype=jnp.float32: jnp.linspace(3.0, 6.0, shape[0], dtype=dtype)
+
+        if fused_block is not None:
+            conv_act, x_mlstm, z, x_res, wq, bq_, wk, bk_, wv, bv_, skip, wd, bd_ = fused_block
+            d = conv_act.shape[-1]
+            wgi, bgi = _GateProj(nh, bias_init=gate_bias_i, dim=d,
+                                 name="igate")(None, None, None, return_params=True)
+            wgf, bgf = _GateProj(nh, bias_init=gate_bias_f, dim=d,
+                                 name="fgate")(None, None, None, return_params=True)
+            if self.use_outnorm:
+                nsc, nbi = _MHLNParams(d, with_bias=self.norm_bias, name="outnorm")()
+            else:
+                nsc = jnp.ones((d,), jnp.float32)
+                nbi = jnp.zeros((d,), jnp.float32)
+            from ..kernels.mlstm_pallas import mlstm_vil_block_fused_pallas
+
+            out = mlstm_vil_block_fused_pallas(
+                conv_act, x_mlstm, z, x_res, wq, bq_, wk, bk_, wv, bv_,
+                wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd_, nh,
+                chunk_size=self.chunk_size, igate_act=self.igate_act,
+                norm_eps=self.norm_eps)
+            return out.astype(conv_act.dtype)
 
         if fused is not None:
             conv_act, x_mlstm, wq, bq_, wk, bk_, wv, bv_ = fused
@@ -488,6 +555,25 @@ class ViLLayer(nn.Module):
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "native"
         tp = backend == "pallas"
+        if tp and (self.drop_path == 0.0 or not self.has_rng("dropout")):
+            # v2 whole-branch kernel: projections + gates + mLSTM + outnorm
+            # + skip + output gate + proj_down + residual in ONE program
+            # (drop_path must be inactive — the residual is added in-kernel)
+            wq, bq_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="q_proj")()
+            wk, bk_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="k_proj")()
+            wv, bv_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="v_proj")()
+            skip = self.param("learnable_skip", nn.initializers.ones, (inner,))
+            wd, bd_ = _DenseParams(inner, self.dim, self.proj_bias, name="proj_down")()
+            x_r = residual if self.direction != "backward" else residual[:, ::-1]
+            out = MatrixLSTMCell(
+                dim=inner, num_heads=num_heads, chunk_size=self.chunk_size,
+                igate_act=self.igate_act, backend=backend,
+                use_outnorm=self.use_outnorm, name="mlstm_cell",
+            )(None, None, None, fused_block=(conv_act, x_mlstm, z, x_r, wq, bq_,
+                                             wk, bk_, wv, bv_, skip, wd, bd_))
+            if self.direction == "backward":
+                out = out[:, ::-1]
+            return out
         if tp:
             # fully fused cell: projections + gates + mLSTM in one kernel;
             # q/k/v never materialize in HBM
