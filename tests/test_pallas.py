@@ -287,3 +287,93 @@ def test_vil_layer_block_fused_wiring_matches_native():
         np.testing.assert_allclose(np.asarray(pn.apply(v, x)),
                                    np.asarray(pp.apply(v, x)),
                                    rtol=2e-2, atol=5e-3)
+
+
+def test_vil_layer_fused_interpret_matches_composite():
+    """The v3 layer kernel (v2 + in-kernel RMSNorm and proj_up, z emitted
+    transposed on-chip) must match the unfused composite. bf16 inputs for
+    the same reason as the v2 test."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_layer_composite, mlstm_vil_layer_fused_pallas)
+
+    B, NH, S, DH, DIM = 2, 2, 256, 16, 16
+    INNER = NH * DH
+    rng = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.bfloat16)
+    f32 = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    x, conv = mk(B, S, DIM), mk(B, S, INNER)
+    nrm = 1.0 + f32(DIM) * 0.2
+    wu, bu = mk(DIM, 2 * INNER) * 0.3, f32(2 * INNER) * 0.1
+    wq, wk, wv = mk(NH, DH, DH) * 0.3, mk(NH, DH, DH) * 0.3, mk(NH, DH, DH) * 0.3
+    bq, bk, bv = mk(INNER) * 0.1, mk(INNER) * 0.1, mk(INNER) * 0.1
+    wgi, wgf = mk(3 * INNER, NH) * 0.05, mk(3 * INNER, NH) * 0.05
+    bgi, bgf = jnp.full((NH,), -8.0), jnp.full((NH,), 4.0)
+    nsc, nbi = 1.0 + f32(INNER) * 0.2, f32(INNER) * 0.1
+    skip = 1.0 + f32(INNER) * 0.1
+    wd, bd = mk(INNER, DIM) * 0.2, f32(DIM) * 0.1
+
+    for S2 in (256, 200):  # exact and padded sequence lengths
+        got = mlstm_vil_layer_fused_pallas(
+            x[:, :S2], conv[:, :S2], nrm, wu, bu, wq, bq, wk, bk, wv, bv,
+            wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd, NH, chunk_size=128,
+            interpret=True)
+        assert got.shape == (B, S2, DIM)
+        want = _vil_layer_composite(
+            x[:, :S2], conv[:, :S2], nrm, wu, bu, wq, wk, wv, bq, bk, bv,
+            wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd, NH, min(128, S2),
+            "exp", 1e-6, 1e-3, 1e-6)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=6e-2, atol=6e-2)
+
+
+def test_vil_layer_fused_gradients_match_composite():
+    """v3 custom_vjp backward (recompute through the composite) must equal
+    autodiff of the composite."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_layer_composite, mlstm_vil_layer_fused_pallas)
+
+    B, NH, S, DH, DIM = 1, 2, 64, 8, 8
+    INNER = NH * DH
+    rng = np.random.default_rng(5)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    names = ["x", "conv", "nrm", "wu", "bu", "wq", "bq", "wk", "bk", "wv",
+             "bv", "wgi", "bgi", "wgf", "bgf", "nsc", "nbi", "skip", "wd", "bd"]
+    a = dict(x=mk(B, S, DIM), conv=mk(B, S, INNER), nrm=1.0 + mk(DIM) * 0.2,
+             wu=mk(DIM, 2 * INNER) * 0.3, bu=mk(2 * INNER) * 0.1,
+             wq=mk(NH, DH, DH) * 0.3, bq=mk(INNER) * 0.1,
+             wk=mk(NH, DH, DH) * 0.3, bk=mk(INNER) * 0.1,
+             wv=mk(NH, DH, DH) * 0.3, bv=mk(INNER) * 0.1,
+             wgi=mk(3 * INNER, NH) * 0.05, bgi=jnp.full((NH,), -8.0),
+             wgf=mk(3 * INNER, NH) * 0.05, bgf=jnp.full((NH,), 4.0),
+             nsc=1.0 + mk(INNER) * 0.2, nbi=mk(INNER) * 0.1,
+             skip=1.0 + mk(INNER) * 0.1, wd=mk(INNER, DIM) * 0.2,
+             bd=mk(DIM) * 0.1)
+    args = [a[n] for n in names]
+
+    def loss_fused(*t):
+        kw = dict(zip(names, t))
+        out = mlstm_vil_layer_fused_pallas(
+            kw["x"], kw["conv"], kw["nrm"], kw["wu"], kw["bu"], kw["wq"],
+            kw["bq"], kw["wk"], kw["bk"], kw["wv"], kw["bv"], kw["wgi"],
+            kw["bgi"], kw["wgf"], kw["bgf"], kw["nsc"], kw["nbi"],
+            kw["skip"], kw["wd"], kw["bd"], 2, chunk_size=64, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_comp(*t):
+        kw = dict(zip(names, t))
+        out = _vil_layer_composite(
+            kw["x"], kw["conv"], kw["nrm"], kw["wu"], kw["bu"], kw["wq"],
+            kw["wk"], kw["wv"], kw["bq"], kw["bk"], kw["bv"], kw["wgi"],
+            kw["bgi"], kw["wgf"], kw["bgf"], kw["nsc"], kw["nbi"],
+            kw["skip"], kw["wd"], kw["bd"], 2, 64, "exp", 1e-6, 1e-3, 1e-6)
+        return jnp.sum(out ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    gc = jax.grad(loss_comp, argnums=tuple(range(len(args))))(*args)
+    # same tolerance note as the v2 grad test: the vjp IS the composite's,
+    # only the outer cotangent (2*out) carries the fused forward's MXU bf16
+    # rounding, amplified through the eps-dominated outnorm
+    for n, xg, yg in zip(names, gf, gc):
+        np.testing.assert_allclose(np.asarray(xg), np.asarray(yg),
+                                   rtol=5e-2, atol=5e-2, err_msg=n)

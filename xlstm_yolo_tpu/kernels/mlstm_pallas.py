@@ -31,12 +31,19 @@ Design (v3 — row-resident, segmented):
   * backward: custom_vjp recomputes through the native jnp chunkwise form
     (rematerialization — the standard trade of FLOPs for HBM on TPU).
 
-Performance (v5e, loop-carried inputs so nothing hoists; current flagship
-shapes, qkv_block_size 64 -> DH 64):
-  ViL-P3 (B128 NH2 S6400 DH64, CS256): 5.3 ms   (e2e stage incl. XLA ops: ~23 ms)
-  ViL-P4 (B128 NH4 S1600 DH64, CS128): 4.2 ms
-  ViL-P5 (B128 NH8 S400  DH64, CS128): 3.2 ms
-ViL-YOLO-n e2e 640px b128: 56.2 ms = 2278 img/s (normalize->NMS, fused BN).
+Performance (v5e, loop-carried inputs so nothing hoists; flagship shapes,
+qkv_block_size 64 -> DH 64; b128 bf16; FULL ViLBlockPair stage = kernel +
+remaining XLA ops):
+  stage   v1 cell-fused   v2 block-fused   v3 layer-fused
+  P3        18.0 ms          15.6 ms          13.0 ms
+  P4        12.2 ms          11.6 ms           9.9 ms
+  P5         8.5 ms           8.9 ms           7.7 ms
+ViL-YOLO-n e2e 640px b128 (preproc->NMS, fused BN): 40.2 ms = 3,187 img/s.
+Ablation (P3, on-chip): the kernel is DMA-bound — pure streaming of the
+activation planes runs ~100-130 GB/s at these block shapes regardless of
+(BB, SEG, semantics, scratch); batched projections and per-bi stacking are
+~free; chunk math adds ~28%. Hence v3: stream only x + conv_act and
+recompute everything else on-chip.
 
 Layout studies (measured on-chip, kept for the record — git history has the
 implementations):
@@ -894,7 +901,11 @@ def _pick_layout_block(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
     transpose planes on top of the v1 stacks. Weights (incl. the identity
     for the MXU transposes) live in VMEM at the INPUT dtype — they are cast
     to the MXU dtype at use."""
-    budget = 10 * 1024 * 1024
+    # calibrated on-chip (P3/P5 sweeps): G=32 seg=128 configs (13.9-16.3 MB
+    # by this model) compile and are fastest; the next size up (P3 seg 256,
+    # ~17.9 MB) OOMs — the ceiling sits right at the 16 MB VMEM plus a bit
+    # of model slack
+    budget = 16_800_000
     ns = s // cs
     bb = max(1, min(b, 32 // nh))
     while b % bb:
@@ -903,11 +914,11 @@ def _pick_layout_block(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
                + 4 * cs * cs * 4)
     while bb >= 1:
         g = bb * nh
-        # peak live fp32 planes per chunk: qf/kf/vf_all + qt/kt/vt stacks
-        # overlap briefly (liveness frees the _all forms), cT/zT persist
-        # through the epilogue, + hT — ~8 (INNER, BB*CS)-equivalents
+        # peak live fp32 planes per chunk: 4 (G, DH, CS) stacks + ~3
+        # (INNER, BB*CS) planes (Mosaic's liveness folds the qf/kf/vf_all
+        # forms into the stacks; cT/zT persist through the epilogue)
         temps = (4 * g * dh * cs + 3 * g * dh * dh
-                 + 5 * inner * bb * cs + bb * cs * dim) * 4
+                 + 3 * inner * bb * cs + bb * cs * dim) * 4
         for nseg in range(1, ns + 1):
             if ns % nseg:
                 continue
@@ -1091,4 +1102,328 @@ def mlstm_vil_block_fused_pallas(
                      wgi, bgi, wgf, bgf, nscale, nbias, skip, wd, bd,
                      num_heads, cs, igate_act, eps, norm_eps, bool(interpret),
                      mxu_dtype)
+    return out[:, :S] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# v3: layer fusion — v2 PLUS the pre-norm (RMSNorm) and BOTH proj_up halves
+# recomputed in-kernel from x. Streams shrink to x + conv_act (+ out): the
+# ablation study showed the v2 kernel is DMA-bound (pure streaming at these
+# block shapes runs ~130 GB/s; chunk math is only ~28% of kernel time), so
+# the x_mlstm / z / x_res streams are the dominant cost — recomputing them
+# on-chip from the DIM-wide x is cheaper than reading the INNER-wide planes.
+# Only the depthwise SequenceConv2d stays outside (spatial halo).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
+                      buz_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                      wgi_ref, bgi_ref, wgf_ref, bgf_ref, nsc_ref, nbi_ref,
+                      skip_ref, wd_ref, bd_ref, out_ref, c_scr, n_scr, m_scr,
+                      *, bb, nh, ns, cs, dh, inner, dim, igate_act, eps,
+                      norm_eps, rms_eps, mxu):
+    """ViLLayer forward minus the conv, on VMEM-resident values."""
+    g = bb * nh
+
+    t_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    causal_t = t_i <= s_i
+    cum_mat = causal_t.astype(jnp.float32)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (g, 1, cs), 2)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 1)
+    ident = (r_i == c_i).astype(mxu)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _reset():
+        c_scr[:] = jnp.zeros((g, dh, dh), jnp.float32)
+        n_scr[:] = jnp.zeros((g, dh, 1), jnp.float32)
+        m_scr[:] = jnp.zeros((g, 1, 1), jnp.float32)
+
+    def nt_dot(w, x):
+        return jax.lax.dot_general(
+            w.astype(mxu), x.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def tn_dot(w, x):
+        return jax.lax.dot_general(
+            w.astype(mxu), x.astype(mxu), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def chunk_body(j, _):
+        s0 = j * cs
+        x_c = x_ref[:, pl.ds(s0, cs), :]      # (BB, CS, DIM)
+        cv_c = conv_ref[:, pl.ds(s0, cs), :]  # (BB, CS, INNER)
+        xflat = x_c.reshape(bb * cs, dim).astype(jnp.float32)
+        cvf = cv_c.reshape(bb * cs, inner)
+
+        # RMSNorm over DIM (lanes) + scale, then the two proj_up halves:
+        # x_mlstm natural (feeds the v projection), z directly TRANSPOSED
+        # via an NT dot with the pre-transposed weight
+        msq = jnp.mean(xflat * xflat, axis=1, keepdims=True)
+        xn = xflat * jax.lax.rsqrt(msq + rms_eps) * nrm_ref[...].astype(jnp.float32)
+        xmf = (jax.lax.dot_general(xn.astype(mxu), wum_ref[...].astype(mxu),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+               + bum_ref[...].astype(jnp.float32))          # (BB*CS, INNER)
+        zT = nt_dot(wuzt_ref[...], xn) + buz_ref[...].astype(jnp.float32)  # (INNER, BB*CS)
+
+        bq = bq_ref[...].astype(jnp.float32)
+        bk = bk_ref[...].astype(jnp.float32)
+        bv = bv_ref[...].astype(jnp.float32)
+        wgi = wgi_ref[...]
+        wgf = wgf_ref[...]
+        bgi = bgi_ref[...].astype(jnp.float32)
+        bgf = bgf_ref[...].astype(jnp.float32)
+
+        qf_all = nt_dot(wq_ref[...], cvf) + bq
+        kf_all = nt_dot(wk_ref[...], cvf) + bk
+        # xmf is an fp32 VMEM temp (not a ref load) — same NT form
+        vf_all = jax.lax.dot_general(wv_ref[...].astype(mxu), xmf.astype(mxu),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) + bv
+        gi_all = (tn_dot(wgi[:inner], qf_all) + tn_dot(wgi[inner:2 * inner], kf_all)
+                  + tn_dot(wgi[2 * inner:], vf_all) + bgi)
+        gf_all = (tn_dot(wgf[:inner], qf_all) + tn_dot(wgf[inner:2 * inner], kf_all)
+                  + tn_dot(wgf[2 * inner:], vf_all) + bgf)
+        cT_all = nt_dot(ident, cvf)
+
+        qt = jnp.stack([qf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs) * (dh**-0.5)
+        kt = jnp.stack([kf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs)
+        vt = jnp.stack([vf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs)
+        i_pre = jnp.stack([gi_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                          ).reshape(g, 1, cs)
+        f_pre = jnp.stack([gf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                          ).reshape(g, 1, cs)
+
+        hT, c_new, n_new, m_new = _chunk_math(
+            qt, kt, vt, i_pre, f_pre, c_scr[:], n_scr[:], m_scr[:],
+            g=g, cs=cs, dh=dh, igate_act=igate_act, eps=eps, mxu=mxu,
+            causal_t=causal_t, cum_mat=cum_mat, lane_ids=lane_ids)
+        c_scr[:] = c_new
+        n_scr[:] = n_new
+        m_scr[:] = m_new
+
+        mu = jnp.mean(hT, axis=1, keepdims=True)
+        var = jnp.mean((hT - mu) ** 2, axis=1, keepdims=True)
+        hn = (hT - mu) * jax.lax.rsqrt(var + norm_eps)
+
+        nsc = nsc_ref[...].astype(jnp.float32)
+        nbi = nbi_ref[...].astype(jnp.float32)
+        skip = skip_ref[...].astype(jnp.float32)
+        wd = wd_ref[...]
+        bd = bd_ref[...].astype(jnp.float32)
+
+        outs = []
+        for bi in range(bb):
+            y = hn[bi * nh:(bi + 1) * nh].reshape(inner, cs)
+            y = y * nsc + nbi
+            cT = cT_all[:, bi * cs:(bi + 1) * cs]
+            zTb = zT[:, bi * cs:(bi + 1) * cs]
+            y = (y + skip * cT) * (zTb * jax.nn.sigmoid(zTb))
+            o = jax.lax.dot_general(y.astype(mxu), wd.astype(mxu),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            outs.append(o + bd)
+        out = jnp.stack(outs)  # (BB, CS, DIM)
+        out_ref[:, pl.ds(s0, cs), :] = (out + x_c.astype(jnp.float32)
+                                        ).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns, chunk_body, 0)
+
+
+def _pick_layout_layer(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
+                       dim: int, in_bytes: int) -> tuple:
+    """(BB, NSEG) for the layer-fused kernel: streams 1 INNER-wide + 2
+    DIM-wide natural planes only. Budget calibrated on-chip: P3 (16, 25)
+    models at 15.4M and Mosaic reports 16.85M scoped (>16M limit), so the
+    model under-counts ~1.4M — 15.3M keeps every accepted config under."""
+    budget = 15_300_000
+    ns = s // cs
+    bb = max(1, min(b, 32 // nh))
+    while b % bb:
+        bb -= 1
+    w_bytes = ((4 * inner * inner + 3 * inner * dim + 6 * inner * nh
+                + 2 * inner * dim) * in_bytes + 4 * cs * cs * 4)
+    while bb >= 1:
+        g = bb * nh
+        temps = (4 * g * dh * cs + 3 * g * dh * dh
+                 + 4 * inner * bb * cs + 2 * bb * cs * dim) * 4
+        for nseg in range(1, ns + 1):
+            if ns % nseg:
+                continue
+            seg = s // nseg
+            stream = 2 * bb * seg * (inner + 2 * dim) * in_bytes
+            if stream + temps + w_bytes <= budget:
+                return (bb, nseg)
+        nb = bb - 1
+        while nb > 1 and b % nb:
+            nb -= 1
+        bb = nb if nb != bb else bb - 1
+    return (1, ns)
+
+
+def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
+                    wv_bd, bq, bk, bv, wgi, bgi, wgf, bgf, nsc, nbi, skip,
+                    wd, bd, nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
+                    interpret=False, mxu_dtype="bfloat16", layout=None):
+    B, S, DIM = x.shape
+    INNER = conv_act.shape[-1]
+    dh = INNER // nh
+    CS = chunk_size
+    assert S % CS == 0
+    BB, NSEG = layout or _pick_layout_layer(B, nh, S, CS, dh, INNER, DIM,
+                                            conv_act.dtype.itemsize)
+    SEG = S // NSEG
+    G = BB * nh
+    mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
+
+    x_spec = pl.BlockSpec((BB, SEG, DIM), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    cv_spec = pl.BlockSpec((BB, SEG, INNER), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    row = lambda r, c: pl.BlockSpec((r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_vil_layer, bb=BB, nh=nh, ns=SEG // CS,
+                          cs=CS, dh=dh, inner=INNER, dim=DIM,
+                          igate_act=igate_act, eps=eps, norm_eps=norm_eps,
+                          rms_eps=rms_eps, mxu=mxu),
+        grid=(B // BB, NSEG),
+        in_specs=[x_spec, cv_spec, row(1, DIM), row(DIM, INNER), row(1, INNER),
+                  row(INNER, DIM), row(INNER, 1), row(INNER, INNER),
+                  row(INNER, INNER), row(INNER, INNER), row(INNER, 1),
+                  row(INNER, 1), row(INNER, 1), row(3 * INNER, nh), row(nh, 1),
+                  row(3 * INNER, nh), row(nh, 1), row(INNER, 1), row(INNER, 1),
+                  row(INNER, 1), row(INNER, DIM), row(1, DIM)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S, DIM), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((G, dh, dh), jnp.float32),
+            pltpu.VMEM((G, dh, 1), jnp.float32),
+            pltpu.VMEM((G, 1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * (7 * INNER * INNER + 3 * INNER * DIM
+                               + nh * (2 * CS * dh + 2 * dh * dh)),
+            bytes_accessed=B * S * (INNER + 2 * DIM) * conv_act.dtype.itemsize,
+            transcendentals=B * nh * S * (CS + 4),
+        ),
+        interpret=interpret,
+    )(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd, wv_bd, bq, bk, bv,
+      wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd)
+
+
+def _vil_layer_composite(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv,
+                         wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd,
+                         nh, chunk_size, igate_act, eps, norm_eps, rms_eps):
+    """Unfused reference for the layer-fused entry: RMSNorm + proj_up halves
+    (mirroring nn/vil.py ViLLayer) feeding the v2 composite."""
+    inner = conv_act.shape[-1]
+    xf = x.astype(jnp.float32)
+    xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + rms_eps)
+    xn = (xn * nrm.astype(jnp.float32)).astype(x.dtype)
+    y = jnp.dot(xn, wu.astype(x.dtype)) + bu.astype(x.dtype)
+    x_mlstm, z = jnp.split(y, 2, axis=-1)
+    return _vil_block_composite(conv_act, x_mlstm, z, x, wq, wk, wv, bq, bk,
+                                bv, wgi, bgi, wgf, bgf, nsc, nbi, skip, wd,
+                                bd, nh, chunk_size, igate_act, eps, norm_eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(20, 21, 22, 23, 24, 25, 26, 27))
+def _vil_layer(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
+               wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size, igate_act,
+               eps, norm_eps, rms_eps, interpret, mxu_dtype):
+    import jax.scipy.linalg as jsl
+
+    dt = conv_act.dtype
+    inner = conv_act.shape[-1]
+    dim = x.shape[-1]
+    return _vil_layer_impl(
+        x, conv_act, nrm.reshape(1, dim).astype(dt),
+        wu[:, :inner].astype(dt), bu[:inner].reshape(1, inner).astype(dt),
+        wu[:, inner:].T.astype(dt), bu[inner:].reshape(inner, 1).astype(dt),
+        jsl.block_diag(*wq).astype(dt), jsl.block_diag(*wk).astype(dt),
+        jsl.block_diag(*wv).astype(dt),
+        bq.reshape(inner, 1).astype(dt), bk.reshape(inner, 1).astype(dt),
+        bv.reshape(inner, 1).astype(dt),
+        wgi.astype(dt), bgi.reshape(nh, 1).astype(jnp.float32),
+        wgf.astype(dt), bgf.reshape(nh, 1).astype(jnp.float32),
+        nsc.reshape(inner, 1).astype(jnp.float32),
+        nbi.reshape(inner, 1).astype(jnp.float32),
+        skip.reshape(inner, 1).astype(jnp.float32),
+        wd.astype(dt), bd.reshape(1, dim).astype(jnp.float32),
+        nh, chunk_size, igate_act, eps, norm_eps, rms_eps, interpret, mxu_dtype)
+
+
+def _vil_layer_fwd(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
+                   wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size, igate_act,
+                   eps, norm_eps, rms_eps, interpret, mxu_dtype):
+    out = _vil_layer(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi,
+                     bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size,
+                     igate_act, eps, norm_eps, rms_eps, interpret, mxu_dtype)
+    return out, (x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
+                 wgf, bgf, nsc, nbi, skip, wd, bd)
+
+
+def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
+                   interpret, mxu_dtype, res, gout):
+    fn = lambda *args: _vil_layer_composite(*args, nh, chunk_size, igate_act,
+                                            eps, norm_eps, rms_eps)
+    _, vjp = jax.vjp(fn, *res)
+    return vjp(gout)
+
+
+_vil_layer.defvjp(_vil_layer_fwd, _vil_layer_bwd)
+
+
+def mlstm_vil_layer_fused_pallas(
+    x: jnp.ndarray,
+    conv_act: jnp.ndarray,
+    rms_scale: jnp.ndarray,
+    wu: jnp.ndarray, bu: jnp.ndarray,
+    wq: jnp.ndarray, bq: jnp.ndarray,
+    wk: jnp.ndarray, bk: jnp.ndarray,
+    wv: jnp.ndarray, bv: jnp.ndarray,
+    wgi: jnp.ndarray, bgi: jnp.ndarray,
+    wgf: jnp.ndarray, bgf: jnp.ndarray,
+    nscale: jnp.ndarray, nbias: jnp.ndarray,
+    skip: jnp.ndarray,
+    wd: jnp.ndarray, bd: jnp.ndarray,
+    num_heads: int,
+    chunk_size: int = 64,
+    igate_act: str = "exp",
+    eps: float = 1e-6,
+    norm_eps: float = 1e-3,
+    rms_eps: float = 1e-6,
+    interpret: bool | None = None,
+    mxu_dtype: str = "bfloat16",
+) -> jnp.ndarray:
+    """The whole ViLLayer minus the depthwise conv, in one kernel: RMSNorm +
+    proj_up (both halves, z emitted transposed on-chip) + everything the v2
+    entry fuses. Streams only x (DIM) and conv_act (INNER) in and the final
+    (B, S, DIM) out — at flagship shapes the v2 kernel is DMA-bound, so
+    dropping the x_mlstm/z/x_res planes is the main win. ``wu``/``bu`` are
+    the full (DIM, 2*INNER)/(2*INNER,) proj_up parameters; x doubles as the
+    in-kernel residual."""
+    B, S, DIM = x.shape
+    if jax.default_backend() != "tpu" and not interpret:
+        return _vil_layer_composite(
+            x, conv_act, rms_scale, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
+            wgf, bgf, nscale, nbias, skip, wd, bd, num_heads,
+            min(chunk_size, S), igate_act, eps, norm_eps, rms_eps)
+    cs = max(128, (min(chunk_size, S) // 128) * 128)
+    pad = (-S) % cs
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        conv_act = jnp.pad(conv_act, ((0, 0), (0, pad), (0, 0)))
+    out = _vil_layer(x, conv_act, rms_scale, wu, bu, wq, wk, wv, bq, bk, bv,
+                     wgi, bgi, wgf, bgf, nscale, nbias, skip, wd, bd,
+                     num_heads, cs, igate_act, eps, norm_eps, rms_eps,
+                     bool(interpret), mxu_dtype)
     return out[:, :S] if pad else out

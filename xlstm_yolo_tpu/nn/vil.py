@@ -213,6 +213,17 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _RMSNormParams(nn.Module):
+    """Parameter-only twin of RMSNorm (same name/init) for the layer-fused
+    TPU path, which applies the norm inside the kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("scale", nn.initializers.ones, (self.features,))
+
+
 class _MHLNParams(nn.Module):
     """Parameter-only twin of MultiHeadLayerNorm (same names and init);
     returns the EFFECTIVE affine (1+w under the residual convention) for
@@ -370,7 +381,7 @@ class MatrixLSTMCell(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, transposed: bool = False, fused=None,
-                 fused_block=None):
+                 fused_block=None, fused_layer=None):
         """q/k/v: (B, S, D) natural, or (B, NH, DH, S) when ``transposed``
         (the mLSTM kernel layout, as emitted by LinearHeadwiseExpand's
         ``transpose_out`` — the zero-relayout TPU fast path).
@@ -383,13 +394,39 @@ class MatrixLSTMCell(nn.Module):
         ``fused_block``: (conv_act, x_mlstm, z, x_res, wq, bq, wk, bk, wv,
         bv, skip, wd, bd) — the v2 whole-branch kernel: everything in
         ``fused`` PLUS outnorm, learnable skip, SiLU output gate, proj_down
-        and the residual, returning the final (B, S, DIM) layer output."""
+        and the residual, returning the final (B, S, DIM) layer output.
+
+        ``fused_layer``: (x, conv_act, rms_scale, wu, bu, wq, bq, wk, bk,
+        wv, bv, skip, wd, bd) — the v3 layer kernel: v2 PLUS the pre-norm
+        and proj_up recomputed in-kernel from x (which doubles as the
+        residual); only x and conv_act are streamed."""
         nh = self.num_heads
         if self.igate_init == "xlstm":
             gate_bias_i = nn.initializers.normal(stddev=0.1)
         else:
             gate_bias_i = lambda key, shape, dtype=jnp.float32: jnp.full(shape, -10.0, dtype)
         gate_bias_f = lambda key, shape, dtype=jnp.float32: jnp.linspace(3.0, 6.0, shape[0], dtype=dtype)
+
+        if fused_layer is not None:
+            xs, conv_act, nrm, wu, bu_, wq, bq_, wk, bk_, wv, bv_, skip, wd, bd_ = fused_layer
+            d = conv_act.shape[-1]
+            wgi, bgi = _GateProj(nh, bias_init=gate_bias_i, dim=d,
+                                 name="igate")(None, None, None, return_params=True)
+            wgf, bgf = _GateProj(nh, bias_init=gate_bias_f, dim=d,
+                                 name="fgate")(None, None, None, return_params=True)
+            if self.use_outnorm:
+                nsc, nbi = _MHLNParams(d, with_bias=self.norm_bias, name="outnorm")()
+            else:
+                nsc = jnp.ones((d,), jnp.float32)
+                nbi = jnp.zeros((d,), jnp.float32)
+            from ..kernels.mlstm_pallas import mlstm_vil_layer_fused_pallas
+
+            out = mlstm_vil_layer_fused_pallas(
+                xs, conv_act, nrm, wu, bu_, wq, bq_, wk, bk_, wv, bv_,
+                wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd_, nh,
+                chunk_size=self.chunk_size, igate_act=self.igate_act,
+                norm_eps=self.norm_eps)
+            return out.astype(conv_act.dtype)
 
         if fused_block is not None:
             conv_act, x_mlstm, z, x_res, wq, bq_, wk, bk_, wv, bv_, skip, wd, bd_ = fused_block
@@ -536,6 +573,46 @@ class ViLLayer(nn.Module):
         inner = self.expansion * self.dim
         num_heads = inner // self.qkv_block_size
         residual = x
+        # On TPU the whole layer (minus the spatial conv) runs as ONE Pallas
+        # program; elsewhere everything stays in the natural (B, S, D) layout.
+        backend = self.mlstm_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "native"
+        tp = backend == "pallas"
+        if tp and (self.drop_path == 0.0 or not self.has_rng("dropout")):
+            # v3 layer-fused kernel: RMSNorm + proj_up + projections + gates
+            # + mLSTM + outnorm + skip + output gate + proj_down + residual
+            # in ONE program — only the depthwise SequenceConv2d (spatial
+            # halo) stays in XLA. Norm/proj_up params come from twins; the
+            # XLA side computes just the x_mlstm half that feeds the conv.
+            # (drop_path must be inactive — the residual is added in-kernel)
+            nrm = _RMSNormParams(self.dim, name="norm")()
+            wu, bu_ = _DenseParams(self.dim, 2 * inner, self.proj_bias, name="proj_up")()
+            xs = x if self.direction != "backward" else x[:, ::-1]
+            xf32 = xs.astype(jnp.float32)
+            yn = (xf32 * jax.lax.rsqrt(jnp.mean(xf32 * xf32, axis=-1, keepdims=True) + 1e-6)
+                  * nrm).astype(x.dtype)
+            xm = yn @ wu[:, :inner].astype(x.dtype)
+            if self.proj_bias:
+                xm = xm + bu_[:inner].astype(x.dtype)
+            conv_act = nn.silu(
+                SequenceConv2d(inner, self.conv_kernel_size, groups=inner,
+                               seqlens=self.seqlens, name="conv")(xm))
+            wq, bq_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="q_proj")()
+            wk, bk_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="k_proj")()
+            wv, bv_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="v_proj")()
+            skip = self.param("learnable_skip", nn.initializers.ones, (inner,))
+            wd, bd_ = _DenseParams(inner, self.dim, self.proj_bias, name="proj_down")()
+            out = MatrixLSTMCell(
+                dim=inner, num_heads=num_heads, chunk_size=self.chunk_size,
+                igate_act=self.igate_act, backend=backend,
+                use_outnorm=self.use_outnorm, name="mlstm_cell",
+            )(None, None, None, fused_layer=(xs, conv_act, nrm, wu, bu_, wq, bq_,
+                                             wk, bk_, wv, bv_, skip, wd, bd_))
+            if self.direction == "backward":
+                out = out[:, ::-1]
+            return out
+
         y = RMSNorm(eps=1e-6, name="norm")(x)
         if self.direction == "backward":
             y = y[:, ::-1]
@@ -548,32 +625,6 @@ class ViLLayer(nn.Module):
                 inner, self.conv_kernel_size, groups=inner, seqlens=self.seqlens, name="conv"
             )(x_mlstm)
         )
-        # On TPU the headwise projections emit the kernel's (B, NH, DH, S)
-        # layout directly and the cell consumes it relayout-free; elsewhere
-        # everything stays in the natural (B, S, D) layout.
-        backend = self.mlstm_backend
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "native"
-        tp = backend == "pallas"
-        if tp and (self.drop_path == 0.0 or not self.has_rng("dropout")):
-            # v2 whole-branch kernel: projections + gates + mLSTM + outnorm
-            # + skip + output gate + proj_down + residual in ONE program
-            # (drop_path must be inactive — the residual is added in-kernel)
-            wq, bq_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="q_proj")()
-            wk, bk_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="k_proj")()
-            wv, bv_ = _HeadwiseParams(inner, num_heads, self.proj_bias, name="v_proj")()
-            skip = self.param("learnable_skip", nn.initializers.ones, (inner,))
-            wd, bd_ = _DenseParams(inner, self.dim, self.proj_bias, name="proj_down")()
-            x_r = residual if self.direction != "backward" else residual[:, ::-1]
-            out = MatrixLSTMCell(
-                dim=inner, num_heads=num_heads, chunk_size=self.chunk_size,
-                igate_act=self.igate_act, backend=backend,
-                use_outnorm=self.use_outnorm, name="mlstm_cell",
-            )(None, None, None, fused_block=(conv_act, x_mlstm, z, x_r, wq, bq_,
-                                             wk, bk_, wv, bv_, skip, wd, bd_))
-            if self.direction == "backward":
-                out = out[:, ::-1]
-            return out
         if tp:
             # fully fused cell: projections + gates + mLSTM in one kernel;
             # q/k/v never materialize in HBM
