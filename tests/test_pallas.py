@@ -377,3 +377,133 @@ def test_vil_layer_fused_gradients_match_composite():
     for n, xg, yg in zip(names, gf, gc):
         np.testing.assert_allclose(np.asarray(xg), np.asarray(yg),
                                    rtol=5e-2, atol=5e-2, err_msg=n)
+
+
+def test_vil_conv_fused_interpret_matches_composite():
+    """The v4 conv-in-kernel layer (v3 + in-kernel depthwise SequenceConv2d
+    via halo-window DMA) must match the unfused composite, including the
+    multi-segment head/tail halo DMA paths and the lane-padding path
+    (dim=16 < 128). fp32 MXU in interpret mode for tight tolerance."""
+    import jax.scipy.linalg as jsl
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_conv_composite, _vil_conv_impl,
+        mlstm_vil_layer_conv_fused_pallas)
+
+    def make_params(key, dim, inner, nh):
+        ks = jax.random.split(key, 16)
+        p = {}
+        p["nrm"] = jax.random.normal(ks[0], (dim,)) * 0.1 + 1.0
+        p["wu"] = jax.random.normal(ks[1], (dim, 2 * inner)) * 0.2
+        p["bu"] = jax.random.normal(ks[2], (2 * inner,)) * 0.1
+        p["wc"] = jax.random.normal(ks[3], (3, 3, 1, inner)) * 0.3
+        p["bc"] = jax.random.normal(ks[4], (inner,)) * 0.1
+        dh = inner // nh
+        for n, i in (("wq", 5), ("wk", 6), ("wv", 7)):
+            p[n] = jax.random.normal(ks[i], (nh, dh, dh)) * 0.3
+        for n, i in (("bq", 8), ("bk", 9), ("bv", 10)):
+            p[n] = jax.random.normal(ks[i], (inner,)) * 0.1
+        p["wgi"] = jax.random.normal(ks[11], (3 * inner, nh)) * 0.1
+        p["bgi"] = jax.random.normal(ks[12], (nh,)) * 0.5
+        p["wgf"] = jax.random.normal(ks[13], (3 * inner, nh)) * 0.1
+        p["bgf"] = jax.random.normal(ks[14], (nh,)) + 2.0
+        p["nsc"] = jax.random.normal(ks[15], (inner,)) * 0.1 + 1.0
+        p["nbi"] = jnp.zeros((inner,)) + 0.05
+        p["skip"] = jnp.ones((inner,)) * 0.9
+        p["wd"] = jax.random.normal(ks[0], (inner, dim)) * 0.2
+        p["bd"] = jax.random.normal(ks[1], (dim,)) * 0.1
+        return p
+
+    def run_case(B, H, W, dim, inner, nh, igate, layout=None, cs=128):
+        S = H * W
+        x = jax.random.normal(jax.random.PRNGKey(7), (B, S, dim), jnp.float32)
+        p = make_params(jax.random.PRNGKey(42), dim, inner, nh)
+        want = _vil_conv_composite(
+            x, p["nrm"], p["wu"], p["bu"], p["wc"], p["bc"], p["wq"],
+            p["wk"], p["wv"], p["bq"], p["bk"], p["bv"], p["wgi"], p["bgi"],
+            p["wgf"], p["bgf"], p["nsc"], p["nbi"], p["skip"], p["wd"],
+            p["bd"], nh, H, W, cs, igate, 1e-6, 1e-3, 1e-6)
+        if layout is None:
+            got = mlstm_vil_layer_conv_fused_pallas(
+                x, p["nrm"], p["wu"], p["bu"], p["wc"], p["bc"], p["wq"],
+                p["bq"], p["wk"], p["bk"], p["wv"], p["bv"], p["wgi"],
+                p["bgi"], p["wgf"], p["bgf"], p["nsc"], p["nbi"], p["skip"],
+                p["wd"], p["bd"], nh, (H, W), chunk_size=cs,
+                igate_act=igate, interpret=True, mxu_dtype="float32")
+        else:  # exercise the multi-segment head/tail halo DMA arms
+            csr = max(128, (min(cs, S) // 128) * 128)
+            pad = (-S) % csr
+            xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+            got = _vil_conv_impl(
+                xp, p["nrm"].reshape(1, dim), p["wu"][:, :inner],
+                p["bu"][:inner].reshape(1, inner), p["wu"][:, inner:].T,
+                p["bu"][inner:].reshape(inner, 1), p["wc"].reshape(9, inner),
+                p["bc"].reshape(1, inner),
+                jsl.block_diag(*p["wq"]), jsl.block_diag(*p["wk"]),
+                jsl.block_diag(*p["wv"]), p["bq"].reshape(inner, 1),
+                p["bk"].reshape(inner, 1), p["bv"].reshape(inner, 1),
+                p["wgi"], p["bgi"].reshape(nh, 1), p["wgf"],
+                p["bgf"].reshape(nh, 1), p["nsc"].reshape(inner, 1),
+                p["nbi"].reshape(inner, 1), p["skip"].reshape(inner, 1),
+                p["wd"], p["bd"].reshape(1, dim),
+                nh, W, S, csr, igate, 1e-6, 1e-3, 1e-6, interpret=True,
+                mxu_dtype="float32", layout=layout)[:, :S]
+        rel = float(jnp.max(jnp.abs(got - want))) / (
+            float(jnp.max(jnp.abs(want))) + 1e-9)
+        assert rel < 2e-5, f"v4 parity {rel=} at B{B} H{H}xW{W} {igate}"
+
+    run_case(2, 8, 8, 16, 32, 2, "exp")                    # NSEG=1, pad
+    run_case(2, 16, 16, 16, 32, 2, "exp", layout=(2, 2))   # head/tail DMA
+    run_case(1, 16, 24, 16, 32, 2, "sigmoid", layout=(1, 3))
+
+
+def test_vil_conv_fused_gradients_match_composite():
+    """v4 custom_vjp backward (recompute through the conv composite) must
+    equal autodiff of the composite."""
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import (
+        _vil_conv_composite, mlstm_vil_layer_conv_fused_pallas)
+
+    B, H, W, NH, DH, DIM = 1, 8, 8, 2, 8, 8
+    INNER = NH * DH
+    rng = np.random.default_rng(5)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    names = ["x", "nrm", "wu", "bu", "wc", "bc", "wq", "wk", "wv", "bq",
+             "bk", "bv", "wgi", "bgi", "wgf", "bgf", "nsc", "nbi", "skip",
+             "wd", "bd"]
+    a = dict(x=mk(B, H * W, DIM), nrm=1.0 + mk(DIM) * 0.2,
+             wu=mk(DIM, 2 * INNER) * 0.3, bu=mk(2 * INNER) * 0.1,
+             wc=mk(3, 3, 1, INNER) * 0.3, bc=mk(INNER) * 0.1,
+             wq=mk(NH, DH, DH) * 0.3, wk=mk(NH, DH, DH) * 0.3,
+             wv=mk(NH, DH, DH) * 0.3, bq=mk(INNER) * 0.1,
+             bk=mk(INNER) * 0.1, bv=mk(INNER) * 0.1,
+             wgi=mk(3 * INNER, NH) * 0.05, bgi=jnp.full((NH,), -8.0),
+             wgf=mk(3 * INNER, NH) * 0.05, bgf=jnp.full((NH,), 4.0),
+             nsc=1.0 + mk(INNER) * 0.2, nbi=mk(INNER) * 0.1,
+             skip=1.0 + mk(INNER) * 0.1, wd=mk(INNER, DIM) * 0.2,
+             bd=mk(DIM) * 0.1)
+    args = [a[n] for n in names]
+
+    def loss_fused(*t):
+        kw = dict(zip(names, t))
+        out = mlstm_vil_layer_conv_fused_pallas(
+            kw["x"], kw["nrm"], kw["wu"], kw["bu"], kw["wc"], kw["bc"],
+            kw["wq"], kw["bq"], kw["wk"], kw["bk"], kw["wv"], kw["bv"],
+            kw["wgi"], kw["bgi"], kw["wgf"], kw["bgf"], kw["nsc"],
+            kw["nbi"], kw["skip"], kw["wd"], kw["bd"], NH, (H, W),
+            chunk_size=64, interpret=True, mxu_dtype="float32")
+        return jnp.sum(out ** 2)
+
+    def loss_comp(*t):
+        kw = dict(zip(names, t))
+        out = _vil_conv_composite(
+            kw["x"], kw["nrm"], kw["wu"], kw["bu"], kw["wc"], kw["bc"],
+            kw["wq"], kw["wk"], kw["wv"], kw["bq"], kw["bk"], kw["bv"],
+            kw["wgi"], kw["bgi"], kw["wgf"], kw["bgf"], kw["nsc"],
+            kw["nbi"], kw["skip"], kw["wd"], kw["bd"], NH, H, W, 64,
+            "exp", 1e-6, 1e-3, 1e-6)
+        return jnp.sum(out ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    gc = jax.grad(loss_comp, argnums=tuple(range(len(args))))(*args)
+    for n, xg, yg in zip(names, gf, gc):
+        np.testing.assert_allclose(np.asarray(xg), np.asarray(yg),
+                                   rtol=2e-3, atol=2e-3, err_msg=n)

@@ -1427,3 +1427,485 @@ def mlstm_vil_layer_fused_pallas(
                      num_heads, cs, igate_act, eps, norm_eps, rms_eps,
                      bool(interpret), mxu_dtype)
     return out[:, :S] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# v4: conv-in-kernel — the ViLLayer INCLUDING the depthwise SequenceConv2d in
+# one program; only x is streamed.
+# ---------------------------------------------------------------------------
+
+def _kernel_vil_conv(x_hbm, nrm_ref, wum_ref, bum_ref, wuzt_ref, buz_ref,
+                     wc_ref, bc_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                     bv_ref, wgi_ref, bgi_ref, wgf_ref, bgf_ref, nsc_ref,
+                     nbi_ref, skip_ref, wd_ref, bd_ref, out_ref,
+                     xwin, xmwin, c_scr, n_scr, m_scr, sems, *,
+                     bb, nh, ns, cs, dh, inner, dim, dim_out, seg, halo,
+                     wgrid, s_real, nseg, igate_act, eps, norm_eps, rms_eps,
+                     mxu):
+    """ViLLayer forward including the 3x3 depthwise conv.
+
+    Window discipline: ``xwin`` (BB, SEG + 2*HALO, DIM) holds the segment
+    plus HALO rows of context each side, DMA'd straight from HBM (the x
+    input lives in ANY space — no BlockSpec stream for x). HALO is the
+    conv's sequence-space reach (W+1 for a 3x3 on a W-wide token grid)
+    rounded up to the sublane tile (8) because Mosaic requires HBM DMA
+    slices 8-aligned. Boundary segments zero-fill the missing side.
+
+    The conv runs on ``xmwin`` = masked(RMSNorm(xwin) @ Wu_xm + bu): 9
+    shifted multiply-adds in VMEM with column masks for the w-edges (the
+    row edges come out of the zero fill + the xm position mask). The xm
+    mask ALSO zeroes positions outside [0, s_real): padded x rows are zero
+    but xm(0) = bias, and the reference conv zero-pads its INPUT, so the
+    mask is what makes in-kernel padding match ``nn.Conv``'s.
+    """
+    g = bb * nh
+    win = seg + 2 * halo
+    b, t = pl.program_id(0), pl.program_id(1)
+
+    t_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    causal_t = t_i <= s_i
+    cum_mat = causal_t.astype(jnp.float32)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (g, 1, cs), 2)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (inner, inner), 1)
+    ident = (r_i == c_i).astype(mxu)
+
+    @pl.when(t == 0)
+    def _reset():
+        c_scr[:] = jnp.zeros((g, dh, dh), jnp.float32)
+        n_scr[:] = jnp.zeros((g, dh, 1), jnp.float32)
+        m_scr[:] = jnp.zeros((g, 1, 1), jnp.float32)
+
+    # --- window DMA: [head halo | segment | tail halo], per batch row ---
+    def _cp(i, src, dst, length, slot):
+        src = pl.multiple_of(src, 8)   # seg/halo are 8-aligned by design
+        return pltpu.make_async_copy(
+            x_hbm.at[b * bb + i, pl.ds(src, length)],
+            xwin.at[i, pl.ds(dst, length)], sems.at[slot, i])
+
+    for i in range(bb):
+        _cp(i, t * seg, halo, seg, 0).start()
+
+    @pl.when(t > 0)
+    def _head_cp():
+        for i in range(bb):
+            _cp(i, t * seg - halo, 0, halo, 1).start()
+
+    @pl.when(t == 0)
+    def _head_zero():
+        xwin[:, pl.ds(0, halo), :] = jnp.zeros((bb, halo, dim), xwin.dtype)
+
+    @pl.when(t < nseg - 1)
+    def _tail_cp():
+        for i in range(bb):
+            _cp(i, (t + 1) * seg, halo + seg, halo, 2).start()
+
+    @pl.when(t == nseg - 1)
+    def _tail_zero():
+        xwin[:, pl.ds(halo + seg, halo), :] = jnp.zeros((bb, halo, dim),
+                                                        xwin.dtype)
+
+    for i in range(bb):
+        _cp(i, t * seg, halo, seg, 0).wait()
+
+    @pl.when(t > 0)
+    def _head_wait():
+        for i in range(bb):
+            _cp(i, t * seg - halo, 0, halo, 1).wait()
+
+    @pl.when(t < nseg - 1)
+    def _tail_wait():
+        for i in range(bb):
+            _cp(i, (t + 1) * seg, halo + seg, halo, 2).wait()
+
+    # --- xm over the whole window (per batch row, bounds the fp32 temps) ---
+    nrm32 = nrm_ref[...].astype(jnp.float32)       # (1, DIM)
+    bum32 = bum_ref[...].astype(jnp.float32)       # (1, INNER)
+    posw = (t * seg - halo
+            + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0))
+    vmask = (posw >= 0) & (posw < s_real)
+    for i in range(bb):
+        xf = xwin[i].astype(jnp.float32)           # (WIN, DIM)
+        # sum/dim_out, not mean: DIM may be lane-padded with zeros
+        msq = jnp.sum(xf * xf, axis=1, keepdims=True) / dim_out
+        xn = xf * jax.lax.rsqrt(msq + rms_eps) * nrm32
+        xm = jax.lax.dot_general(
+            xn.astype(mxu), wum_ref[...].astype(mxu),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bum32
+        xmwin[i] = jnp.where(vmask, xm, 0.0).astype(xmwin.dtype)
+
+    def nt_dot(w, x):
+        return jax.lax.dot_general(
+            w.astype(mxu), x.astype(mxu), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def tn_dot(w, x):
+        return jax.lax.dot_general(
+            w.astype(mxu), x.astype(mxu), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    wc32 = wc_ref[...].astype(jnp.float32)         # (9, INNER)
+    bc32 = bc_ref[...].astype(jnp.float32)         # (1, INNER)
+
+    def chunk_body(j, _):
+        lbase = halo + j * cs
+        x_c = xwin[:, pl.ds(lbase, cs), :]          # (BB, CS, DIM)
+        xflat = x_c.reshape(bb * cs, dim).astype(jnp.float32)
+
+        # z half of proj_up, transposed on-chip (as v3)
+        msq = jnp.sum(xflat * xflat, axis=1, keepdims=True) / dim_out
+        xn = xflat * jax.lax.rsqrt(msq + rms_eps) * nrm32
+        zT = nt_dot(wuzt_ref[...], xn) + buz_ref[...].astype(jnp.float32)
+
+        xmf = xmwin[:, pl.ds(lbase, cs), :].reshape(
+            bb * cs, inner).astype(jnp.float32)
+
+        # depthwise 3x3 as 9 shifted FMAs with w-edge column masks. Mosaic
+        # requires dynamic VMEM slice starts 8-aligned on the sublane dim,
+        # so per conv row load ONE aligned (BB, CS+16, INNER) slab (lbase is
+        # 8-aligned; d is a static floor8 of the row offset) and take the
+        # three kw taps as static sub-slices of the loaded value.
+        pos0 = t * seg + j * cs
+        lpos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (1, cs, 1), 1)
+        wcoord = jax.lax.rem(lpos, wgrid)
+        acc = jnp.broadcast_to(bc32.reshape(1, 1, inner),
+                               (bb, cs, inner)).astype(jnp.float32)
+        for kh in range(3):
+            off_row = (kh - 1) * wgrid
+            d = ((off_row - 1) // 8) * 8
+            slab = xmwin[:, pl.ds(lbase + d, cs + 16), :]
+            for kw in range(3):
+                rel = off_row + (kw - 1) - d       # static, in [0, 16)
+                sl = slab[:, rel:rel + cs, :].astype(jnp.float32)
+                term = sl * wc32[kh * 3 + kw].reshape(1, 1, inner)
+                if kw == 0:
+                    term = jnp.where(wcoord >= 1, term, 0.0)
+                elif kw == 2:
+                    term = jnp.where(wcoord <= wgrid - 2, term, 0.0)
+                acc = acc + term
+        cv = acc * jax.nn.sigmoid(acc)              # SiLU, fp32
+        cvf = cv.reshape(bb * cs, inner)
+
+        bq = bq_ref[...].astype(jnp.float32)
+        bk = bk_ref[...].astype(jnp.float32)
+        bv = bv_ref[...].astype(jnp.float32)
+        wgi = wgi_ref[...]
+        wgf = wgf_ref[...]
+        bgi = bgi_ref[...].astype(jnp.float32)
+        bgf = bgf_ref[...].astype(jnp.float32)
+
+        qf_all = nt_dot(wq_ref[...], cvf) + bq
+        kf_all = nt_dot(wk_ref[...], cvf) + bk
+        vf_all = jax.lax.dot_general(
+            wv_ref[...].astype(mxu), xmf.astype(mxu),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bv
+        gi_all = (tn_dot(wgi[:inner], qf_all)
+                  + tn_dot(wgi[inner:2 * inner], kf_all)
+                  + tn_dot(wgi[2 * inner:], vf_all) + bgi)
+        gf_all = (tn_dot(wgf[:inner], qf_all)
+                  + tn_dot(wgf[inner:2 * inner], kf_all)
+                  + tn_dot(wgf[2 * inner:], vf_all) + bgf)
+        cT_all = nt_dot(ident, cvf)
+
+        qt = jnp.stack([qf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs) * (dh**-0.5)
+        kt = jnp.stack([kf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs)
+        vt = jnp.stack([vf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                       ).reshape(g, dh, cs)
+        i_pre = jnp.stack([gi_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                          ).reshape(g, 1, cs)
+        f_pre = jnp.stack([gf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                          ).reshape(g, 1, cs)
+
+        hT, c_new, n_new, m_new = _chunk_math(
+            qt, kt, vt, i_pre, f_pre, c_scr[:], n_scr[:], m_scr[:],
+            g=g, cs=cs, dh=dh, igate_act=igate_act, eps=eps, mxu=mxu,
+            causal_t=causal_t, cum_mat=cum_mat, lane_ids=lane_ids)
+        c_scr[:] = c_new
+        n_scr[:] = n_new
+        m_scr[:] = m_new
+
+        mu = jnp.mean(hT, axis=1, keepdims=True)
+        var = jnp.mean((hT - mu) ** 2, axis=1, keepdims=True)
+        hn = (hT - mu) * jax.lax.rsqrt(var + norm_eps)
+
+        nsc = nsc_ref[...].astype(jnp.float32)
+        nbi = nbi_ref[...].astype(jnp.float32)
+        skip = skip_ref[...].astype(jnp.float32)
+        wd = wd_ref[...]
+        bd = bd_ref[...].astype(jnp.float32)
+
+        outs = []
+        for bi in range(bb):
+            y = hn[bi * nh:(bi + 1) * nh].reshape(inner, cs)
+            y = y * nsc + nbi
+            cT = cT_all[:, bi * cs:(bi + 1) * cs]
+            zTb = zT[:, bi * cs:(bi + 1) * cs]
+            y = (y + skip * cT) * (zTb * jax.nn.sigmoid(zTb))
+            o = jax.lax.dot_general(y.astype(mxu), wd.astype(mxu),
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            outs.append(o + bd)
+        out = jnp.stack(outs)  # (BB, CS, DIM_OUT)
+        res = x_c[:, :, :dim_out] if dim != dim_out else x_c
+        out_ref[:, pl.ds(j * cs, cs), :] = (
+            out + res.astype(jnp.float32)).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns, chunk_body, 0)
+
+
+def _pick_layout_conv(b: int, nh: int, s_pad: int, cs: int, dh: int,
+                      inner: int, dim: int, halo: int, in_bytes: int) -> tuple:
+    """(BB, NSEG) for the conv-fused kernel: streams NOTHING through
+    BlockSpec but the (BB, SEG, DIM) out blocks; x arrives via window DMA
+    (BB, SEG + 2*HALO, DIM) and xm is materialized over the window at
+    input precision. Same empirical 15.3M budget as the other pickers."""
+    budget = 15_300_000
+    ns_total = s_pad // cs
+    bb = max(1, min(b, 32 // nh))
+    while b % bb:
+        bb -= 1
+    w_bytes = ((3 * inner * inner + 3 * inner * dim + 6 * inner * nh
+                + 9 * inner) * in_bytes + 4 * cs * cs * 4)
+    while bb >= 1:
+        g = bb * nh
+        for nseg in range(1, ns_total + 1):
+            if ns_total % nseg:
+                continue
+            seg = s_pad // nseg
+            if nseg > 1 and seg < halo:
+                continue  # head DMA at t=1 would start before row 0
+            win = seg + 2 * halo
+            xw = bb * win * dim * in_bytes
+            xmw = bb * win * inner * in_bytes
+            row_tmp = 2 * win * max(inner, dim) * 4
+            chunk_tmp = (4 * g * dh * cs + 3 * g * dh * dh
+                         + 3 * bb * cs * inner + 4 * inner * bb * cs
+                         + 2 * bb * cs * dim) * 4
+            stream = 2 * bb * seg * dim * in_bytes
+            if xw + xmw + row_tmp + chunk_tmp + stream + w_bytes <= budget:
+                return (bb, nseg)
+        nb = bb - 1
+        while nb > 1 and b % nb:
+            nb -= 1
+        bb = nb if nb != bb else bb - 1
+    return (1, ns_total)
+
+
+def _vil_conv_impl(x, nrm, wum, bum, wuzt, buz, wc, bc, wq_bd, wk_bd, wv_bd,
+                   bq, bk, bv, wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd,
+                   nh, wgrid, s_real, chunk_size, igate_act, eps, norm_eps,
+                   rms_eps, interpret=False, mxu_dtype="bfloat16",
+                   layout=None):
+    B, S_pad, DIM = x.shape
+    INNER = wum.shape[-1]
+    dh = INNER // nh
+    CS = chunk_size
+    assert S_pad % CS == 0
+    # The manual window DMA slices dim 1 of the HBM x, which Mosaic only
+    # allows when the lane dim is a whole number of 128-lane tiles. HBM
+    # stores the array lane-padded anyway, so pad x (and the DIM-sided
+    # weights) explicitly — zero extra true bytes — and keep out at DIM.
+    DIM_OUT = DIM
+    if DIM % 128:
+        DIMP = ((DIM + 127) // 128) * 128
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, DIMP - DIM)))
+        nrm = jnp.pad(nrm.reshape(1, -1), ((0, 0), (0, DIMP - DIM)))
+        wum = jnp.pad(wum, ((0, DIMP - DIM), (0, 0)))
+        wuzt = jnp.pad(wuzt, ((0, 0), (0, DIMP - DIM)))
+        DIM = DIMP
+    # conv reach, 8-aligned for HBM DMA, +8 slack so the per-row aligned
+    # tap slabs (cs+16 rows from lbase+floor8(off_row-1)) stay in-window
+    halo = ((wgrid + 1 + 7) // 8) * 8 + 8
+    BB, NSEG = layout or _pick_layout_conv(B, nh, S_pad, CS, dh, INNER, DIM,
+                                           halo, x.dtype.itemsize)
+    SEG = S_pad // NSEG
+    WIN = SEG + 2 * halo
+    G = BB * nh
+    mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
+
+    out_spec = pl.BlockSpec((BB, SEG, DIM_OUT), lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+    row = lambda r, c: pl.BlockSpec((r, c), lambda b, t: (0, 0),
+                                    memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_vil_conv, bb=BB, nh=nh, ns=SEG // CS,
+                          cs=CS, dh=dh, inner=INNER, dim=DIM,
+                          dim_out=DIM_OUT, seg=SEG,
+                          halo=halo, wgrid=wgrid, s_real=s_real, nseg=NSEG,
+                          igate_act=igate_act, eps=eps, norm_eps=norm_eps,
+                          rms_eps=rms_eps, mxu=mxu),
+        grid=(B // BB, NSEG),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  row(1, DIM), row(DIM, INNER), row(1, INNER),
+                  row(INNER, DIM), row(INNER, 1), row(9, INNER),
+                  row(1, INNER), row(INNER, INNER), row(INNER, INNER),
+                  row(INNER, INNER), row(INNER, 1), row(INNER, 1),
+                  row(INNER, 1), row(3 * INNER, nh), row(nh, 1),
+                  row(3 * INNER, nh), row(nh, 1), row(INNER, 1),
+                  row(INNER, 1), row(INNER, 1), row(INNER, DIM_OUT),
+                  row(1, DIM_OUT)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, DIM_OUT), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BB, WIN, DIM), x.dtype),
+            pltpu.VMEM((BB, WIN, INNER), x.dtype),
+            pltpu.VMEM((G, dh, dh), jnp.float32),
+            pltpu.VMEM((G, dh, 1), jnp.float32),
+            pltpu.VMEM((G, 1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, BB)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S_pad * (7 * INNER * INNER + 3 * INNER * DIM
+                                   + 9 * INNER
+                                   + nh * (2 * CS * dh + 2 * dh * dh)),
+            bytes_accessed=B * S_pad * 2 * DIM * x.dtype.itemsize,
+            transcendentals=B * nh * S_pad * (CS + 4),
+        ),
+        interpret=interpret,
+    )(x, nrm, wum, bum, wuzt, buz, wc, bc, wq_bd, wk_bd, wv_bd, bq, bk, bv,
+      wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd)
+
+
+def _vil_conv_composite(x, nrm, wu, bu, wc, bc, wq, wk, wv, bq, bk, bv, wgi,
+                        bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh, hgrid,
+                        wgrid, chunk_size, igate_act, eps, norm_eps, rms_eps):
+    """Unfused reference for the conv-fused entry: RMSNorm + proj_up + the
+    depthwise 3x3 (XLA conv, zero-padded, mirroring SequenceConv2d) feeding
+    the v3 composite."""
+    B, S, _ = x.shape
+    inner = wu.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                            + rms_eps)
+    xn = (xn * nrm.astype(jnp.float32)).astype(x.dtype)
+    xm = jnp.dot(xn, wu[:, :inner].astype(x.dtype)) + bu[:inner].astype(x.dtype)
+    img = xm.reshape(B, hgrid, wgrid, inner)
+    cv = jax.lax.conv_general_dilated(
+        img, wc.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=inner) + bc.astype(x.dtype)
+    conv_act = jax.nn.silu(cv).reshape(B, S, inner)
+    return _vil_layer_composite(
+        x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf,
+        bgf, nsc, nbi, skip, wd, bd, nh, min(chunk_size, S), igate_act,
+        eps, norm_eps, rms_eps)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(21, 22, 23, 24, 25, 26, 27, 28, 29, 30))
+def _vil_conv(x, nrm, wu, bu, wc, bc, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf,
+              bgf, nsc, nbi, skip, wd, bd, nh, hgrid, wgrid, chunk_size,
+              igate_act, eps, norm_eps, rms_eps, interpret, mxu_dtype):
+    import jax.scipy.linalg as jsl
+
+    dt = x.dtype
+    dim = x.shape[-1]
+    inner = wu.shape[-1] // 2
+    S = x.shape[1]
+    cs = max(128, (min(chunk_size, S) // 128) * 128)
+    pad = (-S) % cs
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    out = _vil_conv_impl(
+        xp, nrm.reshape(1, dim).astype(dt),
+        wu[:, :inner].astype(dt), bu[:inner].reshape(1, inner).astype(dt),
+        wu[:, inner:].T.astype(dt), bu[inner:].reshape(inner, 1).astype(dt),
+        wc.reshape(9, inner).astype(dt), bc.reshape(1, inner).astype(dt),
+        jsl.block_diag(*wq).astype(dt), jsl.block_diag(*wk).astype(dt),
+        jsl.block_diag(*wv).astype(dt),
+        bq.reshape(inner, 1).astype(dt), bk.reshape(inner, 1).astype(dt),
+        bv.reshape(inner, 1).astype(dt),
+        wgi.astype(dt), bgi.reshape(nh, 1).astype(jnp.float32),
+        wgf.astype(dt), bgf.reshape(nh, 1).astype(jnp.float32),
+        nsc.reshape(inner, 1).astype(jnp.float32),
+        nbi.reshape(inner, 1).astype(jnp.float32),
+        skip.reshape(inner, 1).astype(jnp.float32),
+        wd.astype(dt), bd.reshape(1, dim).astype(jnp.float32),
+        nh, wgrid, S, cs, igate_act, eps, norm_eps, rms_eps, interpret,
+        mxu_dtype)
+    return out[:, :S] if pad else out
+
+
+def _vil_conv_fwd(x, nrm, wu, bu, wc, bc, wq, wk, wv, bq, bk, bv, wgi, bgi,
+                  wgf, bgf, nsc, nbi, skip, wd, bd, nh, hgrid, wgrid,
+                  chunk_size, igate_act, eps, norm_eps, rms_eps, interpret,
+                  mxu_dtype):
+    out = _vil_conv(x, nrm, wu, bu, wc, bc, wq, wk, wv, bq, bk, bv, wgi,
+                    bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh, hgrid, wgrid,
+                    chunk_size, igate_act, eps, norm_eps, rms_eps, interpret,
+                    mxu_dtype)
+    return out, (x, nrm, wu, bu, wc, bc, wq, wk, wv, bq, bk, bv, wgi, bgi,
+                 wgf, bgf, nsc, nbi, skip, wd, bd)
+
+
+def _vil_conv_bwd(nh, hgrid, wgrid, chunk_size, igate_act, eps, norm_eps,
+                  rms_eps, interpret, mxu_dtype, res, gout):
+    fn = lambda *args: _vil_conv_composite(*args, nh, hgrid, wgrid,
+                                           chunk_size, igate_act, eps,
+                                           norm_eps, rms_eps)
+    _, vjp = jax.vjp(fn, *res)
+    return vjp(gout)
+
+
+_vil_conv.defvjp(_vil_conv_fwd, _vil_conv_bwd)
+
+
+def mlstm_vil_layer_conv_fused_pallas(
+    x: jnp.ndarray,
+    rms_scale: jnp.ndarray,
+    wu: jnp.ndarray, bu: jnp.ndarray,
+    wc: jnp.ndarray, bc: jnp.ndarray,
+    wq: jnp.ndarray, bq: jnp.ndarray,
+    wk: jnp.ndarray, bk: jnp.ndarray,
+    wv: jnp.ndarray, bv: jnp.ndarray,
+    wgi: jnp.ndarray, bgi: jnp.ndarray,
+    wgf: jnp.ndarray, bgf: jnp.ndarray,
+    nscale: jnp.ndarray, nbias: jnp.ndarray,
+    skip: jnp.ndarray,
+    wd: jnp.ndarray, bd: jnp.ndarray,
+    num_heads: int,
+    seqlens: tuple,
+    chunk_size: int = 64,
+    igate_act: str = "exp",
+    eps: float = 1e-6,
+    norm_eps: float = 1e-3,
+    rms_eps: float = 1e-6,
+    interpret: bool | None = None,
+    mxu_dtype: str = "bfloat16",
+) -> jnp.ndarray:
+    """The whole ViLLayer INCLUDING the depthwise SequenceConv2d in one
+    kernel (v4). x (B, S, DIM) is the only activation that touches HBM in
+    either direction: per grid step a (SEG + 2*HALO)-row window of x is
+    DMA'd in, xm = RMSNorm(x) @ Wu_xm is materialized over the window, the
+    3x3 depthwise conv runs as 9 shifted FMAs in VMEM, and the v3 math
+    follows. ``wc`` is the flax HWIO depthwise kernel (3, 3, 1, INNER);
+    ``seqlens`` the (H, W) token grid. Cuts the layer's HBM traffic from
+    ~4 INNER + 3 DIM planes (v3 + its XLA conv stage) to ~2.3 DIM planes.
+
+    Measured on v5e at ViL-YOLO-n flagship shapes (b128, bf16, cs128):
+    P3 10.44 ms vs v3 9.24, P4 5.74 vs 5.50, P5 4.19 vs 4.16 — v4 LOSES
+    to v3 everywhere because the window DMA is not pipelined across grid
+    steps and the 9-tap fp32 VPU conv costs more than XLA's fused conv.
+    Kept as a parity-verified alternative (single-kernel deployments,
+    future double-buffered window rework); `nn/vil.py` stays on v3."""
+    hgrid, wgrid = seqlens
+    B, S, DIM = x.shape
+    assert hgrid * wgrid == S
+    if jax.default_backend() != "tpu" and not interpret:
+        return _vil_conv_composite(
+            x, rms_scale, wu, bu, wc, bc, wq, wk, wv, bq, bk, bv, wgi, bgi,
+            wgf, bgf, nscale, nbias, skip, wd, bd, num_heads,
+            hgrid, wgrid, chunk_size, igate_act, eps, norm_eps, rms_eps)
+    return _vil_conv(x, rms_scale, wu, bu, wc, bc, wq, wk, wv, bq, bk, bv,
+                     wgi, bgi, wgf, bgf, nscale, nbias, skip, wd, bd,
+                     num_heads, hgrid, wgrid, chunk_size, igate_act, eps,
+                     norm_eps, rms_eps, bool(interpret), mxu_dtype)
