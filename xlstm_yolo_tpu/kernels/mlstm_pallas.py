@@ -1664,8 +1664,17 @@ def _pick_layout_conv(b: int, nh: int, s_pad: int, cs: int, dh: int,
     """(BB, NSEG) for the conv-fused kernel: streams NOTHING through
     BlockSpec but the (BB, SEG, DIM) out blocks; x arrives via window DMA
     (BB, SEG + 2*HALO, DIM) and xm is materialized over the window at
-    input precision. Same empirical 15.3M budget as the other pickers."""
-    budget = 15_300_000
+    input precision.
+
+    Unlike the streaming kernels (whose DMA rate is flat in block size, so
+    the default 16M Mosaic budget is fine), the window kernel's HBM traffic
+    scales with (SEG + 2*HALO)/SEG — at ViL-P3 (halo 96) the old 15.3M
+    budget forced small segments and a >2x read amplification. A large
+    budget (paired with vmem_limit_bytes below) drives the amplification
+    toward 1.0. Measured effect is real but modest (P3 layer 11.05 ->
+    10.80 ms, same harness as the v3 layer's 11.19): the kernel is bound
+    by its serialized window DMA + VPU conv, not amplification."""
+    budget = 85_000_000
     ns_total = s_pad // cs
     bb = max(1, min(b, 32 // nh))
     while b % bb:
@@ -1763,6 +1772,9 @@ def _vil_conv_impl(x, nrm, wum, bum, wuzt, buz, wc, bc, wq_bd, wk_bd, wv_bd,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # the windowed layout intentionally exceeds Mosaic's 16M default
+            # scoped-vmem cap (v5e has 128M physical); see _pick_layout_conv
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * S_pad * (7 * INNER * INNER + 3 * INNER * DIM
@@ -1891,12 +1903,15 @@ def mlstm_vil_layer_conv_fused_pallas(
     ``seqlens`` the (H, W) token grid. Cuts the layer's HBM traffic from
     ~4 INNER + 3 DIM planes (v3 + its XLA conv stage) to ~2.3 DIM planes.
 
-    Measured on v5e at ViL-YOLO-n flagship shapes (b128, bf16, cs128):
-    P3 10.44 ms vs v3 9.24, P4 5.74 vs 5.50, P5 4.19 vs 4.16 — v4 LOSES
-    to v3 everywhere because the window DMA is not pipelined across grid
-    steps and the 9-tap fp32 VPU conv costs more than XLA's fused conv.
-    Kept as a parity-verified alternative (single-kernel deployments,
-    future double-buffered window rework); `nn/vil.py` stays on v3."""
+    Measured on v5e at ViL-YOLO-n flagship shapes (b128, bf16, cs128),
+    15.3M-budget layout: P3 10.44 ms vs v3 9.24, P4 5.74 vs 5.50, P5 4.19
+    vs 4.16 — v4 lost to v3 everywhere because the window DMA is not
+    pipelined across grid steps and the 9-tap fp32 VPU conv costs more
+    than XLA's fused conv. With the 85M-budget layout (amplification
+    ~1.06) it is a wash (loop-carried single-layer harness: v4 10.80 vs
+    v3-layer 11.19 at P3). Kept as a parity-verified alternative
+    (single-kernel deployments, future double-buffered window rework);
+    `nn/vil.py` stays on v3."""
     hgrid, wgrid = seqlens
     B, S, DIM = x.shape
     assert hgrid * wgrid == S
