@@ -45,6 +45,26 @@ activation planes runs ~100-130 GB/s at these block shapes regardless of
 ~free; chunk math adds ~28%. Hence v3: stream only x + conv_act and
 recompute everything else on-chip.
 
+Round-2 follow-up ablations (all measured on the assigned v5e, loop-carried
+single-layer harness; kept as the engineering record for future rounds):
+  * DMA and compute DO NOT OVERLAP on this part, at all: kernel time is
+    exactly io + compute for every variant tested — the BlockSpec pipeline
+    (default double buffering; buffer_count>2 and use_lookahead are
+    rejected by the XLA pipeline emitter), AND a fully manual ping-pong
+    make_async_copy pipeline (prefetch t+1 issued before compute of t)
+    measured additive to the nanosecond (copy 3.76 ms + 3.74 ms of chained
+    dots = 7.75 ms observed). Design rule here: minimize bytes + flops,
+    not max(bytes, flops).
+  * Streaming rate is flat in block size: 1-26 MB blocks all run ~170 GB/s
+    single-stream, ~150 GB/s effective for the 3-stream mix (99 GB/s on
+    nominal bytes at P3 — DIM=64 planes are lane-padded to 128 in HBM, so
+    the x/out streams physically move 2x their nominal bytes).
+  * Dot-restructure attempt ("v5": gate weights folded into the cv/xm
+    projections, batched b-cumsum, merged intra+inter dots, single output
+    GEMM, per-g operands sliced instead of stacked): 8.8 ms vs v3's 7.95 —
+    the per-g slice/concat relayouts cost more than the dots they save;
+    v3's stack-once layout stands.
+
 Layout studies (measured on-chip, kept for the record — git history has the
 implementations):
   * activation-natural I/O with in-kernel (CS, G*DH) XLU transposes:
