@@ -76,8 +76,12 @@ def test_vil_fused_gradients_match_composite():
             mk(3 * INNER, NH) * 0.05, jnp.full((NH,), 4.0))
 
     def loss_fused(ca, xm, wq, bq, wk, bk, wv, bv, wgi, bgi, wgf, bgf):
+        # interpret=True forces the real Pallas custom_vjp path on CPU —
+        # without it the wrapper falls back to the composite and this test
+        # would compare the composite against itself
         h = mlstm_vil_fused_pallas(ca, xm, wq, bq, wk, bk, wv, bv,
-                                   wgi, bgi, wgf, bgf, NH, chunk_size=64)
+                                   wgi, bgi, wgf, bgf, NH, chunk_size=64,
+                                   interpret=True, mxu_dtype="float32")
         return jnp.sum(h ** 2)
 
     def loss_ref(ca, xm, wq, bq, wk, bk, wv, bv, wgi, bgi, wgf, bgf):

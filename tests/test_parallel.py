@@ -103,6 +103,9 @@ def test_tp_sp_multistep_training_matches_single_device():
     # compound through SGD momentum + TAL re-assignment across steps:
     # measured 5.5e-4 relative after 3 steps, trajectory identical
     np.testing.assert_allclose(got, ref, rtol=2e-3)
+
+
+def test_sequence_parallel_mlstm():
     """sp-sharded chunkwise mLSTM must match the single-shard result."""
     from xlstm_yolo_tpu.kernels.mlstm_native import mlstm_chunkwise
     from xlstm_yolo_tpu.kernels.mlstm_sp import mlstm_chunkwise_sp

@@ -483,8 +483,21 @@ class Loader:
         nb = len(idxs) // self.bs if self.drop_last else math.ceil(len(idxs) / self.bs)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
 
         use_native = (not self.ds.augment) and self.ds.task == "detect"
+
+        def _put(item) -> bool:
+            # bounded put that re-checks the stop flag: an abandoned iterator
+            # (consumer broke out early) must not leave this thread blocked
+            # on a full queue holding dataset references forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # any producer exception must reach the consumer — a silently
@@ -492,27 +505,33 @@ class Loader:
             # SIGTERM-proof hang in the world-trainer test)
             try:
                 for b in range(nb):
+                    if stop.is_set():
+                        return
                     batch_idx = idxs[b * self.bs : (b + 1) * self.bs]
                     batch = self.ds.collate_native(batch_idx) if use_native else None
                     if batch is None:
                         samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
                         batch = self.ds.collate(samples, batch_idx)
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-                q.put(e)
+                _put(e)
                 return
-            q.put(None)
+            _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        self.epoch += 1
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            self.epoch += 1
+        finally:
+            stop.set()
 
 
 def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 16,

@@ -50,8 +50,10 @@ class Boxes(BaseNP):
     def __init__(self, data: np.ndarray, orig_shape: tuple):
         data = np.asarray(data, np.float32)
         if data.ndim == 1:
-            data = data[None]
-        data = data.reshape(-1, data.shape[-1] if data.size else 6)
+            data = data.reshape(-1, data.shape[0] if data.size else 6)
+        # keep the column count of empty (0, 7) track frames — collapsing to
+        # 6 would flip is_track off exactly on frames with no detections
+        data = data.reshape(-1, data.shape[-1])
         assert data.shape[-1] in (6, 7), f"expected 6 or 7 cols, got {data.shape}"
         super().__init__(data, orig_shape)
         self.is_track = data.shape[-1] == 7
@@ -201,8 +203,9 @@ class OBB(BaseNP):
     def __init__(self, data, orig_shape):
         data = np.asarray(data, np.float32)
         if data.ndim == 1:
-            data = data[None]
-        data = data.reshape(-1, data.shape[-1] if data.size else 7)
+            data = data.reshape(-1, data.shape[0] if data.size else 7)
+        # keep the column count of empty (0, 8) track frames (see Boxes)
+        data = data.reshape(-1, data.shape[-1])
         assert data.shape[-1] in (7, 8), f"expected 7 or 8 cols, got {data.shape}"
         super().__init__(data, orig_shape)
         self.is_track = data.shape[-1] == 8
@@ -329,8 +332,22 @@ class Results:
         if self.obb is not None and len(self.obb):
             for oi, pts in enumerate(self.obb.xyxyxyxy):
                 color = _class_color(int(self.obb.cls[oi]))
-                cv2.polylines(img, [pts.astype(np.int32)], True, color, lw)
-        if self.boxes is not None:
+                ip = pts.astype(np.int32)
+                cv2.polylines(img, [ip], True, color, lw)
+                if labels:
+                    cl, cf = int(self.obb.cls[oi]), float(self.obb.conf[oi])
+                    name = self.names.get(cl, str(cl))
+                    if self.obb.is_track:
+                        name = f"id:{int(self.obb.id[oi])} {name}"
+                    txt = f"{name} {cf:.2f}" if conf else name
+                    x0, y0 = int(ip[:, 0].min()), int(ip[:, 1].min())
+                    cv2.putText(img, txt, (x0, max(y0 - 3, 12)), 0,
+                                font_scale or lw / 3, (255, 255, 255),
+                                max(lw - 1, 1), cv2.LINE_AA)
+        # rotated predictions carry an axis-aligned Boxes mapping for the
+        # box API — draw only the rotated form (reference draws one or the
+        # other, never both)
+        if self.boxes is not None and self.obb is None:
             for row in self.boxes.data:
                 x1, y1, x2, y2, cf, cl = row[0], row[1], row[2], row[3], row[-2], row[-1]
                 color = _class_color(int(cl))

@@ -157,7 +157,11 @@ class Trainer:
 
         imgsz = int(args.imgsz)
         batch = int(args.batch)
-        dev_aug = bool(getattr(args, "device_augment", False))
+        # mirror _build_step's non-detect fallback: when device_augment is
+        # refused there, the HOST pipeline must keep augmenting — otherwise
+        # the run would silently train with no augmentation at all
+        dev_aug = (bool(getattr(args, "device_augment", False))
+                   and self.model.task == "detect")
         self.loader, data_dict = build_dataloader(
             args.data, "train", batch=batch, imgsz=imgsz, hyp=vars(args),
             max_labels=int(args.max_labels), seed=int(args.seed),

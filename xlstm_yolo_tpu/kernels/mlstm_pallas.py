@@ -446,17 +446,13 @@ def _bwd_t(chunk_size, igate_act, eps, interpret, mxu_dtype, res, g):
     ip = i2.reshape(1, BNH, S)
     fp = f2.reshape(1, BNH, S)
     gn = g.astype(jnp.float32).swapaxes(1, 2).reshape(1, BNH, S, DH)
-    if DH == v.shape[-1]:
-        from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd
+    # q/k/v share one BlockSpec in the transposed entry, so DHq == DHv by
+    # construction — the fused reverse-streaming backward always applies
+    from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd
 
-        dq, dk, dv, di, df = mlstm_chunkwise_pallas_bwd(
-            q, k, v, ip, fp, gn, chunk_size=chunk_size, igate_act=igate_act,
-            eps=eps, interpret=interpret, mxu_dtype=mxu_dtype)
-    else:
-        from .mlstm_bwd import mlstm_chunkwise_bwd_ref
-
-        dq, dk, dv, di, df = mlstm_chunkwise_bwd_ref(
-            q, k, v, ip, fp, gn, chunk_size=chunk_size, igate_act=igate_act, eps=eps)
+    dq, dk, dv, di, df = mlstm_chunkwise_pallas_bwd(
+        q, k, v, ip, fp, gn, chunk_size=chunk_size, igate_act=igate_act,
+        eps=eps, interpret=interpret, mxu_dtype=mxu_dtype)
     back = lambda x: x.reshape(BNH, S, DH).swapaxes(1, 2).astype(q_t.dtype)
     return (back(dq), back(dk), back(dv),
             di.reshape(BNH, 1, S).astype(i2.dtype), df.reshape(BNH, 1, S).astype(f2.dtype))
@@ -1723,7 +1719,10 @@ def _pick_layout_conv(b: int, nh: int, s_pad: int, cs: int, dh: int,
         while nb > 1 and b % nb:
             nb -= 1
         bb = nb if nb != bb else bb - 1
-    return (1, ns_total)
+    # fallback must respect the seg >= halo guard (nseg > 1 with seg < halo
+    # would issue the t=1 head-halo DMA at a negative HBM offset): one whole-
+    # sequence segment is always safe, whatever it costs in VMEM
+    return (1, 1)
 
 
 def _vil_conv_impl(x, nrm, wum, bum, wuzt, buz, wc, bc, wq_bd, wk_bd, wv_bd,
