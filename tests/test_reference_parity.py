@@ -616,3 +616,72 @@ def test_task_head_weight_transfer_forward_parity(reference, ours_yaml, ref_yaml
         got = cands.transpose(0, 2, 1)
     assert got.shape == tpred.shape, (got.shape, tpred.shape)
     np.testing.assert_allclose(got, tpred, rtol=1e-3, atol=2e-3)
+
+
+def test_rtdetr_weight_transfer_forward_parity(reference):
+    """RT-DETR-l end-to-end weight transfer: the reference's eval output
+    (last decoder layer boxes + sigmoid class scores, reference
+    nn/modules/head.py RTDETRDecoder.forward eval_idx path) must match our
+    flax graph after the name-mapped transfer — exercising HGStem/HGBlock,
+    AIFI (packed-qkv MultiheadAttention split), RepC3, and the full
+    deformable decoder (MSDeformAttn, query selection, MLP heads).
+
+    128 px so the encoder token count (16**2+8**2+4**2 = 336) covers the
+    300-query top-k selection, as in the reference's minimum-size checks."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils.torch_import import load_torch_state_dict
+
+    torch.manual_seed(0)
+    cfg = reference.nn.tasks.yaml_model_load("rtdetr-l.yaml")
+    if cfg.get("scales") and not cfg.get("scale"):
+        cfg["scale"] = next(iter(cfg["scales"]))  # single-scale yaml quirk
+    tm = reference.nn.tasks.RTDETRDetectionModel(cfg, ch=3, nc=80, verbose=False)
+    tm.eval()
+    ours = TaskModel("rtdetr-l.yaml", nc=80)
+    v = ours.init(0, imgsz=64)
+    v, matched, missed = load_torch_state_dict(v, _torch_state_dict(tm), verbose=False)
+    assert not missed, missed[:8]
+    assert matched >= 840, matched  # every reference tensor has a home
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(1, 128, 128, 3)).astype(np.float32)
+    # capture the full-anchor encoder scores that drive query selection
+    # (reference head.py:535-539 — enc_score_head runs on ALL anchors once)
+    cap = {}
+    tm.model[-1].enc_score_head.register_forward_hook(
+        lambda m, i, o: cap.setdefault("enc_scores", o.detach()))
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    tpred = (ty[0] if isinstance(ty, (list, tuple)) else ty).numpy()  # (1, 300, 4+nc)
+
+    out = jax.jit(ours.raw_forward)(v, jnp.asarray(img))
+    got = np.concatenate([np.asarray(out["boxes"], np.float32),
+                          np.asarray(jax.nn.sigmoid(out["scores"].astype(jnp.float32)))],
+                         -1)
+    assert got.shape == tpred.shape, (got.shape, tpred.shape)
+
+    # the full-anchor encoder scores must agree tightly (backbone + AIFI +
+    # neck + enc_output + enc_score_head, pre-selection — fully deterministic)
+    # (raw logits after ~30 fp32 layers: allow 0.5% accumulated drift)
+    ours_enc = np.asarray(out["enc_scores"], np.float32)
+    np.testing.assert_allclose(ours_enc, cap["enc_scores"].numpy(),
+                               rtol=5e-3, atol=5e-3)
+
+    # With seeded random weights the per-anchor max scores are near-uniform,
+    # so torch.topk and lax.top_k may legitimately disagree on the last few
+    # of the 300 selected queries (values equal within fp32 noise). Compare
+    # decoder outputs keyed by SELECTED ANCHOR INDEX: reproduce each model's
+    # own selection from its own encoder scores, pair rows on the common
+    # anchors, and require the overlap to be essentially total.
+    t_idx = torch.topk(cap["enc_scores"].max(-1).values, 300, dim=1).indices[0].numpy()
+    j_idx = np.asarray(
+        jax.lax.top_k(jnp.max(jnp.asarray(ours_enc), axis=-1), 300)[1])[0]
+    common, t_pos, j_pos = np.intersect1d(t_idx, j_idx, return_indices=True)
+    assert common.size >= 294, common.size  # <=6 tie-boundary swaps
+    np.testing.assert_allclose(got[0, j_pos], tpred[0, t_pos],
+                               rtol=1e-3, atol=3e-3)

@@ -17,6 +17,7 @@ in Detect) become ``cv2_0_1``; bottleneck lists ``m.3`` become ``m3``.
 """
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 import numpy as np
@@ -38,6 +39,40 @@ def torch_state_dict(pt_path: str | Path) -> dict:
     return {k: v.detach().float().numpy() for k, v in sd.items()}
 
 
+def _rename_transformer_mods(mods: list[str]) -> list[str]:
+    """Rename torch transformer/RT-DETR module paths to our flax tree names.
+
+    Covers the reference's AIFI (``nn/modules/transformer.py``) and
+    RTDETRDecoder (``nn/modules/head.py``) attribute names:
+
+      ma -> mha (AIFI MultiheadAttention)
+      decoder.layers.{i} -> layer{i}        out_proj -> out
+      dec_bbox_head.{i} -> bbox_head{i}     linear1/2 -> fc1/2
+      dec_score_head.{i} -> score_head{i}   <mlp>.layers.{j} -> <mlp>.l{j}
+      enc_output.{0,1} -> enc_output / enc_output_norm
+      input_proj.{i}.{0,1} -> input_proj{i}.{conv,bn}
+    """
+    out = list(mods)
+    if len(out) >= 3 and out[0] == "decoder" and out[1] == "layers":
+        out = [f"layer{out[2]}"] + out[3:]
+    if len(out) >= 2 and out[0] in ("dec_bbox_head", "dec_score_head"):
+        out = [out[0][4:] + out[1]] + out[2:]
+    i = 0
+    while i < len(out) - 1:  # MLP heads: layers.{j} -> l{j}
+        if out[i] == "layers" and out[i + 1].isdigit():
+            out[i: i + 2] = [f"l{out[i + 1]}"]
+        else:
+            i += 1
+    if out[:2] == ["enc_output", "0"]:
+        out = ["enc_output"] + out[2:]
+    elif out[:2] == ["enc_output", "1"]:
+        out = ["enc_output_norm"] + out[2:]
+    if len(out) >= 3 and out[0] == "input_proj" and out[1].isdigit():
+        out = [f"input_proj{out[1]}", "conv" if out[2] == "0" else "bn"] + out[3:]
+    rename = {"ma": "mha", "out_proj": "out", "linear1": "fc1", "linear2": "fc2"}
+    return [rename.get(p, p) for p in out]
+
+
 def _flax_path(torch_name: str) -> tuple | None:
     """Map a torch param name to (collection, path tuple, kind)."""
     parts = torch_name.split(".")
@@ -48,7 +83,7 @@ def _flax_path(torch_name: str) -> tuple | None:
     else:
         layer = None
     leaf = parts[-1]
-    mods = parts[:-1]
+    mods = _rename_transformer_mods(parts[:-1])
 
     # merge numeric sequential indices into their parent name:
     #   m.2 (CSP bottleneck list)        -> m2
@@ -72,7 +107,14 @@ def _flax_path(torch_name: str) -> tuple | None:
         else:
             merged.append(p)
 
-    if leaf in ("weight", "bias") and merged and merged[-1] == "bn":
+    if leaf in ("in_proj_weight", "in_proj_bias"):
+        # torch MultiheadAttention packed qkv -> split into query/key/value
+        coll = "params"
+        name = "kernel" if leaf == "in_proj_weight" else "bias"
+        kind = "mha_in_proj"
+    elif leaf == "weight" and merged and merged[-1] == "denoising_class_embed":
+        coll, name, kind = "params", "embedding", "raw"
+    elif leaf in ("weight", "bias") and merged and merged[-1] == "bn":
         coll = "params"
         name = "scale" if leaf == "weight" else "bias"
         kind = "bn_affine"
@@ -119,30 +161,60 @@ def load_torch_state_dict(variables: dict, sd: dict, verbose: bool = True):
         if mapped is None:
             continue
         coll, path, kind = mapped
-        key = (coll,) + path
-        if key not in flat and len(path) > 1:
-            # Segment/Pose/OBB heads nest the shared Detect branches under a
-            # "detect" submodule in our tree; torch has cv2/cv3 on the head
-            alt = (coll, path[0], "detect") + tuple(path[1:])
-            if alt in flat:
-                key = alt
-        if key not in flat:
-            # bottleneck lists inside CSP blocks: torch "m.0.cv1..." already
-            # merged to "m0"; detect branches "cv2.0.0" -> "cv2_0_0"
-            missed.append(tname)
-            continue
-        want_shape = flat[key].shape
-        if kind == "deconv" and arr.ndim == 4:
-            arr = np.transpose(arr, (2, 3, 0, 1))  # IOHW -> HWIO
-        elif kind in ("conv", "linear") and arr.ndim == 4:
-            arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
-        elif kind == "linear" and arr.ndim == 2:
-            arr = arr.T
-        if arr.shape != tuple(want_shape):
-            missed.append(tname)
-            continue
-        _set(out, key, arr.astype(np.asarray(flat[key]).dtype))
-        matched += 1
+        if kind == "mha_in_proj":
+            # packed (3D, ...) qkv: rows [q; k; v] -> three flax sub-modules
+            assigns = [((coll,) + path[:-1] + (qkv, path[-1]), sub)
+                       for qkv, sub in zip(("query", "key", "value"),
+                                           np.split(arr, 3, axis=0))]
+        else:
+            assigns = [((coll,) + path, arr)]
+        for key, arr in assigns:
+            if key not in flat and len(key) > 2:
+                # Segment/Pose/OBB heads nest the shared Detect branches under
+                # a "detect" submodule in our tree; torch has cv2/cv3 on head
+                alt = (key[0], key[1], "detect") + key[2:]
+                if alt in flat:
+                    key = alt
+            if key not in flat and any(p in ("conv1", "conv2") for p in key):
+                # HGBlock's LightConv list: torch "m.{i}.conv{j}" vs our
+                # flattened "m{i}_cv{j}" (RepC3's RepConv keeps real conv1/
+                # conv2 submodules, so only fall back when the direct miss)
+                alt, i = list(key), 1
+                while i < len(alt):
+                    if alt[i] in ("conv1", "conv2") and re.fullmatch(r"m\d+", alt[i - 1]):
+                        alt[i - 1: i + 1] = [alt[i - 1] + "_cv" + alt[i][-1]]
+                    else:
+                        i += 1
+                if tuple(alt) in flat:
+                    key = tuple(alt)
+            if key not in flat and key[-1] == "kernel" and arr.ndim == 1:
+                # torch LayerNorm.weight maps to flax "scale"
+                alt = key[:-1] + ("scale",)
+                if alt in flat:
+                    key = alt
+            if key not in flat:
+                # bottleneck lists inside CSP blocks: torch "m.0.cv1..."
+                # already merged to "m0"; detect branches "cv2.0.0"->"cv2_0_0"
+                missed.append(tname)
+                continue
+            want_shape = tuple(flat[key].shape)
+            if kind == "deconv" and arr.ndim == 4:
+                arr = np.transpose(arr, (2, 3, 0, 1))  # IOHW -> HWIO
+            elif kind in ("conv", "linear") and arr.ndim == 4:
+                arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+            elif kind in ("linear", "mha_in_proj") and arr.ndim == 2:
+                arr = arr.T
+            if (arr.shape != want_shape and arr.size == int(np.prod(want_shape))
+                    and kind in ("linear", "mha_in_proj", "bias") and arr.ndim <= 2):
+                # flax attention splits the feature dim into (heads, head_dim):
+                # q/k/v kernel (D, D)->(D, H, Hd), out (D, D)->(H, Hd, D),
+                # per-head bias (D,)->(H, Hd) — all row-major reshapes
+                arr = arr.reshape(want_shape)
+            if arr.shape != want_shape:
+                missed.append(tname)
+                continue
+            _set(out, key, arr.astype(np.asarray(flat[key]).dtype))
+            matched += 1
 
     if verbose:
         print(f"torch import: {matched} tensors matched, {len(missed)} unmatched")
