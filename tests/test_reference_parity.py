@@ -685,3 +685,221 @@ def test_rtdetr_weight_transfer_forward_parity(reference):
     assert common.size >= 294, common.size  # <=6 tie-boundary swaps
     np.testing.assert_allclose(got[0, j_pos], tpred[0, t_pos],
                                rtol=1e-3, atol=3e-3)
+
+
+def _pure_torch_greedy_nms(boxes, scores, iou_threshold):
+    """Exact torchvision.ops.nms contract (utils/ops.py:312): greedy by
+    descending score, suppress IoU > threshold. Pure torch so the reference
+    NMS runs in this torchvision-free environment."""
+    import torch
+
+    order = torch.argsort(scores, descending=True)
+    keep = []
+    while order.numel() > 0:
+        i = order[0]
+        keep.append(i)
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        lt = torch.maximum(boxes[i, :2], boxes[rest, :2])
+        rb = torch.minimum(boxes[i, 2:], boxes[rest, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[:, 0] * wh[:, 1]
+        area_i = (boxes[i, 2] - boxes[i, 0]).clamp(min=0) * (boxes[i, 3] - boxes[i, 1]).clamp(min=0)
+        area_r = (boxes[rest, 2] - boxes[rest, 0]).clamp(min=0) * (boxes[rest, 3] - boxes[rest, 1]).clamp(min=0)
+        iou = inter / (area_i + area_r - inter).clamp(min=1e-12)
+        order = rest[iou <= iou_threshold]
+    return torch.stack(keep)
+
+
+def test_yolov8n_val_pipeline_map_parity(reference, tmp_path):
+    """END-TO-END val parity: the north-star clause is "mAP50-95 within 0.1
+    of the PyTorch reference" (BASELINE.md). With zero egress there are no
+    pretrained weights, so this runs BOTH frameworks' complete validation
+    pipelines — forward, decode, multi-label NMS (ours exact-greedy to match
+    the torchvision contract), IoU matching at the 10 COCO thresholds, and
+    101-point AP integration — on the same transferred weights and the same
+    on-disk dataset, and requires the resulting mAP50-95 to agree.
+
+    Non-degenerate setup: head biases are shaped so most anchors are
+    background (cls bias ~ N(-10, 2.5) -> ~10% of (box, class) candidates
+    above the 0.001 val conf threshold, a realistic detection profile), and
+    the ground-truth labels are the model's own confident detections with
+    IoU-diverse jitter — so AP is high at IoU 0.5 and decays toward 0.95,
+    exercising the full PR-curve machinery on both sides.
+
+    Reference path: utils/ops.py:181 non_max_suppression ->
+    engine/validator.py:224 match_predictions -> utils/metrics.py:537
+    ap_per_class. Ours: engine/validator.py Validator end to end.
+    """
+    import pathlib
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+    from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
+    from xlstm_yolo_tpu.engine.validator import Validator
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.ops.nms import non_max_suppression as our_nms
+    from xlstm_yolo_tpu.utils.torch_import import load_torch_state_dict
+
+    # --- torchvision.ops.nms shim so the reference NMS can execute here ---
+    tv = importlib.import_module("torchvision")  # materializes the stub
+    ops_mod = types.ModuleType("torchvision.ops")
+    ops_mod.nms = _pure_torch_greedy_nms
+    tv.ops = ops_mod
+    sys.modules["torchvision.ops"] = ops_mod
+
+    # --- shared weights with a realistic mostly-background score profile ---
+    torch.manual_seed(0)
+    tm = reference.nn.tasks.DetectionModel("yolov8n.yaml", ch=3, nc=80, verbose=False)
+    # Random-init activations decay to ~1e-7 through 20+ conv+BN(identity
+    # running stats)+SiLU layers, leaving head logits bias-only (constant per
+    # class across anchors AND images -> mass ties, no detection structure).
+    # BN-calibrate first: one train-mode forward with momentum=1 makes
+    # running stats equal batch stats, keeping activations O(1) everywhere;
+    # the calibrated stats transfer to our side through the state_dict.
+    imgsz = 96
+    data_yaml = make_synthetic_dataset(tmp_path, n_train=1, n_val=24, imgsz=imgsz)
+    cal_loader, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                     augment=False, max_labels=64, task="detect")
+    _cal_it = iter(cal_loader)
+    cal_imgs = np.concatenate([np.asarray(next(_cal_it)["img"]) for _ in range(2)])
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.momentum = 1.0
+    tm.train()
+    with torch.no_grad():
+        tm(torch.from_numpy(cal_imgs.transpose(0, 3, 1, 2)))
+    # head shaping for a realistic detection profile (measured: ~26
+    # (box,class) candidates/img above conf 0.25, ~1.9k above the val 0.001)
+    g = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        head = tm.model[-1]
+        for seq in head.cv3:  # cls branch
+            final = seq[-1]
+            final.bias.copy_(torch.randn(final.bias.shape, generator=g) * 2.3 - 10.0)
+            final.weight.copy_(torch.randn(final.weight.shape, generator=g) * 0.08)
+        for seq in head.cv2:  # box (DFL) branch: decaying per-bin bias so
+            # the softmax expectation lands at ~1-3 bins -> realistic box
+            # sizes (flat random logits decode to ~8 bins x stride per side,
+            # boxes far larger than the image)
+            final = seq[-1]
+            decay = (torch.arange(16, dtype=torch.float32) * -0.9).repeat(4)
+            final.bias.copy_(decay + torch.randn(final.bias.shape, generator=g) * 0.4)
+            final.weight.copy_(torch.randn(final.weight.shape, generator=g) * 0.02)
+    tm.eval()
+
+    ours = TaskModel("yolov8n.yaml", nc=80)
+    v = ours.init(0, imgsz=imgsz)
+    v, _, missed = load_torch_state_dict(v, _torch_state_dict(tm), verbose=False)
+    missed = [m for m in missed if not m.endswith("dfl.conv.weight")]
+    assert not missed, missed[:8]
+
+    # --- GT = model's own detections, jittered ---
+    loader, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                 augment=False, max_labels=64, task="detect")
+    files = list(loader.ds.files)
+    predict = jax.jit(ours.predictions)
+    rng = np.random.default_rng(3)
+    seen = 0
+    for batch in loader:
+        img = jnp.asarray(batch["img"])
+        # multi-label like the val pipeline itself, so every (box, class)
+        # pair that will rank high at val time has a matching jittered GT
+        # (argmax-only GT leaves the second-best class of each box as a
+        # top-ranked false positive and pins AP near zero)
+        dets, valid = our_nms(predict(v, img), conf_thres=0.05, iou_thres=0.7,
+                              max_det=24, multi_label=True, exact=True,
+                              pre_topk=2048)
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        for bi in range(img.shape[0]):
+            fi = int(batch["im_idx"][bi]) if "im_idx" in batch else seen
+            seen += 1
+            d = dets[bi][valid[bi]][:16]  # up to 16 GT per image
+            lines = []
+            for x1, y1, x2, y2, _conf, cls in d:
+                # IoU-diverse jitter, then clamp in xyxy space so labels stay
+                # inside the image (the loader drops out-of-range boxes)
+                jx1 = max(0.0, x1 + rng.uniform(-3, 3) - (x2 - x1) * rng.uniform(-0.08, 0.08))
+                jy1 = max(0.0, y1 + rng.uniform(-3, 3) - (y2 - y1) * rng.uniform(-0.08, 0.08))
+                jx2 = min(float(imgsz), x2 + rng.uniform(-3, 3) + (x2 - x1) * rng.uniform(-0.08, 0.08))
+                jy2 = min(float(imgsz), y2 + rng.uniform(-3, 3) + (y2 - y1) * rng.uniform(-0.08, 0.08))
+                cx, cy = (jx1 + jx2) / 2, (jy1 + jy2) / 2
+                w, h = jx2 - jx1, jy2 - jy1
+                if w < 2 or h < 2:
+                    continue
+                lines.append(f"{int(cls)} {cx/imgsz:.6f} {cy/imgsz:.6f} "
+                             f"{w/imgsz:.6f} {h/imgsz:.6f}")
+            if not lines:  # guarantee at least one (unmatched) GT -> FNs too
+                lines = ["5 0.5 0.5 0.25 0.25"]
+            lbl = files[fi].replace("/images/", "/labels/").rsplit(".", 1)[0] + ".txt"
+            pathlib.Path(lbl).write_text("\n".join(lines) + "\n")
+    assert seen == 24
+
+    # --- our full validation pipeline ---
+    # conf 0.05 (a user flag on both sides) keeps the candidate pool within
+    # our fixed top-k while still flooding ~100x more dets than GT
+    # max_det 24 (a user flag on both sides, reference default 300) keeps
+    # the det flood comparable to the GT density so AP is non-degenerate
+    val = Validator(ours, imgsz=imgsz, conf=0.05, iou=0.7, batch=4,
+                    max_det=24, exact_nms=True, pre_topk=6144)
+    out = val(v, data_yaml)
+
+    # --- reference full validation pipeline on the same loader batches ---
+    ref_ops = importlib.import_module("ultralytics.utils.ops")
+    ref_metrics = importlib.import_module("ultralytics.utils.metrics")
+    ref_validator = importlib.import_module("ultralytics.engine.validator")
+    shim = types.SimpleNamespace(iouv=torch.linspace(0.5, 0.95, 10))
+
+    loader2, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                  augment=False, max_labels=64, task="detect")
+    stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+    with torch.no_grad():
+        for batch in loader2:
+            x = torch.from_numpy(np.asarray(batch["img"]).transpose(0, 3, 1, 2))
+            ty = tm(x)
+            pred = ty[0] if isinstance(ty, (list, tuple)) else ty
+            # candidate pool must fit our fixed top-k for an apples-to-apples
+            # comparison (reference keeps every candidate above conf)
+            n_cand = int((pred[:, 4:].transpose(1, 2) > 0.05).sum(dim=(1, 2)).max())
+            assert n_cand < 6144, n_cand
+            dets = ref_ops.non_max_suppression(
+                pred, conf_thres=0.05, iou_thres=0.7, multi_label=True,
+                agnostic=False, max_det=24)
+            for bi, d in enumerate(dets):
+                gt_mask = batch["mask"][bi]
+                gt = torch.from_numpy(np.asarray(batch["cls_boxes"][bi][gt_mask]))
+                gt_cls = gt[:, 0]
+                if d.shape[0] == 0:
+                    if len(gt):
+                        stats["target_cls"].append(gt_cls.numpy())
+                    continue
+                iou = ref_metrics.box_iou(gt[:, 1:5], d[:, :4])
+                tp = ref_validator.BaseValidator.match_predictions(
+                    shim, d[:, 5], gt_cls, iou)
+                stats["tp"].append(tp.numpy())
+                stats["conf"].append(d[:, 4].numpy())
+                stats["pred_cls"].append(d[:, 5].numpy())
+                stats["target_cls"].append(gt_cls.numpy())
+    r = ref_metrics.ap_per_class(
+        np.concatenate(stats["tp"]), np.concatenate(stats["conf"]),
+        np.concatenate(stats["pred_cls"]), np.concatenate(stats["target_cls"]))
+    ap = r[5]  # (nc, 10)
+    ref_map50, ref_map = float(ap[:, 0].mean()), float(ap.mean())
+
+    print("VAL-PARITY ours:", out["mAP50"], out["mAP50-95"],
+          "ref:", ref_map50, ref_map)
+    # non-degenerate: GT came from confident detections, so AP50 is high and
+    # the jitter makes AP decay across the 10 IoU thresholds
+    assert ref_map50 > 0.3, (ref_map50, ref_map)
+    assert ref_map > ap[:, -1].mean(), "AP must decay across IoU thresholds"
+    # the north-star clause is "within 0.1"; identical pipelines on identical
+    # weights agree ~200x tighter (measured: mAP50 0.6831 vs 0.6831, mAP50-95
+    # 0.2732 vs 0.2731 — delta ~1e-4)
+    assert abs(out["mAP50-95"] - ref_map) < 5e-3, (out["mAP50-95"], ref_map)
+    assert abs(out["mAP50"] - ref_map50) < 5e-3, (out["mAP50"], ref_map50)

@@ -24,7 +24,8 @@ class Validator:
                  iou: float = 0.7, max_det: int = 300, max_labels: int = 128,
                  batch: int = 16, verbose: bool = False, callbacks=None,
                  half: bool = False, save_json: bool = False,
-                 save_dir: str | None = None):
+                 save_dir: str | None = None, exact_nms: bool = False,
+                 pre_topk: int = 1024):
         from ..utils.callbacks import default_callbacks
 
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
@@ -44,6 +45,11 @@ class Validator:
         self.max_labels = max_labels
         self.batch = batch
         self.verbose = verbose
+        # exact greedy suppression (the reference's torchvision.ops.nms
+        # semantics, utils/ops.py:312) instead of the default matrix
+        # Fast-NMS; pre_topk widens the fixed candidate pool
+        self.exact_nms = exact_nms
+        self.pre_topk = pre_topk
 
     def _prep(self, variables, img):
         """In-graph bf16 cast of params + image when half (trace-time flag)."""
@@ -83,6 +89,7 @@ class Validator:
             return non_max_suppression(
                 pred, conf_thres=self.conf, iou_thres=self.iou,
                 max_det=self.max_det, multi_label=True,
+                exact=self.exact_nms, pre_topk=self.pre_topk,
             )
 
         stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
@@ -295,6 +302,7 @@ class Validator:
             dets, valid = non_max_suppression(
                 full["cands"], conf_thres=self.conf, iou_thres=self.iou,
                 max_det=self.max_det, multi_label=True,
+                exact=self.exact_nms, pre_topk=self.pre_topk,
             )
             return dets, valid, full["coefs"], full["proto"]
 
@@ -388,6 +396,7 @@ class Validator:
             dets, valid = non_max_suppression(
                 full["cands"], conf_thres=self.conf, iou_thres=self.iou,
                 max_det=self.max_det, multi_label=True,
+                exact=self.exact_nms, pre_topk=self.pre_topk,
             )
             return dets, valid, full["kpts"], full["cands"]
 
