@@ -93,3 +93,43 @@ def test_export_tflite_int8(small_model, tmp_path):
     # quantization actually happened: int8 tensors present in the graph
     kinds = {t["dtype"].__name__ for t in interp.get_tensor_details() if "dtype" in t}
     assert "int8" in kinds, kinds
+
+
+def test_export_torch_roundtrip(small_model, tmp_path):
+    """format='torch' reverse interop: the exported ultralytics-layout
+    checkpoint must import back through our own torch importer bit-exactly
+    (layout inverses OIHW/IOHW/linear-T all exercised)."""
+    import torch
+
+    from xlstm_yolo_tpu.engine.exporter import Exporter
+    from xlstm_yolo_tpu.utils.torch_import import load_torch_state_dict
+
+    m, v = small_model
+    out = Exporter(m, v, format="torch", imgsz=64, output_dir=str(tmp_path))()
+    ckpt = torch.load(out, weights_only=True)
+    assert ckpt["task"] == "detect" and ckpt["nc"] == 3
+    assert ckpt["yaml"] == "yolov8n.yaml"
+    sd = {k: t.numpy() for k, t in ckpt["state_dict"].items()}
+    zero = jax.tree.map(lambda x: np.zeros_like(x), v)
+    back, matched, missed = load_torch_state_dict(zero, sd, verbose=False)
+    assert not missed
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_torch_task_heads(tmp_path):
+    """Torch export covers every YOLO task head's parameter layout."""
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils.torch_import import (load_torch_state_dict,
+                                                   to_torch_state_dict)
+
+    for yaml_name, nc in [("yolov8n-seg.yaml", 3), ("yolov8n-pose.yaml", 1),
+                          ("yolov8n-obb.yaml", 3), ("yolov8n-cls.yaml", 3)]:
+        m = TaskModel(yaml_name, nc=nc)
+        v = m.init(1, imgsz=64)
+        sd = to_torch_state_dict(v)
+        zero = jax.tree.map(lambda x: np.zeros_like(x), v)
+        back, _, missed = load_torch_state_dict(zero, sd, verbose=False)
+        assert not missed, (yaml_name, missed[:5])
+        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

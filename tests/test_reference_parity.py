@@ -903,3 +903,38 @@ def test_yolov8n_val_pipeline_map_parity(reference, tmp_path):
     # 0.2732 vs 0.2731 — delta ~1e-4)
     assert abs(out["mAP50-95"] - ref_map) < 5e-3, (out["mAP50-95"], ref_map)
     assert abs(out["mAP50"] - ref_map50) < 5e-3, (out["mAP50"], ref_map50)
+
+
+def test_torch_export_loads_into_reference_model(reference, tmp_path):
+    """Reverse interop against the LIVE torch reference: our
+    Exporter(format='torch') checkpoint must load into the reference's own
+    DetectionModel via load_state_dict with every key matched by name AND
+    shape (missing only the reference's frozen DFL arange projection, which
+    is functional here), and the loaded model's forward must equal ours."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.engine.exporter import Exporter
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    ours = TaskModel("yolov8n.yaml", nc=80)
+    v = ours.init(5, imgsz=64)
+    out = Exporter(ours, v, format="torch", imgsz=64, output_dir=str(tmp_path))()
+    ckpt = torch.load(out, weights_only=True)
+
+    tm = reference.nn.tasks.DetectionModel("yolov8n.yaml", ch=3, nc=80, verbose=False)
+    res = tm.load_state_dict(ckpt["state_dict"], strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys[:8]
+    missing = [k for k in res.missing_keys if "dfl" not in k]
+    assert not missing, missing[:8]
+    tm.eval()
+
+    rng = np.random.default_rng(9)
+    img = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    tref = (ty[0] if isinstance(ty, (list, tuple)) else ty).numpy()
+    jy = np.asarray(jax.jit(ours.predictions)(v, jnp.asarray(img))).transpose(0, 2, 1)
+    np.testing.assert_allclose(jy, tref, rtol=1e-3, atol=2e-3)

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-FORMATS = ("stablehlo", "savedmodel", "tflite")
+FORMATS = ("stablehlo", "savedmodel", "tflite", "torch")
 
 
 class Exporter:
@@ -91,6 +91,8 @@ class Exporter:
             out = self._export_savedmodel(fn, shape)
         elif self.format == "tflite":
             out = self._export_tflite(fn, shape)
+        elif self.format == "torch":
+            out = self._export_torch()
         else:
             raise ValueError(f"unknown export format {self.format!r}; choose from {FORMATS}")
         print(f"export {self.format} done in {time.time() - t0:.1f}s -> {out}")
@@ -109,6 +111,33 @@ class Exporter:
             "strides": list(self.model.strides), "format": "stablehlo",
         }
         out.with_suffix(".json").write_text(json.dumps(meta, indent=2))
+        return out
+
+    def _export_torch(self) -> Path:
+        """Reverse interop: an ultralytics-layout torch checkpoint so
+        reference users can take weights trained here back into the torch
+        framework. Layouts are the exact inverse of our importer
+        (utils/torch_import.py); load on the torch side with
+        ``DetectionModel(cfg.yaml); model.load_state_dict(ckpt["state_dict"],
+        strict=False)`` (strict=False only for the reference's frozen DFL
+        arange projection, which is functional here)."""
+        import torch
+
+        from ..utils.torch_import import to_torch_state_dict
+
+        # .copy(): jax-backed numpy views are read-only, torch wants writable
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+              for k, v in to_torch_state_dict(self.variables).items()}
+        meta = {
+            "state_dict": sd,
+            "yaml": getattr(self.model, "cfg_name", None),
+            "task": self.model.task,
+            "nc": self.model.nc,
+            "names": self.model.names,
+            "strides": [int(s) for s in getattr(self.model, "strides", ())],
+        }
+        out = self.output_dir / f"{self._stem()}.pt"
+        torch.save(meta, out)
         return out
 
     def _export_savedmodel(self, fn, shape) -> Path:

@@ -28,6 +28,7 @@ class TaskModel:
 
     def __init__(self, cfg: str | dict, ch: int = 3, nc: int | None = None, scale: str | None = None,
                  verbose: bool = False):
+        self.cfg_name = cfg if isinstance(cfg, str) else None
         if isinstance(cfg, (str,)):
             self.yaml, yscale = load_model_yaml(cfg)
             scale = scale or yscale

@@ -349,3 +349,59 @@ def load_sam_encoder(variables: dict, sd: dict, prefix: str = "image_encoder.") 
     else:
         out["params"] = new_enc
     return out
+
+
+def to_torch_state_dict(variables: dict) -> dict:
+    """Inverse of ``load_torch_state_dict``: our variables -> an
+    ultralytics-style torch state_dict (numpy arrays, torch layouts), so a
+    reference user can take weights trained here back into the torch
+    framework (reference ``nn/tasks.py`` model.load path). Layout inverses:
+    HWIO conv kernels -> OIHW, HWIO deconv -> IOHW, (in, out) linear ->
+    (out, in), flax attention (D, H, Hd)/(H, Hd, D) kernels -> 2D torch.
+
+    Every emitted name is validated by running ``_flax_path`` back over it
+    and requiring the original key (the same resolution the importer uses),
+    so the export can never silently produce a name the importer would not
+    round-trip. Keys with no reference analogue raise."""
+    names = export_torch_names(variables)
+    flat = _flatten(variables)
+    out = {}
+    for key, tname in names.items():
+        # seg/pose/obb heads nest the shared Detect branches under a
+        # "detect" submodule here; the torch head keeps cv2/cv3 directly
+        tname = tname.replace(".detect.", ".")
+
+        def _resolves(mapped):
+            # the same resolution load_torch_state_dict applies: direct hit,
+            # or the seg/pose/obb heads' "detect" submodule nesting
+            if mapped is None:
+                return False
+            got = (mapped[0],) + mapped[1]
+            return got == key or (got[:2] + ("detect",) + got[2:]) == key
+
+        mapped = _flax_path(tname)
+        if not _resolves(mapped):
+            # HGBlock LightConv flattening: our "m{i}_cv{j}" -> "m.{i}.conv{j}"
+            alt = re.sub(r"\bm\.(\d+)\.cv(\d)\b", r"m.\1.conv\2", tname)
+            mapped = _flax_path(alt)
+            if not _resolves(mapped):
+                raise ValueError(f"no reference torch name for {key} "
+                                 f"(candidate {tname!r})")
+            tname = alt
+        kind = mapped[2]
+        arr = np.asarray(flat[key], np.float32)
+        if kind == "deconv" and arr.ndim == 4:
+            arr = np.transpose(arr, (2, 3, 0, 1))  # HWIO -> IOHW
+        elif kind in ("conv", "linear") and arr.ndim == 4:
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+        elif kind == "linear" and arr.ndim >= 2:
+            if arr.ndim == 3:  # flax attention kernels
+                if key[-2] == "out":  # (H, Hd, D): in = leading two dims
+                    arr = arr.reshape(-1, arr.shape[-1])
+                else:  # q/k/v (D, H, Hd): in = first dim
+                    arr = arr.reshape(arr.shape[0], -1)
+            arr = arr.T
+        elif kind == "bias" and arr.ndim == 2:
+            arr = arr.reshape(-1)  # flax per-head attention bias (H, Hd)
+        out[tname] = arr
+    return out
