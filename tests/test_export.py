@@ -133,3 +133,17 @@ def test_export_torch_task_heads(tmp_path):
         assert not missed, (yaml_name, missed[:5])
         for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(back)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_model_ctor_from_torch_pt(small_model, tmp_path):
+    """YOLO('weights.pt') — the reference's primary entry — rebuilds the
+    architecture from the export's metadata and loads the weights."""
+    from xlstm_yolo_tpu.engine.exporter import Exporter
+    from xlstm_yolo_tpu.engine.model import Model
+
+    m, v = small_model
+    pt = Exporter(m, v, format="torch", imgsz=64, output_dir=str(tmp_path))()
+    m2 = Model(pt)
+    assert m2.task == "detect" and m2.model.nc == 3
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(m2.variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

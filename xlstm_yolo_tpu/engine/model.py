@@ -24,8 +24,29 @@ class Model:
             from ..utils.checkpoint import load_checkpoint
 
             self.model, self.variables, self.ckpt = load_checkpoint(str(model))
+        elif str(model).endswith(".pt"):
+            # torch checkpoints (reference Model.__init__ .pt route,
+            # engine/model.py:126): our Exporter(format='torch') artifacts
+            # carry {yaml, nc, names} so the architecture rebuilds here;
+            # bare state_dicts need Model(yaml).load(pt) instead
+            import torch
+
+            from ..utils.torch_import import load_torch_state_dict
+
+            obj = torch.load(str(model), map_location="cpu", weights_only=True)
+            if not (isinstance(obj, dict) and "state_dict" in obj and obj.get("yaml")):
+                raise ValueError(
+                    f"{model!r} has no architecture metadata — build the "
+                    "architecture first: Model('cfg.yaml').load(pt_path)")
+            self.model = TaskModel(str(obj["yaml"]), nc=obj.get("nc"), verbose=verbose)
+            if obj.get("names"):
+                self.model.names = {int(k): v for k, v in dict(obj["names"]).items()}
+            sd = {k: t.detach().float().numpy() for k, t in obj["state_dict"].items()}
+            v0 = self.model.init()
+            self.variables, _, _ = load_torch_state_dict(v0, sd, verbose=verbose)
+            self.ckpt = {k: obj[k] for k in ("yaml", "task", "nc", "names") if k in obj}
         else:
-            raise ValueError(f"unsupported model source {model!r} (expected .yaml or checkpoint dir)")
+            raise ValueError(f"unsupported model source {model!r} (expected .yaml, .pt or checkpoint dir)")
         from ..utils.callbacks import default_callbacks
 
         self.task = task or self.model.task
