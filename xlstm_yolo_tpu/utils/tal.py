@@ -74,6 +74,15 @@ def assign(
         target_scores (b, n_anchors, nc), fg_mask (b, n_anchors) bool,
         target_gt_idx (b, n_anchors) int.
     """
+    # assignment is a no-grad operation: the reference detaches predictions
+    # before every assigner call (utils/loss.py:228 pred_scores.detach(),
+    # pred_bboxes.detach()). Without this, gradients flow through the
+    # target side (targets ∝ score^α · IoU^β) and gradient descent learns to
+    # SUPPRESS the targets — all loss terms fall to ~0 while the model
+    # detects nothing (verified: 240 matched SGD steps, torch reaches
+    # eval scores 0.92-0.998, un-detached jax collapses to 1e-4).
+    pd_scores = jax.lax.stop_gradient(pd_scores)
+    pd_bboxes = jax.lax.stop_gradient(pd_bboxes)
     b, n_anchors, nc = pd_scores.shape
     n_max = gt_bboxes.shape[1]
     mask_gt = mask_gt.astype(jnp.float32)[..., 0]  # (b, n_max)
@@ -95,7 +104,15 @@ def assign(
     # top-k per GT among candidates (reference select_topk_candidates)
     k = min(topk, n_anchors)
     topk_vals, topk_idx = jax.lax.top_k(candidate_metric, k)  # (b, n_max, k)
-    topk_valid = topk_vals > eps
+    # strictly-positive gate, NOT "> eps": the reference's eps auto-mask is
+    # dead code — its caller passes topk_mask=mask_gt (tal.py:126), so
+    # candidates stay positive however small the align metric gets. An eps
+    # gate extinguishes assignment when predictions degrade (metric ~1e-21
+    # for collapsed scores x tiny IoU^6), turning "predict background
+    # everywhere" into a stable training attractor (box/dfl grads vanish).
+    # ">0" keeps the in-GT restriction (candidate_metric is masked) while
+    # matching the reference's keep-alive behavior.
+    topk_valid = topk_vals > 0.0
     mask_topk = jnp.zeros_like(candidate_metric)
     mask_topk = jax.vmap(jax.vmap(lambda m, idx, val: m.at[idx].add(val)))(
         mask_topk, topk_idx, topk_valid.astype(jnp.float32)
@@ -181,6 +198,9 @@ def assign_rotated(
     point-in-box test. Same output contract as assign() with 5-dim boxes."""
     from ..ops.boxes import probiou
 
+    # no-grad, like assign() (reference detaches before every assigner call)
+    pd_scores = jax.lax.stop_gradient(pd_scores)
+    pd_rboxes = jax.lax.stop_gradient(pd_rboxes)
     b, n_anchors, nc = pd_scores.shape
     n_max = gt_rboxes.shape[1]
     mask_gt = mask_gt.astype(jnp.float32)[..., 0]
@@ -197,7 +217,15 @@ def assign_rotated(
     candidate_metric = align_metric * mask_in_gts * mask_gt[..., None]
     k = min(topk, n_anchors)
     topk_vals, topk_idx = jax.lax.top_k(candidate_metric, k)
-    topk_valid = topk_vals > eps
+    # strictly-positive gate, NOT "> eps": the reference's eps auto-mask is
+    # dead code — its caller passes topk_mask=mask_gt (tal.py:126), so
+    # candidates stay positive however small the align metric gets. An eps
+    # gate extinguishes assignment when predictions degrade (metric ~1e-21
+    # for collapsed scores x tiny IoU^6), turning "predict background
+    # everywhere" into a stable training attractor (box/dfl grads vanish).
+    # ">0" keeps the in-GT restriction (candidate_metric is masked) while
+    # matching the reference's keep-alive behavior.
+    topk_valid = topk_vals > 0.0
     mask_topk = jnp.zeros_like(candidate_metric)
     mask_topk = jax.vmap(jax.vmap(lambda m, idx, val: m.at[idx].add(val)))(
         mask_topk, topk_idx, topk_valid.astype(jnp.float32)
