@@ -471,13 +471,27 @@ def rtdetr_loss(out: dict, batch: dict, nc: int, imgsz: float,
         n_total = jnp.maximum(jnp.sum(mask), 1.0)
         box_loss = jnp.sum((l1_gain * l1_loss + giou_gain * giou_loss) * mask) / n_total
 
-        # classification: one-hot targets on matched queries, bg elsewhere
-        tgt_cls = jnp.zeros((b, nq, nc), jnp.float32)
-        onehot = jax.nn.one_hot(gt_cls, nc) * mask[..., None]
-        tgt_cls = jax.vmap(lambda t, idx, oh: t.at[idx].add(oh))(tgt_cls, match_safe, onehot)
+        # classification: VarifocalLoss with IoU-scaled targets (reference
+        # DETRLoss._get_loss_class + VarifocalLoss, models/utils/loss.py:95
+        # and utils/loss.py:16: gt_score = IoU(matched pred.detach(), gt);
+        # weight = 0.75*p^2*(1-label) + gt_score*label; mean over queries,
+        # sum, scaled by nq / num_gts). Scatter uses a dummy slot nq so
+        # padded GT rows never clobber a real query.
+        idx = jnp.where(mask > 0, match_safe, nq).astype(jnp.int32)  # (B, M)
+        tq = jnp.full((b, nq + 1), nc, jnp.int32)
+        tq = jax.vmap(lambda t, i, c: t.at[i].set(c))(tq, idx, gt_cls)
+        iou_m = jnp.clip(
+            bbox_iou(jax.lax.stop_gradient(matched_boxes), gt_cxcywh, xywh=True), 0.0, None
+        )  # (B, M)
+        gt_q = jnp.zeros((b, nq + 1), jnp.float32)
+        gt_q = jax.vmap(lambda t, i, s: t.at[i].set(s))(gt_q, idx, iou_m)
+        one_hot_q = jax.nn.one_hot(tq[:, :nq], nc + 1)[..., :nc]  # bg -> zero row
+        gt_sc = gt_q[:, :nq, None] * one_hot_q
         logits = scores.astype(jnp.float32)
-        bce = jnp.clip(logits, 0, None) - logits * tgt_cls + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        cls_loss = cls_gain * jnp.sum(bce) / jnp.maximum(jnp.sum(mask), 1.0) / nq * 100.0
+        ps = jax.nn.sigmoid(logits)
+        w = 0.75 * ps * ps * (1.0 - one_hot_q) + gt_sc * one_hot_q
+        bce = jnp.clip(logits, 0, None) - logits * gt_sc + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        cls_loss = cls_gain * jnp.sum(jnp.mean(bce * w, axis=1)) * nq / n_total
         return box_loss, cls_loss
 
     box_l, cls_l = one_level(out["boxes"], out["scores"])
@@ -519,10 +533,18 @@ def cdn_loss(out: dict, dn_meta: tuple, batch: dict, nc: int, imgsz: float,
     n_pos = jnp.maximum(jnp.sum(dn_pos), 1.0)
     box_loss = jnp.sum((l1_gain * l1 + giou_gain * giou) * dn_pos) / n_pos
 
-    tgt_onehot = jax.nn.one_hot(tgt_cls_idx, nc) * dn_pos[..., None]
-    bce = jnp.clip(scores, 0, None) - scores * tgt_onehot + \
-        jnp.log1p(jnp.exp(-jnp.abs(scores)))
-    cls_loss = cls_gain * jnp.sum(bce * dn_valid[..., None]) / n_pos / nc
+    # VarifocalLoss like the main branch (reference routes dn through the
+    # same _get_loss_class): positives target their GT class at IoU score,
+    # negatives (and padded slots, masked by dn_valid) are background
+    nq_dn = scores.shape[1]
+    tq = jnp.where(dn_pos > 0, tgt_cls_idx, nc)
+    one_hot_q = jax.nn.one_hot(tq, nc + 1)[..., :nc]
+    iou_dn = jnp.clip(bbox_iou(jax.lax.stop_gradient(boxes), tgt_box, xywh=True), 0.0, None)
+    gt_sc = (iou_dn * dn_pos)[..., None] * one_hot_q
+    ps = jax.nn.sigmoid(scores)
+    w = (0.75 * ps * ps * (1.0 - one_hot_q) + gt_sc * one_hot_q) * dn_valid[..., None]
+    bce = jnp.clip(scores, 0, None) - scores * gt_sc + jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    cls_loss = cls_gain * jnp.sum(jnp.mean(bce * w, axis=1)) * nq_dn / n_pos
     return box_loss + cls_loss, {"dn_box": box_loss, "dn_cls": cls_loss}
 
 
