@@ -38,7 +38,8 @@ remaining XLA ops):
   P3        18.0 ms          15.6 ms          13.0 ms
   P4        12.2 ms          11.6 ms           9.9 ms
   P5         8.5 ms           8.9 ms           7.7 ms
-ViL-YOLO-n e2e 640px b128 (preproc->NMS, fused BN): 40.2 ms = 3,187 img/s.
+ViL-YOLO-n e2e 640px b128 (preproc->NMS, fused BN): 40.2 ms = 3,187 img/s;
+batch 256 sustained: 3,282 img/s (yolov8n: 4,992).
 Ablation (P3, on-chip): the kernel is DMA-bound — pure streaming of the
 activation planes runs ~100-130 GB/s at these block shapes regardless of
 (BB, SEG, semantics, scratch); batched projections and per-bi stacking are
