@@ -78,10 +78,14 @@ implementations):
   The transposed-resident layout wins: sequence on lanes makes every gate
   vector broadcast free, and the XLA-side entry/exit relayouts (~4.5 ms per
   step at P3, profiled) are cheaper than moving the reorientation on-chip.
-  Next candidate: fuse the headwise q/k/v projections INTO the kernel
-  ("NT"-form dots ingest natural conv_act/x_mlstm and emit transposed q/k/v
-  on-chip), which would delete the projection round-trips AND the relayout
-  copies; gates fuse too when a block covers all heads.
+  (The in-kernel q/k/v "NT"-form projection fusion this paragraph once
+  proposed became the v2/v3 kernels above.) Remaining known lever: DIM=64
+  activation planes are lane-padded to 128 in HBM, so the x/out streams
+  move 2x their nominal bytes — eliminating that needs either a transposed
+  (B, DIM, S) residual stream through the whole block graph or packed
+  (S/2, 128) I/O with a permuted chunk order; both trade in-kernel
+  shuffles (measured slow on this part) against the stream tax, est. ceiling
+  ~+10-15% e2e.
 
 Known Mosaic pitfalls worked around here (see git history for repros):
   * no cumsum primitive -> tril-ones matmul;
