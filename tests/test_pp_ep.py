@@ -88,6 +88,108 @@ def test_moe_expert_parallel_matches_single_device():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_pipeline_multistep_training_matches_sequential():
+    """Convergence under pp sharding: N SGD steps through the GPipe schedule
+    (grads flow back through ppermute/fori_loop ticks) must reproduce the
+    sequential-stages loss trajectory — pp's analogue of the dp/tp/sp
+    multi-step checks in test_parallel.py."""
+    import optax
+
+    mesh = _mesh(pp=4)
+    rng = np.random.default_rng(3)
+    D = 16
+    stages = [
+        {"w": jnp.asarray(rng.normal(size=(D, D)) * 0.2, jnp.float32),
+         "b": jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)}
+        for _ in range(4)
+    ]
+    stacked = stack_stage_params(stages)
+    x = jnp.asarray(rng.normal(size=(8, D)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(8, D)), jnp.float32)
+
+    def stage_fn(p, h):
+        return jnp.tanh(h @ p["w"] + p["b"])
+
+    def seq_forward(params, h):
+        def body(h, p):
+            return stage_fn(p, h), None
+        return jax.lax.scan(body, h, params)[0]
+
+    tx = optax.sgd(0.05, momentum=0.9)
+
+    def run(forward, params, nsteps=4):
+        opt = tx.init(params)
+        losses = []
+
+        @jax.jit
+        def step(params, opt):
+            def loss_fn(p):
+                return jnp.mean((forward(p, x) - y) ** 2)
+
+            total, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), opt, total
+
+        for _ in range(nsteps):
+            params, opt, total = step(params, opt)
+            losses.append(float(total))
+        return losses
+
+    ref = run(seq_forward, stacked)
+
+    sharded = jax.device_put(stacked, stage_sharding(mesh, stacked))
+    with mesh:
+        got = run(
+            lambda p, h: pipeline_apply(mesh, stage_fn, p, h, num_microbatches=4),
+            sharded,
+        )
+    assert ref[-1] < ref[0]  # it actually optimizes
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_moe_expert_parallel_multistep_training():
+    """Convergence under ep sharding: SGD through the routed MoE with expert
+    weights ep=4-sharded must match the replicated trajectory, including the
+    load-balance aux term (router grads cross the all-to-all)."""
+    import optax
+
+    m = MoEFeedForward(dim=16, num_experts=4, top_k=2)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    tx = optax.sgd(0.05, momentum=0.9)
+
+    def run(params, nsteps=4):
+        opt = tx.init(params)
+        losses = []
+
+        @jax.jit
+        def step(params, opt):
+            def loss_fn(p):
+                out, state = m.apply({"params": p}, x, mutable=["losses"])
+                aux = state["losses"]["moe_aux"][0]
+                return jnp.mean((out - y) ** 2) + 0.01 * aux
+
+            total, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), opt, total
+
+        for _ in range(nsteps):
+            params, opt, total = step(params, opt)
+            losses.append(float(total))
+        return losses
+
+    ref = run(variables["params"])
+
+    mesh = _mesh(ep=4)
+    shard = expert_sharding(mesh, variables["params"])
+    with mesh:
+        got = run(jax.device_put(variables["params"], shard))
+    assert ref[-1] < ref[0]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
 def test_pipeline_xlstm_blocks():
     """Pipeline a real 4-block mLSTM text trunk and compare to sequential."""
     from xlstm_yolo_tpu.nn.xlstm_large import mLSTMTextBlock
