@@ -1,0 +1,128 @@
+"""Training-step throughput on the local accelerator (companion to bench.py).
+
+Measures the full jit'd SPMD train step — device-side augmentation
+(mosaic/affine/HSV/flip as XLA ops), bf16 forward, loss (TAL assign + CIoU +
+DFL), backward, clip, SGD+momentum update, EMA — at the flagship training
+shape (640 px, batch 128). This is the number the reference cannot produce
+on any hardware (its Triton mLSTM path trains GPU-only, eager, unfused);
+here the whole step is ONE XLA program.
+
+Same methodology as bench.py: iterations chained inside one jit via
+fori_loop (the axon relay's block_until_ready does not synchronize), scalar
+readback forces completion. Synthetic device-resident batch: measures the
+step itself; the host feed is benchmarked separately
+(tests/test_misc.py loader-throughput harness, RAM-cache path).
+
+Prints one JSON line per model:
+    {"metric": "<model>_640_train_step_throughput", "value": N, "unit": "img/s"}
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
+                iters: int = 3, augment: bool = False) -> dict:
+    """augment=False matches the trainer default (cfg device_augment: False —
+    host pipeline feeds pre-augmented batches); augment=True additionally
+    fuses the XLA mosaic/affine/HSV/flip stages into the step to price that
+    opt-in path (it is gather-bound on TPU — see the measured numbers in
+    the module docstring before enabling it at large batch)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from xlstm_yolo_tpu.data.device_augment import _device_augment_jit
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils import train_utils as TU
+
+    model = TaskModel(name)
+    variables = model.init(0, imgsz=imgsz)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.chain(optax.clip_by_global_norm(0.5),
+                     optax.sgd(0.01, momentum=0.937))
+    opt_state = tx.init(params)
+    ema = jax.tree.map(jnp.copy, params)
+
+    aug_hyp = (("degrees", 0.0), ("fliplr", 0.5), ("hsv_h", 0.015),
+               ("hsv_s", 0.7), ("hsv_v", 0.4), ("mosaic", 1.0),
+               ("scale", 0.5), ("shear", 0.0), ("translate", 0.1))
+    akey = jax.random.PRNGKey(0)
+
+    rng = np.random.default_rng(0)
+    nL = 32  # padded label slots
+    batch_np = {
+        "img": np.asarray(rng.random((batch, imgsz, imgsz, 3)), np.float32),
+        "cls_boxes": np.tile(
+            np.asarray([[1.0, 100, 100, 400, 400]], np.float32), (batch, nL, 1)),
+        "mask": np.tile(np.asarray([True] + [False] * (nL - 1)), (batch, 1)),
+        "mosaic_p": np.float32(1.0),
+    }
+    dbatch = jax.tree.map(jnp.asarray, batch_np)
+
+    def one_step(params, batch_stats, opt_state, ema, n_updates, batch):
+        if augment:
+            img, cb, mk = _device_augment_jit(
+                batch["img"] * 255.0, batch["cls_boxes"], batch["mask"],
+                jax.random.fold_in(akey, n_updates), batch["mosaic_p"], aug_hyp)
+            b = {"img": (img / 255.0).astype(jnp.bfloat16), "cls_boxes": cb, "mask": mk}
+        else:
+            b = {"img": batch["img"].astype(jnp.bfloat16),
+                 "cls_boxes": batch["cls_boxes"], "mask": batch["mask"]}
+
+        def loss_fn(p):
+            (total, aux), updates = model.loss(
+                {"params": p, "batch_stats": batch_stats}, b, train=True)
+            return total, updates
+
+        (total, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        n_updates = n_updates + 1
+        ema = TU.ema_update(ema, params, n_updates)
+        return params, updates.get("batch_stats", batch_stats), opt_state, ema, n_updates, total
+
+    @jax.jit
+    def many(params, batch_stats, opt_state, ema, batch):
+        def body(i, carry):
+            params, batch_stats, opt_state, ema, tot = carry
+            params, batch_stats, opt_state, ema, n, loss = one_step(
+                params, batch_stats, opt_state, ema, i, batch)
+            return params, batch_stats, opt_state, ema, tot + loss
+
+        carry = jax.lax.fori_loop(
+            0, iters, body, (params, batch_stats, opt_state, ema, jnp.float32(0)))
+        return carry[-1]
+
+    _ = float(many(params, batch_stats, opt_state, ema, dbatch))  # compile+warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(many(params, batch_stats, opt_state, ema, dbatch))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return {"metric": metric, "value": round(batch / best, 1), "unit": "img/s"}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import sys
+
+    augment = "--augment" in sys.argv
+    sfx = "_device_augmented" if augment else ""
+    print(json.dumps(bench_train(
+        "yolov8n.yaml", f"yolov8n_640_train_step_throughput{sfx}",
+        augment=augment)), flush=True)
+    print(json.dumps(bench_train(
+        "vil_yolon.yaml", f"vil_yolon_640_train_step_throughput{sfx}",
+        augment=augment)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
