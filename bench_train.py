@@ -42,8 +42,11 @@ def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
     model = TaskModel(name)
     variables = model.init(0, imgsz=imgsz)
     params, batch_stats = variables["params"], variables["batch_stats"]
+    # lr applied via the same per-step upd*lr tree.map the Trainer uses
+    # (engine/trainer.py _build_step), so this measures the production step
     tx = optax.chain(optax.clip_by_global_norm(0.5),
-                     optax.sgd(0.01, momentum=0.937))
+                     optax.sgd(1.0, momentum=0.937, nesterov=True))
+    lr = jnp.float32(0.01)
     opt_state = tx.init(params)
     ema = jax.tree.map(jnp.copy, params)
 
@@ -80,6 +83,7 @@ def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
 
         (total, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         upd, opt_state = tx.update(grads, opt_state, params)
+        upd = jax.tree.map(lambda u: u * lr, upd)
         params = optax.apply_updates(params, upd)
         n_updates = n_updates + 1
         ema = TU.ema_update(ema, params, n_updates)
@@ -107,9 +111,12 @@ def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
 
 
 def main():
+    from pathlib import Path
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import sys

@@ -144,7 +144,9 @@ def test_pipeline_multistep_training_matches_sequential():
             sharded,
         )
     assert ref[-1] < ref[0]  # it actually optimizes
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+    # rtol 5e-4: accumulated SGD error over 4 steps compounds the per-forward
+    # 2e-5 tolerance — headroom for non-CPU backends (round-2 advisor)
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=1e-6)
 
 
 def test_moe_expert_parallel_multistep_training():

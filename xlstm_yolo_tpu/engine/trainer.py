@@ -339,6 +339,8 @@ class Trainer:
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
         self.variables = {"params": jax.device_get(ema_params), "batch_stats": jax.device_get(batch_stats)}
+        # the raw (non-EMA) weights, for diagnostics and EMA-vs-raw eval audits
+        self.raw_params = jax.device_get(params)
         self.metrics = val_metrics if args.val else {"train_loss": means["loss"]}
         self.run_callbacks("on_params_update")
         self.run_callbacks("on_train_end")
