@@ -55,16 +55,30 @@ class TaskModel:
         self.strides = self._probe_strides()
         self.names = {i: f"{i}" for i in range(self.nc)}
 
-    def set_classes(self, embeddings) -> None:
+    def set_classes(self, embeddings, encoder=None) -> None:
         """Swap the open-vocabulary text embeddings (reference
-        WorldModel.set_classes, nn/tasks.py:752). embeddings: (nt, embed) or
-        (1, nt, embed) precomputed CLIP text vectors; nt becomes nc."""
+        WorldModel.set_classes, nn/tasks.py:752).
+
+        embeddings: precomputed CLIP text vectors — (nt, embed) or
+        (1, nt, embed) — or a list of class STRINGS, encoded in-framework by
+        ``encoder`` (``nn.clip_text.ClipTextEncoder`` or any
+        ``list[str] -> (nt, embed)`` callable; the reference's clip.tokenize
+        + encode_text path, nn/tasks.py:746-763). nt becomes nc."""
+        names = None
+        if isinstance(embeddings, (list, tuple)) and embeddings and isinstance(embeddings[0], str):
+            if encoder is None:
+                raise ValueError(
+                    "set_classes received strings but no text encoder; pass "
+                    "encoder=ClipTextEncoder(...) (nn/clip_text.py) or "
+                    "precomputed embeddings")
+            names = {i: t for i, t in enumerate(embeddings)}
+            embeddings = encoder(list(embeddings))
         e = jnp.asarray(embeddings, jnp.float32)
         if e.ndim == 2:
             e = e[None]
         self.txt_feats = e / jnp.clip(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-6, None)
         self.nc = int(e.shape[1])
-        self.names = {i: f"{i}" for i in range(self.nc)}
+        self.names = names or {i: f"{i}" for i in range(self.nc)}
 
     # -- construction ---------------------------------------------------------
     def _probe_strides(self, imgsz: int = 512) -> tuple:
