@@ -22,7 +22,7 @@ BACKENDS = "/root/reference/nn/modules/vision_lstm/xlstm/blocks/mlstm/backends.p
 VANILLA = "/root/reference/nn/modules/vision_lstm/xlstm/blocks/slstm/src/vanilla/slstm.py"
 
 
-pytestmark = pytest.mark.smoke
+pytestmark = [pytest.mark.smoke, pytest.mark.liveref]
 
 
 def _load(path, name):

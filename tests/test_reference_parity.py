@@ -23,7 +23,7 @@ import pytest
 REF = "/root/reference/__init__.py"
 
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.liveref]
 
 
 def _install_stub_tree(root: str):
@@ -938,3 +938,37 @@ def test_torch_export_loads_into_reference_model(reference, tmp_path):
     tref = (ty[0] if isinstance(ty, (list, tuple)) else ty).numpy()
     jy = np.asarray(jax.jit(ours.predictions)(v, jnp.asarray(img))).transpose(0, 2, 1)
     np.testing.assert_allclose(jy, tref, rtol=1e-3, atol=2e-3)
+
+
+def test_matched_run_convergence_parity(tmp_path):
+    """Training-dynamics parity, end to end: run the SAME 120-step overfit
+    optimization (same on-disk dataset, hypers, schedule) through BOTH
+    frameworks' full Trainer->Validator loops and require our converged mAP
+    to be within 0.1 of the torch reference's (the north-star clause).
+
+    Uses tools/convergence_audit.py, which drives the reference's own
+    DetectionTrainer (/root/reference/models/yolo/detect/train.py) — its
+    numbers are the reference's numbers. Measured at 240/720 steps (round 3):
+    torch mAP50 0.307/0.479, ours 0.317/0.563 — ours at or above reference.
+    """
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    if not pathlib.Path(REF).exists():
+        pytest.skip("reference mount not present")
+    root = pathlib.Path(__file__).resolve().parents[1]
+    outs = {}
+    for side in ("torch", "ours"):
+        out = tmp_path / f"{side}.json"
+        r = subprocess.run(
+            [sys.executable, str(root / "tools/convergence_audit.py"), side,
+             "--epochs", "120", "--out", str(out)],
+            capture_output=True, text=True, timeout=3600, cwd=str(root))
+        assert r.returncode == 0, f"{side} audit failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+        outs[side] = json.loads(out.read_text())
+    t_map50, t_map = outs["torch"]["map50"], outs["torch"]["map"]
+    o_map50, o_map = outs["ours"]["map50_ema"], outs["ours"]["map_ema"]
+    assert o_map50 >= t_map50 - 0.1, (o_map50, t_map50)
+    assert o_map >= t_map - 0.1, (o_map, t_map)

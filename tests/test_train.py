@@ -1,5 +1,7 @@
 """End-to-end training stack tests: data pipeline, trainer, validator,
 checkpointing — all on the 8-device virtual CPU mesh."""
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -243,7 +245,83 @@ def test_train_then_val_map_improves(data_yaml, tmp_path):
     # shapes it overfit. The bar is calibrated to catch the silent-collapse
     # class of bug (un-detached assigner targets / extinguished top-k gave
     # mAP exactly 0.0 at ANY epoch count while train loss fell to ~0.15);
-    # measured healthy run: mAP50 0.45 at 240 epochs (0.0 at ANY epoch
-    # count under the collapse bugs).
-    assert trained["mAP50"] > 0.2, (base["mAP50"], trained["mAP50"])
+    # measured healthy runs: mAP50 0.32-0.45 at 240 epochs — AT/ABOVE the
+    # torch reference on the same run (0.307; tools/convergence_audit.py
+    # + test_matched_run_convergence_parity assert the cross-framework bar).
+    assert trained["mAP50"] > 0.25, (base["mAP50"], trained["mAP50"])
     assert trained["mAP50"] > base["mAP50"] + 0.1, (base["mAP50"], trained["mAP50"])
+
+
+@pytest.mark.smoke
+def test_label_cache_roundtrip(tmp_path):
+    """Persistent label cache: second construction loads the npz instead of
+    re-scanning txt files, and an edited label invalidates the hash
+    (reference data/dataset.py cache_labels / .cache, pickle-free here)."""
+    import time
+
+    from xlstm_yolo_tpu.data.dataset import YOLODataset, check_det_dataset
+
+    yml = make_synthetic_dataset(tmp_path / "ds", n_train=6, n_val=2, imgsz=64)
+    d = check_det_dataset(yml)
+    ds1 = YOLODataset(d["train"], imgsz=64, max_labels=8)
+    cache = next(Path(d["train"]).glob("labels_*.cache.npz"), None)
+    assert cache is not None and cache.exists()
+
+    ds2 = YOLODataset(d["train"], imgsz=64, max_labels=8)
+    assert len(ds2.labels) == len(ds1.labels)
+    for a, b in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(a["cls"], b["cls"])
+        np.testing.assert_allclose(a["xywhn"], b["xywhn"], atol=1e-7)
+
+    # an edited label file invalidates the hash -> rescan picks up new rows
+    from xlstm_yolo_tpu.data.dataset import img2label_path
+
+    target = Path(img2label_path(ds1.files[0]))
+    time.sleep(0.01)
+    target.write_text("2 0.5 0.5 0.25 0.25\n")
+    ds3 = YOLODataset(d["train"], imgsz=64, max_labels=8)
+    assert len(ds3.labels[0]["cls"]) == 1 and ds3.labels[0]["cls"][0] == 2
+    np.testing.assert_allclose(ds3.labels[0]["xywhn"][0], [0.5, 0.5, 0.25, 0.25], atol=1e-6)
+
+
+@pytest.mark.smoke
+def test_disk_image_cache(tmp_path):
+    """cache='disk' persists decoded+resized images as .npy beside the
+    source (reference data/base.py:189) and returns identical pixels."""
+    from xlstm_yolo_tpu.data.dataset import YOLODataset, check_det_dataset
+
+    yml = make_synthetic_dataset(tmp_path / "ds", n_train=3, n_val=1, imgsz=64)
+    d = check_det_dataset(yml)
+    ds = YOLODataset(d["train"], imgsz=64, max_labels=8, cache="disk")
+    a = ds.load_image(0)  # decode + write
+    assert Path(ds.files[0]).with_suffix(".cache.npy").exists()
+    ds2 = YOLODataset(d["train"], imgsz=64, max_labels=8, cache="disk")
+    b = ds2.load_image(0)  # load from npy
+    np.testing.assert_array_equal(a, b)
+    assert ds2.ori_shapes[0] == ds.ori_shapes[0]
+
+
+@pytest.mark.smoke
+def test_loader_worker_pool_batches_match_meta(tmp_path):
+    """workers>0 assembles samples in a thread pool; batches keep the
+    fixed shapes and per-image metadata, and a no-augment run is
+    deterministic across worker counts."""
+    from xlstm_yolo_tpu.data.dataset import Loader, YOLODataset, check_det_dataset
+
+    yml = make_synthetic_dataset(tmp_path / "ds", n_train=8, n_val=2, imgsz=64)
+    d = check_det_dataset(yml)
+
+    def batches(workers):
+        ds = YOLODataset(d["train"], imgsz=64, max_labels=8, augment=False)
+        # force the python collate path (bypass the native assembler) so the
+        # pool actually runs
+        ds.collate_native = lambda idxs: None
+        ld = Loader(ds, 4, shuffle=False, drop_last=False, workers=workers)
+        return list(ld)
+
+    b0, b2 = batches(0), batches(2)
+    assert len(b0) == len(b2) == 2
+    for x, y in zip(b0, b2):
+        np.testing.assert_allclose(x["img"], y["img"], atol=1e-7)
+        np.testing.assert_allclose(x["cls_boxes"], y["cls_boxes"], atol=1e-6)
+        np.testing.assert_array_equal(x["mask"], y["mask"])

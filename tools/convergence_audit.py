@@ -56,6 +56,9 @@ def run_ours(epochs: int, out: str, platform: str = "cpu"):
 
     data_yaml, overfit_yaml = get_dataset()
     model = TaskModel("yolov8n.yaml", nc=3)
+    stale = Path("/tmp/convaudit_runs/ours/results.csv")
+    if stale.exists():
+        stale.unlink()  # Trainer appends; keep the loss curves single-run
     tr = Trainer(model, overrides={
         "data": data_yaml, "epochs": epochs, "imgsz": 96, "batch": 8, "val": False,
         "project": "/tmp/convaudit_runs", "name": "ours", "max_labels": 16,
