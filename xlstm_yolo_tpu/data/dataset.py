@@ -77,6 +77,85 @@ def img2label_path(img_path: str) -> str:
     return sb.join(img_path.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
 
 
+# ---------------------------------------------------------------------------
+# persistent label cache (reference data/dataset.py cache_labels -> .cache)
+# ---------------------------------------------------------------------------
+
+_CACHE_VERSION = 1
+
+
+def _labels_hash(files: list) -> str:
+    """Validation hash over image paths + label (path, size, mtime) — the
+    reference hashes sizes+paths (data/utils.py get_hash); mtime added so an
+    edited-in-place label file invalidates too."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        lp = img2label_path(f)
+        try:
+            st = os.stat(lp)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(b"-")
+    return h.hexdigest()
+
+
+def _pack_labels(labels: list, task: str) -> dict:
+    """Per-image label dicts -> flat arrays + offsets (np.savez-able with NO
+    pickle — unlike the reference's pickled .cache, this stays loadable
+    under any numpy and carries no code-execution surface)."""
+    counts = np.asarray([len(lb["cls"]) for lb in labels], np.int64)
+    out = {
+        "counts": counts,
+        "cls": np.concatenate([lb["cls"] for lb in labels]) if counts.sum() else np.zeros(0, np.float32),
+        "xywhn": np.concatenate([lb["xywhn"] for lb in labels]) if counts.sum() else np.zeros((0, 4), np.float32),
+    }
+    if task == "segment":
+        seg_counts, seg_lens, pts = [], [], []
+        for lb in labels:
+            segs = lb["segments"]
+            seg_counts.append(len(segs))
+            for s in segs:
+                seg_lens.append(len(s))
+                pts.append(s)
+        out["seg_counts"] = np.asarray(seg_counts, np.int64)
+        out["seg_lens"] = np.asarray(seg_lens, np.int64)
+        out["seg_pts"] = (np.concatenate(pts).astype(np.float32)
+                          if pts else np.zeros((0, 2), np.float32))
+    elif task == "pose":
+        out["keypoints"] = (np.concatenate([lb["keypoints"] for lb in labels])
+                            if counts.sum() else np.zeros((0, 1, 3), np.float32))
+    elif task == "obb":
+        out["obb_corners"] = (np.concatenate([lb["obb_corners"] for lb in labels])
+                              if counts.sum() else np.zeros((0, 4, 2), np.float32))
+    return out
+
+
+def _unpack_labels(z, task: str) -> list:
+    counts = z["counts"]
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    labels = []
+    if task == "segment":
+        seg_offs = np.concatenate([[0], np.cumsum(z["seg_counts"])])
+        pt_offs = np.concatenate([[0], np.cumsum(z["seg_lens"])])
+    for i, n in enumerate(counts):
+        a, b = offs[i], offs[i + 1]
+        lb = {"cls": z["cls"][a:b].astype(np.float32),
+              "xywhn": z["xywhn"][a:b].astype(np.float32)}
+        if task == "segment":
+            sa, sb = seg_offs[i], seg_offs[i + 1]
+            lb["segments"] = [z["seg_pts"][pt_offs[k]: pt_offs[k + 1]].astype(np.float32)
+                              for k in range(sa, sb)]
+        elif task == "pose":
+            lb["keypoints"] = z["keypoints"][a:b].astype(np.float32)
+        elif task == "obb":
+            lb["obb_corners"] = z["obb_corners"][a:b].astype(np.float32)
+        labels.append(lb)
+    return labels
+
+
 class YOLODataset:
     """Dataset over a YOLO-format directory tree.
 
@@ -112,7 +191,7 @@ class YOLODataset:
         self.files = self._scan(img_path)
         if fraction < 1.0:
             self.files = self.files[: max(1, round(len(self.files) * fraction))]
-        self.labels = [self._load_label(f) for f in self.files]
+        self.labels = self._load_labels_cached(img_path)
         self.ni = len(self.files)
         # original (h, w) per image, filled lazily by load_image; used by the
         # validator to un-letterbox predictions (reference ops.scale_boxes)
@@ -141,6 +220,40 @@ class YOLODataset:
         else:
             raise FileNotFoundError(f"invalid dataset path {img_path}")
         return files
+
+    def _cache_path(self, img_path) -> Path | None:
+        """labels.cache.npz beside the labels dir (reference cache_labels
+        writes ``<labels>.cache``, data/dataset.py)."""
+        p = Path(img_path[0] if isinstance(img_path, (list, tuple)) else img_path)
+        base = p if p.is_dir() else p.parent
+        try:
+            base.mkdir(parents=True, exist_ok=True)
+            return base / f"labels_{self.task}.cache.npz"
+        except OSError:
+            return None
+
+    def _load_labels_cached(self, img_path) -> list:
+        """Hash-validated persistent label cache: the per-file txt scan runs
+        once per dataset state; later runs load one npz (reference
+        data/dataset.py cache_labels / .cache, but pickle-free)."""
+        cp = self._cache_path(img_path)
+        want = _labels_hash(self.files)
+        if cp is not None and cp.exists():
+            try:
+                with np.load(cp, allow_pickle=False) as z:
+                    if (int(z["version"]) == _CACHE_VERSION and str(z["hash"]) == want
+                            and int(z["counts"].shape[0]) == len(self.files)):
+                        return _unpack_labels(z, self.task)
+            except Exception:
+                pass  # corrupt/stale cache -> rescan below
+        labels = [self._load_label(f) for f in self.files]
+        if cp is not None:
+            try:
+                np.savez(cp, version=_CACHE_VERSION, hash=want,
+                         **_pack_labels(labels, self.task))
+            except OSError:
+                pass  # read-only dataset dir: stay scan-per-run
+        return labels
 
     def _load_label(self, img_file: str):
         """Task-dependent label dict:
@@ -202,6 +315,17 @@ class YOLODataset:
             hit = self._im_cache.get(i)
             if hit is not None:
                 return hit
+        src = Path(self.files[i])
+        if self.cache == "disk":
+            # decoded+resized image persisted beside the source (reference
+            # data/base.py:189 cache_images_to_disk .npy): epoch 1 of run 1
+            # pays the JPEG decode, everything after memory-maps
+            npy = src.with_suffix(".cache.npy")
+            if npy.exists() and npy.stat().st_mtime >= src.stat().st_mtime:
+                img = np.load(npy, mmap_mode="r", allow_pickle=False)
+                self.ori_shapes.setdefault(i, tuple(
+                    np.load(src.with_suffix(".cache.shape.npy"), allow_pickle=False)))
+                return np.asarray(img)
         img = cv2.imread(self.files[i])
         if img is None:
             raise FileNotFoundError(self.files[i])
@@ -215,6 +339,12 @@ class YOLODataset:
                              interpolation=cv2.INTER_LINEAR)
         if self.cache == "ram":
             self._im_cache[i] = img
+        elif self.cache == "disk":
+            try:
+                np.save(src.with_suffix(".cache.npy"), img)
+                np.save(src.with_suffix(".cache.shape.npy"), np.asarray([h, w]))
+            except OSError:
+                pass  # read-only dataset dir
         return img
 
     def labels_px(self, i: int, shape) -> np.ndarray:
@@ -459,7 +589,7 @@ class Loader:
 
     def __init__(self, dataset: YOLODataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1, workers: int = 0):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -468,6 +598,12 @@ class Loader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.num_shards = num_shards
+        # decode/augment worker threads inside the producer (the reference's
+        # dataloader workers, data/build.py:135). Threads, not processes:
+        # cv2's decode/warp/resize release the GIL, so samples assemble in
+        # parallel on multi-core hosts without pickling batches across
+        # process boundaries. 0 = assemble inline in the producer thread.
+        self.workers = max(0, int(workers))
         self.epoch = 0
 
     def __len__(self):
@@ -499,6 +635,25 @@ class Loader:
                     continue
             return False
 
+        pool = None
+        if self.workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(self.workers, thread_name_prefix="loader")
+
+        def _assemble(batch_idx):
+            if pool is not None:
+                # per-sample seeds: the shared rng is not thread-safe, and
+                # derived seeds keep sample streams reproducible regardless
+                # of worker scheduling order
+                seeds = rng.integers(0, 2**31 - 1, len(batch_idx))
+                samples = list(pool.map(
+                    lambda a: self.ds.get_sample(int(a[0]), np.random.default_rng(int(a[1]))),
+                    zip(batch_idx, seeds)))
+            else:
+                samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
+            return self.ds.collate(samples, batch_idx)
+
         def producer():
             # any producer exception must reach the consumer — a silently
             # dead producer leaves q.get() blocked forever (observed as a
@@ -510,13 +665,15 @@ class Loader:
                     batch_idx = idxs[b * self.bs : (b + 1) * self.bs]
                     batch = self.ds.collate_native(batch_idx) if use_native else None
                     if batch is None:
-                        samples = [self.ds.get_sample(int(i), rng) for i in batch_idx]
-                        batch = self.ds.collate(samples, batch_idx)
+                        batch = _assemble(batch_idx)
                     if not _put(batch):
                         return
             except BaseException as e:  # noqa: BLE001 — re-raised in consumer
                 _put(e)
                 return
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
             _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -539,7 +696,7 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
                      max_labels: int = 128, seed: int = 0, fraction: float = 1.0,
                      single_cls: bool = False, task: str = "detect",
                      embed_fn=None, text_cfg: dict | None = None,
-                     cache: str | bool = False):
+                     cache: str | bool = False, workers: int = 0):
     """Convenience: dataset YAML/dir -> (Loader, data_dict).
 
     task="world": open-vocab training — a MultiModalDataset samples per-batch
@@ -554,7 +711,8 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
         ds = ClassificationDataset(str(split_dir), imgsz=imgsz, augment=augment,
                                    hyp=hyp, fraction=fraction)
         d = {"names": ds.names, "nc": len(ds.names), "path": root}
-        return Loader(ds, batch, shuffle=augment, seed=seed, drop_last=augment), d
+        return Loader(ds, batch, shuffle=augment, seed=seed, drop_last=augment,
+                      workers=workers), d
     d = check_det_dataset(data_yaml)
     kpt_shape = tuple(d.get("kpt_shape", (17, 3)))
     if isinstance(hyp, dict) and d.get("flip_idx"):
@@ -578,7 +736,8 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
     # eval must see EVERY image: keep the tail batch (one extra XLA program
     # for its smaller shape) instead of silently dropping the remainder
     return Loader(ds, batch, shuffle=augment, seed=seed, drop_last=augment,
-                  shard_index=shard_index, num_shards=num_shards), d
+                  shard_index=shard_index, num_shards=num_shards,
+                  workers=workers), d
 
 
 class ClassificationDataset:

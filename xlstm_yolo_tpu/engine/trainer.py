@@ -170,6 +170,7 @@ class Trainer:
             # with device-side augmentation the host path is letterbox-only
             augment=False if dev_aug else None,
             cache=getattr(args, "cache", False),
+            workers=int(getattr(args, "workers", 0) or 0),
         )
         self.data = data_dict
         if self.model.nc != data_dict["nc"]:
