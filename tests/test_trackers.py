@@ -83,3 +83,55 @@ def test_kalman_converges():
         mean, cov = kf.update(mean, cov, np.asarray([50.0 + 3 * t, 50.0, 1.0, 20.0]))
     assert abs(mean[0] - (50 + 3 * 19)) < 1.0
     assert abs(mean[4] - 3.0) < 0.5  # velocity estimate
+
+
+@pytest.mark.smoke
+def test_gmc_methods_recover_translation():
+    """Golden-motion check: every GMC method must recover a pure camera
+    translation from a textured frame pair (reference
+    trackers/utils/gmc.py supports orb/sift/ecc/sparseOptFlow; the method
+    param must actually switch algorithms)."""
+    import cv2
+
+    from xlstm_yolo_tpu.trackers.bot_sort import GMC
+
+    rng = np.random.default_rng(0)
+    canvas = (rng.integers(0, 255, (300, 400), np.uint8))
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 2)  # trackable blobs, not noise
+    dx, dy = 6, -4
+    f1 = canvas[50:250, 50:350]
+    f2 = canvas[50 + dy: 250 + dy, 50 + dx: 350 + dx]
+
+    for method in ("sparseOptFlow", "orb", "sift", "ecc"):
+        gmc = GMC(method=method, downscale=1)
+        first = gmc.apply(f1)
+        np.testing.assert_allclose(first, np.eye(2, 3), atol=1e-6)
+        H = gmc.apply(f2)
+        # camera moved by (dx, dy): previous-frame content appears at -d
+        assert abs(H[0, 2] + dx) < 1.5 and abs(H[1, 2] + dy) < 1.5, (method, H)
+        np.testing.assert_allclose(H[:2, :2], np.eye(2), atol=0.05)
+
+    # method switch is real: unknown methods rejected, none is identity
+    with pytest.raises(ValueError):
+        GMC(method="bogus")
+    assert np.allclose(GMC(method="none").apply(f1), np.eye(2, 3))
+
+
+@pytest.mark.smoke
+def test_gmc_features_mask_detections():
+    """Detection boxes are excluded from the camera-motion vote (reference
+    gmc.py:196-199): a frame pair whose only in-box content moves must
+    still report identity-ish motion."""
+    from xlstm_yolo_tpu.trackers.bot_sort import GMC
+
+    import cv2
+
+    rng = np.random.default_rng(1)
+    bg = cv2.GaussianBlur(rng.integers(0, 255, (200, 300), np.uint8), (5, 5), 2)
+    f1, f2 = bg.copy(), bg.copy()
+    f1[80:120, 100:140] = 255  # bright object...
+    f2[80:120, 130:170] = 255  # ...moves right by 30px; background is static
+    gmc = GMC(method="orb", downscale=1)
+    gmc.apply(f1, detections=[np.asarray([95, 75, 175, 125], float)])
+    H = gmc.apply(f2, detections=[np.asarray([95, 75, 175, 125], float)])
+    assert abs(H[0, 2]) < 3 and abs(H[1, 2]) < 3, H

@@ -10,23 +10,74 @@ from .matching import embedding_distance, iou_distance, linear_assignment
 
 
 class GMC:
-    """Global (camera) motion compensation via sparse optical flow
-    (reference trackers/utils/gmc.py:11, method=sparseOptFlow)."""
+    """Global (camera) motion compensation (reference trackers/utils/gmc.py:11).
+
+    Methods: ``sparseOptFlow`` (Shi-Tomasi corners + pyramidal LK),
+    ``orb`` (FAST detect + ORB describe + Hamming BF match),
+    ``sift`` (SIFT detect/describe + L2 BF match),
+    ``ecc`` (Enhanced Correlation Coefficient euclidean warp),
+    ``none``. Every method returns a 2x3 affine mapping PREVIOUS-frame
+    coordinates into the current frame; the translation columns are scaled
+    back up when frames are processed downscaled.
+    """
 
     def __init__(self, method: str = "sparseOptFlow", downscale: int = 2):
-        self.method = method
-        self.downscale = max(1, int(downscale))
-        self.prev_gray = None
-        self.prev_pts = None
+        import cv2
 
-    def apply(self, img: np.ndarray) -> np.ndarray:
-        if self.method in ("none", None) or img is None:
-            return np.eye(2, 3)
+        self.method = None if method in ("none", "None", None) else str(method)
+        self.downscale = max(1, int(downscale))
+        if self.method == "orb":
+            self.detector = cv2.FastFeatureDetector_create(20)
+            self.extractor = cv2.ORB_create()
+            self.matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+        elif self.method == "sift":
+            self.detector = self.extractor = cv2.SIFT_create(
+                nOctaveLayers=3, contrastThreshold=0.02, edgeThreshold=20)
+            self.matcher = cv2.BFMatcher(cv2.NORM_L2)
+        elif self.method == "ecc":
+            self.warp_mode = cv2.MOTION_EUCLIDEAN
+            self.criteria = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 5000, 1e-6)
+        elif self.method not in ("sparseOptFlow", None):
+            raise ValueError(f"unknown GMC method {method!r}")
+        self.reset()
+
+    def reset(self) -> None:
+        self.prev_gray = None
+        self.prev_kps = None
+        self.prev_desc = None
+
+    def _gray(self, img) -> np.ndarray:
         import cv2
 
         gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY) if img.ndim == 3 else img
+        if self.method == "ecc" and self.downscale > 1:
+            gray = cv2.GaussianBlur(gray, (3, 3), 1.5)
         if self.downscale > 1:
-            gray = cv2.resize(gray, (gray.shape[1] // self.downscale, gray.shape[0] // self.downscale))
+            gray = cv2.resize(gray, (gray.shape[1] // self.downscale,
+                                     gray.shape[0] // self.downscale))
+        return gray
+
+    def _upscaled(self, H: np.ndarray) -> np.ndarray:
+        if self.downscale > 1:
+            H = H.copy()
+            H[0, 2] *= self.downscale
+            H[1, 2] *= self.downscale
+        return H
+
+    def apply(self, img: np.ndarray, detections=None) -> np.ndarray:
+        if self.method is None or img is None:
+            return np.eye(2, 3)
+        if self.method in ("orb", "sift"):
+            return self._apply_features(img, detections)
+        if self.method == "ecc":
+            return self._apply_ecc(img)
+        return self._apply_sparse_flow(img)
+
+    # -- sparse optical flow (reference gmc.py apply_sparseoptflow) ----------
+    def _apply_sparse_flow(self, img) -> np.ndarray:
+        import cv2
+
+        gray = self._gray(img)
         H = np.eye(2, 3)
         if self.prev_gray is not None:
             pts = cv2.goodFeaturesToTrack(self.prev_gray, maxCorners=200, qualityLevel=0.01,
@@ -38,11 +89,75 @@ class GMC:
                 if len(good_prev) >= 4:
                     m, _ = cv2.estimateAffinePartial2D(good_prev, good_next, method=cv2.RANSAC)
                     if m is not None:
-                        H = m
-                        if self.downscale > 1:
-                            H[0, 2] *= self.downscale
-                            H[1, 2] *= self.downscale
+                        H = self._upscaled(m)
         self.prev_gray = gray
+        return H
+
+    # -- ECC direct image alignment (reference gmc.py apply_ecc) -------------
+    def _apply_ecc(self, img) -> np.ndarray:
+        import cv2
+
+        gray = self._gray(img)
+        H = np.eye(2, 3, dtype=np.float32)
+        if self.prev_gray is not None:
+            try:
+                _, H = cv2.findTransformECC(self.prev_gray, gray, H, self.warp_mode,
+                                            self.criteria, None, 1)
+                H = self._upscaled(H)
+            except cv2.error:
+                H = np.eye(2, 3, dtype=np.float32)  # non-convergence -> identity
+        self.prev_gray = gray
+        return H
+
+    # -- keypoint methods (reference gmc.py apply_features) ------------------
+    def _apply_features(self, img, detections=None) -> np.ndarray:
+        import cv2
+
+        gray = self._gray(img)
+        h, w = gray.shape
+        H = np.eye(2, 3)
+        # border mask + detection exclusion: moving objects must not vote on
+        # camera motion (reference gmc.py:193-199)
+        mask = np.zeros_like(gray)
+        mask[int(0.02 * h): int(0.98 * h), int(0.02 * w): int(0.98 * w)] = 255
+        if detections is not None:
+            for det in detections:
+                x1, y1, x2, y2 = (np.asarray(det[:4]) / self.downscale).astype(int)
+                mask[y1:y2, x1:x2] = 0
+        kps = self.detector.detect(gray, mask)
+        kps, desc = self.extractor.compute(gray, kps)
+
+        if self.prev_desc is not None and desc is not None and len(desc) >= 2 \
+                and len(self.prev_desc) >= 2:
+            # Lowe ratio test + spatial gate (<= 25% of frame) + 2.5-sigma
+            # displacement inlier filter, then partial-affine RANSAC
+            knn = self.matcher.knnMatch(self.prev_desc, desc, 2)
+            max_dxy = 0.25 * np.asarray([w, h])
+            cand, disp = [], []
+            for pair in knn:
+                if len(pair) < 2:
+                    continue
+                m, n = pair
+                if m.distance < 0.9 * n.distance:
+                    d = (np.asarray(self.prev_kps[m.queryIdx].pt)
+                         - np.asarray(kps[m.trainIdx].pt))
+                    if (np.abs(d) < max_dxy).all():
+                        cand.append(m)
+                        disp.append(d)
+            if cand:
+                disp = np.asarray(disp)
+                ok = (np.abs(disp - disp.mean(0)) < 2.5 * disp.std(0) + 1e-9).all(-1)
+                prev_pts = np.asarray([self.prev_kps[m.queryIdx].pt
+                                       for m, k in zip(cand, ok) if k])
+                curr_pts = np.asarray([kps[m.trainIdx].pt
+                                       for m, k in zip(cand, ok) if k])
+                if len(prev_pts) > 4:
+                    m, _ = cv2.estimateAffinePartial2D(prev_pts, curr_pts, cv2.RANSAC)
+                    if m is not None:
+                        H = self._upscaled(m)
+        self.prev_gray = gray
+        self.prev_kps = kps
+        self.prev_desc = desc
         return H
 
 
