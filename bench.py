@@ -86,12 +86,26 @@ def bench_model(name: str, metric: str, imgsz: int = 640, batch: int = 256,
 
 
 def main():
+    from pathlib import Path
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     print(json.dumps(bench_model("yolov8n.yaml", "yolov8n_640_e2e_throughput")), flush=True)
+
+    # training-step throughput (full jit'd step: bf16 fwd + TAL loss + bwd +
+    # clip + SGD + EMA at B128/640 — bench_train.py), driver-visible per
+    # round since r3
+    from bench_train import bench_train
+
+    print(json.dumps(bench_train(
+        "yolov8n.yaml", "yolov8n_640_train_step_throughput")), flush=True)
+    print(json.dumps(bench_train(
+        "vil_yolon.yaml", "vil_yolon_640_train_step_throughput")), flush=True)
+
     # flagship last: the driver's parsed line
     print(json.dumps(bench_model("vil_yolon.yaml", "vil_yolon_640_e2e_throughput")), flush=True)
 

@@ -181,13 +181,21 @@ class Trainer:
 
         # mesh + state ------------------------------------------------------
         tp, sp = int(args.mesh_tp), int(args.mesh_sp)
+        pp, ep = int(getattr(args, "mesh_pp", 1)), int(getattr(args, "mesh_ep", 1))
         dp = int(args.mesh_dp)
         if dp == -1:
-            dp = len(jax.devices()) // (tp * sp)
+            dp = len(jax.devices()) // (tp * sp * pp * ep)
         while dp > 1 and batch % dp != 0:  # dp must divide the global batch
             dp -= 1
-        mesh = M.build_mesh(dp=dp, tp=tp, sp=sp, devices=jax.devices()[: dp * tp * sp])
+        mesh = M.build_mesh(dp=dp, tp=tp, sp=sp, pp=pp, ep=ep,
+                            devices=jax.devices()[: dp * tp * sp * pp * ep])
         self.mesh = mesh
+        if pp > 1:
+            # stacked-param GPipe over the ViL trunk (nn/tasks.py
+            # enable_pipeline) — must precede init: the param layout changes
+            n_piped = self.model.enable_pipeline(
+                mesh, microbatches=int(getattr(args, "pp_microbatches", 0)))
+            print(f"pipeline parallelism: {n_piped} ViL stage(s) over pp={pp}")
         if self.variables is None:
             self.variables = self.model.init(int(args.seed), imgsz=imgsz)
         nb = len(self.loader)

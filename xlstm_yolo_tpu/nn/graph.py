@@ -336,7 +336,8 @@ def parse_model(cfg: dict, ch: int = 3, scale: str | None = None, verbose: bool 
             c2 = 0
         else:  # custom kinds are handled by the registered class itself
             c2, margs, kwargs = cls.parse(  # type: ignore[attr-defined]
-                args, channels, fs, nc=nc, width=width, depth=depth, n=n_rep
+                args, channels, fs, nc=nc, width=width, depth=depth, n=n_rep,
+                max_ch=max_ch,
             )
             n_rep = 1
 

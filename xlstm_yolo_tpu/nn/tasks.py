@@ -80,6 +80,39 @@ class TaskModel:
         self.nc = int(e.shape[1])
         self.names = names or {i: f"{i}" for i in range(self.nc)}
 
+    def enable_pipeline(self, mesh, microbatches: int = 0) -> int:
+        """Turn on pipeline parallelism for this model's ViL trunk.
+
+        Rewrites every ViLBlockPairBlock spec to the stacked-parameter GPipe
+        layout (nn/vil_blocks.py) over ``mesh``'s pp axis and rebuilds the
+        graph module. Must be called BEFORE init() — the parameter tree
+        changes (per-pair subtrees become one stacked 'pairs' tree). Returns
+        the number of pipelined blocks (0 = model has no ViL stages; the pp
+        axis then only replicates). A capability the reference lacks
+        (SURVEY.md §2.11: its trainer is DP-only, engine/trainer.py:198-229).
+        """
+        import dataclasses
+
+        pp = int(mesh.shape.get("pp", 1))
+        count = 0
+        specs = []
+        for s in self.parsed.specs:
+            if s.name == "ViLBlockPairBlock" and pp > 1:
+                kw = dict(s.kwargs)
+                n = int(kw.get("n", 1))
+                if n % pp:
+                    raise ValueError(
+                        f"layer {s.i}: {n} ViL pairs not divisible by pp={pp} "
+                        f"(pick a model scale with n % pp == 0)")
+                kw.update(pp_stages=pp, pp_microbatches=int(microbatches),
+                          pp_mesh=mesh)
+                s = dataclasses.replace(s, kwargs=tuple(kw.items()))
+                count += 1
+            specs.append(s)
+        self.parsed = dataclasses.replace(self.parsed, specs=tuple(specs))
+        self.module = GraphModel(self.parsed)
+        return count
+
     # -- construction ---------------------------------------------------------
     def _probe_strides(self, imgsz: int = 512) -> tuple:
         """Abstract forward to find detection-scale strides (fork probes at 512)."""
@@ -172,7 +205,24 @@ class TaskModel:
         batch: {"img": (B, H, W, 3) float, "cls_boxes": (B, n_max, 5|6),
                 "mask": (B, n_max) bool} + task extras ("masks" for segment,
                 "keypoints" for pose, "label" for classify).
+
+        Models containing MoE blocks (MoEFFN) sow a Switch-style
+        load-balance loss into the "losses" collection; it is added here
+        weighted by hyp.moe_aux (default 0.01) — a capability the reference
+        lacks (no MoE anywhere in its zoo).
         """
+        (total, aux), updates = self._loss_impl(variables, batch, hyp, train)
+        if isinstance(updates, dict) and "losses" in updates:
+            sown = jax.tree.leaves(updates["losses"])
+            if sown:
+                moe = sum(jnp.sum(jnp.asarray(v)) for v in sown)
+                w = float(getattr(hyp, "moe_aux", 0.01)) if hyp is not None else 0.01
+                total = total + w * moe
+                aux = {**aux, "moe_aux": moe}
+            updates = {k: v for k, v in updates.items() if k != "losses"}
+        return (total, aux), updates
+
+    def _loss_impl(self, variables: dict, batch: dict, hyp: Any = None, train: bool = True):
         from ..utils import loss as L
 
         g = lambda k, d: float(getattr(hyp, k, d)) if hyp is not None else d
@@ -201,7 +251,8 @@ class TaskModel:
         guide = batch.get("txt_feats", self.txt_feats)
         if train:
             out, updates = self.module.apply(
-                variables, batch["img"], train=True, mutable=["batch_stats"],
+                variables, batch["img"], train=True,
+                mutable=["batch_stats", "losses"],
                 head_kwargs=head_kwargs, guide=guide,
             )
         else:

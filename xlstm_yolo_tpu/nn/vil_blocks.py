@@ -39,7 +39,7 @@ class _Custom:
     """Mixin tag: graph compiler calls cls.parse(args, channels, fs, ...)."""
 
     @classmethod
-    def parse(cls, args, channels, fs, nc=80, width=1.0, depth=1.0, n=1):  # pragma: no cover
+    def parse(cls, args, channels, fs, nc=80, width=1.0, depth=1.0, n=1, **kw):  # pragma: no cover
         raise NotImplementedError
 
 
@@ -54,9 +54,18 @@ class ViLBlockPairBlock(nn.Module, _Custom):
     c2: int
     config: tuple = ()
     n: int = 1
+    # pipeline parallelism (set by TaskModel.enable_pipeline, not YAML):
+    # pp_stages > 1 switches the n pairs to a STACKED param layout
+    # ("pairs": leading axis n) and runs them as a GPipe pipeline over the
+    # mesh's pp axis (n/pp pairs per rank). pp_mesh is the trainer mesh;
+    # without it (or with non-divisible shapes) the stacked params apply
+    # sequentially — identical math, so eval/stride-probe need no mesh.
+    pp_stages: int = 0
+    pp_microbatches: int = 0
+    pp_mesh: object = None
 
     @classmethod
-    def parse(cls, args, channels, fs, n=1, width=1.0, **kw):
+    def parse(cls, args, channels, fs, n=1, width=1.0, max_ch=float("inf"), **kw):
         from .graph import make_divisible
 
         # reference convention: args = [c1, c2, config] (nn/tasks.py:1212)
@@ -64,8 +73,23 @@ class ViLBlockPairBlock(nn.Module, _Custom):
             c2, config = args[1], (args[2] if len(args) > 2 else {})
         else:
             c2, config = args[0], (args[1] if len(args) > 1 else {})
-        c2 = make_divisible(c2 * width, 8)
+        # max_channels cap like the Conv path (scales like vil_yolo "l"
+        # cap at 512 — without it the ViL dim diverges from its input)
+        c2 = make_divisible(min(c2, max_ch) * width, 8)
         return c2, [c2], {"config": config, "n": n}
+
+    def _pair_kwargs(self, seqlens):
+        cfg = _cfg(self.config)
+        return dict(
+            dim=self.c2,
+            qkv_block_size=int(cfg.get("qkv_block_size", 16)),
+            seqlens=seqlens,
+            chunk_size=int(cfg.get("chunk_size", 256)),
+            conv_kernel_size=int(cfg.get("conv_kernel_size", 3)),
+            igate_act=str(cfg.get("igate_act", "exp")),
+            bidirectional=bool(cfg.get("bidirectional", False)),
+            mlstm_backend=str(cfg.get("backend", "auto")),
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,19 +99,58 @@ class ViLBlockPairBlock(nn.Module, _Custom):
         if x.ndim >= 4:
             seqlens = tuple(x.shape[1:-1])
         x = x.reshape(x.shape[0], -1, x.shape[-1])
-        for i in range(self.n):
-            x = V.ViLBlockPair(
-                dim=self.c2,
-                qkv_block_size=int(cfg.get("qkv_block_size", 16)),
-                seqlens=seqlens,
-                chunk_size=int(cfg.get("chunk_size", 256)),
-                conv_kernel_size=int(cfg.get("conv_kernel_size", 3)),
-                igate_act=str(cfg.get("igate_act", "exp")),
-                bidirectional=bool(cfg.get("bidirectional", False)),
-                mlstm_backend=str(cfg.get("backend", "auto")),
-                name=f"pair{i}",
-            )(x)
+        if self.pp_stages > 1:
+            x = self._call_pipelined(x, seqlens)
+        else:
+            for i in range(self.n):
+                x = V.ViLBlockPair(**self._pair_kwargs(seqlens), name=f"pair{i}")(x)
         return x.reshape(shp)
+
+    def _call_pipelined(self, x, seqlens):
+        from ..parallel.pipeline import pipeline_apply_nested
+
+        pp = self.pp_stages
+        if self.n % pp:
+            raise ValueError(
+                f"pipeline over pp={pp} needs the pair count ({self.n}) "
+                f"divisible — use a scale with n % pp == 0 blocks per stage")
+        pair = V.ViLBlockPair(**self._pair_kwargs(seqlens), parent=None)
+
+        def init_stacked(rng):
+            dummy = jnp.zeros((1,) + x.shape[1:], x.dtype)
+            trees = [pair.init(jax.random.fold_in(rng, i), dummy)["params"]
+                     for i in range(self.n)]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+        stacked = self.param("pairs", init_stacked)
+
+        def apply_one(ptree, a):
+            return pair.apply({"params": ptree}, a)
+
+        mesh = self.pp_mesh
+        M = self.pp_microbatches or pp
+        piped = (mesh is not None and getattr(mesh, "shape", {}).get("pp", 1) == pp)
+        if piped:
+            # local (per-dp-rank) batch must divide into microbatches
+            dp = mesh.shape.get("dp", 1)
+            piped = x.shape[0] % (dp * M) == 0
+        if piped:
+            per_stage = self.n // pp
+            grouped = jax.tree.map(
+                lambda p: p.reshape((pp, per_stage) + p.shape[1:]), stacked)
+
+            def stage_fn(pslice, a):
+                for k in range(per_stage):
+                    a = apply_one(jax.tree.map(lambda p: p[k], pslice), a)
+                return a
+
+            return pipeline_apply_nested(mesh, stage_fn, grouped, x,
+                                         num_microbatches=M)
+        # sequential fallback: same parameters, same math (eval, stride
+        # probe, meshless contexts, tail batches)
+        for i in range(self.n):
+            x = apply_one(jax.tree.map(lambda p: p[i], stacked), x)
+        return x
 
 
 class SequenceToImage(nn.Module, _Custom):
@@ -423,7 +486,7 @@ class ViLFusionBlock(nn.Module, _Custom):
     n: int = 1
 
     @classmethod
-    def parse(cls, args, channels, fs, nc=80, width=1.0, depth=1.0):
+    def parse(cls, args, channels, fs, nc=80, width=1.0, depth=1.0, **kw):
         c2 = args[1]
         config = args[2] if len(args) > 2 else {}
         n = args[3] if len(args) > 3 else 1
@@ -551,11 +614,43 @@ class mLSTMVisionBlockWrap(nn.Module, _Custom):
         return y.reshape(shp)
 
 
+class MoEFFNBlock(nn.Module, _Custom):
+    """Mixture-of-Experts FFN as a YAML graph block (ep-shardable).
+
+    YAML: ``[-1, 1, MoEFFN, [num_experts, top_k]]`` — a channel-preserving
+    token FFN with top-k routing (parallel/moe.py). Under a mesh with ep > 1
+    the expert weights shard over the ep axis (parallel/mesh.py rule) and XLA
+    partitions the dispatch einsums. The Switch aux loss is sown into the
+    "losses" collection and added by TaskModel.loss (hyp.moe_aux). A
+    capability the reference lacks (no MoE in its zoo)."""
+
+    c2: int
+    num_experts: int = 4
+    top_k: int = 1
+
+    @classmethod
+    def parse(cls, args, channels, fs, **kw):
+        c1 = channels[fs[0] + 1]
+        return c1, [c1], {"num_experts": int(args[0]) if args else 4,
+                          "top_k": int(args[1]) if len(args) > 1 else 1}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..parallel.moe import MoEFeedForward
+
+        shp = x.shape
+        tokens = x.reshape(x.shape[0], -1, x.shape[-1])
+        y = MoEFeedForward(dim=self.c2, num_experts=self.num_experts,
+                           top_k=self.top_k, name="moe")(tokens)
+        return (tokens + y).reshape(shp)  # residual FFN
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 for _name, _cls in [
     ("ViLBlockPairBlock", ViLBlockPairBlock),
+    ("MoEFFN", MoEFFNBlock),
     ("SequenceToImage", SequenceToImage),
     ("ImageToSequence", ImageToSequence),
     ("PermuteBlock", PermuteBlock),

@@ -23,15 +23,19 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def build_mesh(dp: int = -1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
-    """Create a (dp, tp, sp) mesh. dp = -1 fills with remaining devices."""
+def build_mesh(dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1, ep: int = 1,
+               devices=None) -> Mesh:
+    """Create a (dp, tp, sp, pp, ep) mesh. dp = -1 fills with remaining
+    devices. pp pipelines stacked block groups (parallel/pipeline.py); ep
+    shards MoE expert weights (parallel/moe.py). Size-1 axes cost nothing —
+    the mesh always carries all five names so sharding specs stay uniform."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp == -1:
-        dp = n // (tp * sp)
-    assert dp * tp * sp == n, f"mesh {dp}x{tp}x{sp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp, sp)
-    return Mesh(arr, axis_names=("dp", "tp", "sp"))
+        dp = n // (tp * sp * pp * ep)
+    assert dp * tp * sp * pp * ep == n, f"mesh {dp}x{tp}x{sp}x{pp}x{ep} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, tp, sp, pp, ep)
+    return Mesh(arr, axis_names=("dp", "tp", "sp", "pp", "ep"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -95,10 +99,23 @@ def param_sharding_rules(mesh: Mesh, params):
     HEADWISE = ("q_proj", "k_proj", "v_proj", "igate", "fgate", "zgate", "ogate")
     FLAT_TP = ("learnable_skip",)
 
+    pp = mesh.shape.get("pp", 1)
+    ep = mesh.shape.get("ep", 1)
+
     def rule(path, x):
-        if tp <= 1 or not hasattr(x, "ndim"):
+        if not hasattr(x, "ndim"):
             return NamedSharding(mesh, P())
         names = [getattr(p, "key", str(p)) for p in path]
+        # pipelined ViL pair stacks: leading axis = total pairs, sharded
+        # over pp so each rank holds its stage's blocks (nn/vil_blocks.py)
+        if pp > 1 and "pairs" in names and x.ndim >= 1 and x.shape[0] % pp == 0:
+            return NamedSharding(mesh, P("pp", *([None] * (x.ndim - 1))))
+        # MoE expert weights: leading E axis over ep (parallel/moe.py)
+        if ep > 1 and names[-1] in ("w_gate", "w_up", "w_down") \
+                and x.ndim >= 1 and x.shape[0] % ep == 0:
+            return NamedSharding(mesh, P("ep", *([None] * (x.ndim - 1))))
+        if tp <= 1:
+            return NamedSharding(mesh, P())
         mod, leaf = (names[-2] if len(names) > 1 else ""), names[-1]
         if mod in COL:
             if leaf == "kernel" and x.ndim == 2 and x.shape[1] % tp == 0:

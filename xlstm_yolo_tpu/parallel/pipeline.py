@@ -91,3 +91,49 @@ def pipeline_apply(mesh: Mesh, stage_fn, stacked_params, x, *, num_microbatches:
         check_vma=False,
     )(stacked_params, mb)
     return out.reshape(B, *x.shape[1:])
+
+
+def pipeline_apply_nested(mesh: Mesh, stage_fn, stacked_params, x, *,
+                          num_microbatches: int, batch_axis: str = "dp"):
+    """GPipe over the ``pp`` axis of a multi-axis (dp, tp, sp, pp, ep) mesh,
+    composable inside an outer jit'd SPMD train step.
+
+    Unlike :func:`pipeline_apply` (dedicated 1-axis mesh), the batch stays
+    sharded over ``batch_axis`` (each dp rank pipelines its own local batch
+    slice), stage params are sharded over ``pp`` (leading axis = pp), and all
+    other mesh axes replicate through the shard_map. stage_fn(stage_params,
+    activations) must preserve activation shape.
+    """
+    pp = mesh.shape["pp"]
+    M = num_microbatches
+    spec_x = P(batch_axis)
+    spec_p = jax.tree.map(lambda _: P("pp"), stacked_params)
+
+    def per_rank(params, xl):  # params: (1, ...) this rank's stage; xl local batch
+        params = jax.tree.map(lambda p: p[0], params)
+        rank = jax.lax.axis_index("pp")
+        Bl = xl.shape[0]
+        assert Bl % M == 0, f"local batch {Bl} % microbatches {M} != 0"
+        mb = xl.reshape(M, Bl // M, *xl.shape[1:])
+        ticks = M + pp - 1
+        buf = jnp.zeros_like(mb)
+
+        def tick(t, carry):
+            cur, buf = carry
+            feed = mb[jnp.clip(t, 0, M - 1)]
+            cur = jnp.where(rank == 0, feed, cur)
+            out = stage_fn(params, cur)
+            active = (t >= rank) & (t < M + rank)
+            out = jnp.where(active, out, cur)
+            idx = jnp.clip(t - (pp - 1), 0, M - 1)
+            bank = (rank == pp - 1) & (t >= pp - 1)
+            buf = jax.lax.cond(bank, lambda b: b.at[idx].set(out), lambda b: b, buf)
+            nxt = jax.lax.ppermute(out, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+            return nxt, buf
+
+        _, buf = jax.lax.fori_loop(0, ticks, tick, (jnp.zeros_like(mb[0]), buf))
+        buf = jax.lax.psum(jnp.where(rank == pp - 1, buf, jnp.zeros_like(buf)), "pp")
+        return buf.reshape(Bl, *xl.shape[1:])
+
+    return shard_map(per_rank, mesh=mesh, in_specs=(spec_p, spec_x),
+                     out_specs=spec_x, check_vma=False)(stacked_params, x)

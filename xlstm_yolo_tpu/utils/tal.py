@@ -35,6 +35,36 @@ def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, ep
     return jnp.min(deltas, axis=-1) > eps
 
 
+def topk_positive_mask(candidate_metric: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Top-k-by-metric membership mask over the last axis, positives only.
+
+    Computed as a kth-value THRESHOLD: k-1 fused max+suppress passes find the
+    kth-largest metric per row; membership is then one comparison. This
+    replaces the reference shape lax.top_k (a full sort on TPU) + scatter-add
+    one-hot, which together dominated the whole train step at B128
+    (tools/train_step_profile.py: loss overhead 225 of 312 ms). Exact for
+    distinct positive metrics; a positive tie at the kth value admits both
+    anchors where the reference breaks it by index — measure-zero with
+    real-valued metrics, and select_highest_overlaps resolves
+    multi-assignment downstream anyway.
+
+    The gate is strictly-positive, NOT "> eps": the reference's eps auto-mask
+    is dead code — its caller passes topk_mask=mask_gt (tal.py:126), so
+    candidates stay positive however small the align metric gets. An eps gate
+    extinguishes assignment when predictions degrade (metric ~1e-21 for
+    collapsed scores x tiny IoU^6), turning "predict background everywhere"
+    into a stable training attractor (box/dfl grads vanish). ">0" keeps the
+    in-GT restriction (candidate_metric arrives masked) while matching the
+    reference's keep-alive behavior.
+    """
+    v = candidate_metric
+    for _ in range(k - 1):
+        row_max = jnp.max(v, axis=-1, keepdims=True)
+        v = jnp.where(v >= row_max, -jnp.inf, v)
+    kth = jnp.maximum(jnp.max(v, axis=-1, keepdims=True), 0.0)
+    return ((candidate_metric >= kth) & (candidate_metric > 0.0)).astype(jnp.float32)
+
+
 def select_highest_overlaps(mask_pos: jnp.ndarray, overlaps: jnp.ndarray, n_max_boxes: int):
     """Resolve anchors matched to multiple GTs: keep the highest-IoU GT.
 
@@ -95,29 +125,32 @@ def assign(
     overlaps = jnp.clip(
         bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True), 0.0, None
     )  # (b, n_max, n_anchors)
-    align_metric = jnp.power(jnp.clip(bbox_scores, eps, None), alpha) * jnp.power(overlaps, beta)
+    # integer/half powers computed as multiplies/sqrt — jnp.power's exp·log
+    # lowering is a transcendental per element on a (b, n_max, n_anchors)
+    # tensor (defaults: alpha 0.5, beta 6.0)
+    bs_c = jnp.clip(bbox_scores, eps, None)
+    pow_s = jnp.sqrt(bs_c) if alpha == 0.5 else jnp.power(bs_c, alpha)
+    if beta == 6.0:
+        o2 = overlaps * overlaps
+        pow_o = o2 * o2 * o2
+    else:
+        pow_o = jnp.power(overlaps, beta)
+    align_metric = pow_s * pow_o
 
     # --- candidate selection --------------------------------------------------
     mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes).astype(jnp.float32)
     candidate_metric = align_metric * mask_in_gts * mask_gt[..., None]
 
-    # top-k per GT among candidates (reference select_topk_candidates)
-    k = min(topk, n_anchors)
-    topk_vals, topk_idx = jax.lax.top_k(candidate_metric, k)  # (b, n_max, k)
-    # strictly-positive gate, NOT "> eps": the reference's eps auto-mask is
-    # dead code — its caller passes topk_mask=mask_gt (tal.py:126), so
-    # candidates stay positive however small the align metric gets. An eps
-    # gate extinguishes assignment when predictions degrade (metric ~1e-21
-    # for collapsed scores x tiny IoU^6), turning "predict background
-    # everywhere" into a stable training attractor (box/dfl grads vanish).
-    # ">0" keeps the in-GT restriction (candidate_metric is masked) while
-    # matching the reference's keep-alive behavior.
-    topk_valid = topk_vals > 0.0
-    mask_topk = jnp.zeros_like(candidate_metric)
-    mask_topk = jax.vmap(jax.vmap(lambda m, idx, val: m.at[idx].add(val)))(
-        mask_topk, topk_idx, topk_valid.astype(jnp.float32)
-    )
-    mask_topk = (mask_topk > 0).astype(jnp.float32)
+    # top-k per GT among candidates (reference select_topk_candidates),
+    # computed as a kth-value THRESHOLD: k-1 fused max+suppress passes find
+    # the kth-largest metric per (b, gt); membership is then one comparison.
+    # This replaces lax.top_k (a full sort on TPU) + a scatter-add — together
+    # they dominated the whole train step at B128 (tools/train_step_profile).
+    # Exact for distinct positive metrics; a positive tie at the kth value
+    # admits both anchors where the reference breaks it by index —
+    # measure-zero with real-valued metrics, and downstream
+    # select_highest_overlaps resolves multi-assignment anyway.
+    mask_topk = topk_positive_mask(candidate_metric, min(topk, n_anchors))
 
     mask_pos = mask_topk * mask_in_gts * mask_gt[..., None]
 
@@ -215,22 +248,8 @@ def assign_rotated(
 
     mask_in_gts = select_candidates_in_rotated_gts(anc_points, gt_rboxes).astype(jnp.float32)
     candidate_metric = align_metric * mask_in_gts * mask_gt[..., None]
-    k = min(topk, n_anchors)
-    topk_vals, topk_idx = jax.lax.top_k(candidate_metric, k)
-    # strictly-positive gate, NOT "> eps": the reference's eps auto-mask is
-    # dead code — its caller passes topk_mask=mask_gt (tal.py:126), so
-    # candidates stay positive however small the align metric gets. An eps
-    # gate extinguishes assignment when predictions degrade (metric ~1e-21
-    # for collapsed scores x tiny IoU^6), turning "predict background
-    # everywhere" into a stable training attractor (box/dfl grads vanish).
-    # ">0" keeps the in-GT restriction (candidate_metric is masked) while
-    # matching the reference's keep-alive behavior.
-    topk_valid = topk_vals > 0.0
-    mask_topk = jnp.zeros_like(candidate_metric)
-    mask_topk = jax.vmap(jax.vmap(lambda m, idx, val: m.at[idx].add(val)))(
-        mask_topk, topk_idx, topk_valid.astype(jnp.float32)
-    )
-    mask_pos = (mask_topk > 0).astype(jnp.float32) * mask_in_gts * mask_gt[..., None]
+    mask_topk = topk_positive_mask(candidate_metric, min(topk, n_anchors))
+    mask_pos = mask_topk * mask_in_gts * mask_gt[..., None]
 
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps, n_max)
     target_labels = jnp.take_along_axis(gt_cls, target_gt_idx, axis=1)
