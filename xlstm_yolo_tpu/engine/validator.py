@@ -299,27 +299,28 @@ class Validator:
         def predict(variables, img):
             variables, img = self._prep(variables, img)
             full = model.predictions_full(variables, img)
-            dets, valid = non_max_suppression(
+            dets, valid, src = non_max_suppression(
                 full["cands"], conf_thres=self.conf, iou_thres=self.iou,
                 max_det=self.max_det, multi_label=True,
-                exact=self.exact_nms, pre_topk=self.pre_topk,
+                exact=self.exact_nms, pre_topk=self.pre_topk, return_idx=True,
             )
-            return dets, valid, full["coefs"], full["proto"]
+            return dets, valid, src, full["coefs"], full["proto"]
 
         box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         mask_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         n_img = 0
         t0 = _t.time()
         for batch in loader:
-            dets, valid, coefs, proto = predict(variables, jnp.asarray(batch["img"]))
-            dets, valid = np.asarray(dets), np.asarray(valid)
+            dets, valid, src, coefs, proto = predict(variables, jnp.asarray(batch["img"]))
+            dets, valid, src = np.asarray(dets), np.asarray(valid), np.asarray(src)
             coefs, proto = np.asarray(coefs), np.asarray(proto)
             n_img += len(dets)
             hm, wm = proto.shape[1:3]
             sx = wm / batch["img"].shape[2]
             sy = hm / batch["img"].shape[1]
             for bi in range(len(dets)):
-                d = dets[bi][valid[bi]]
+                keep = valid[bi]
+                d = dets[bi][keep]
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]
                 gt_cls = gt[:, 0]
@@ -335,35 +336,31 @@ class Validator:
                 box_stats["pred_cls"].append(d[:, 5])
                 box_stats["target_cls"].append(gt_cls)
 
-                # mask IoU at proto resolution: NMS kept boxes -> coefficients
-                # were selected by candidate index, so recompute via matching
-                # the kept boxes back is unnecessary — use box-cropped masks.
-                # pred mask: sigmoid(coef @ proto) > 0.5 cropped to det box
+                # mask mAP: PREDICTED masks (coef @ proto, box-cropped,
+                # logit > 0 — reference ops.process_mask, utils/ops.py:679)
+                # vs GT instance masks, flattened mask_iou
+                # (SegmentationValidator._process_batch, segment/val.py:164)
                 if len(gt):
+                    pm = np.einsum(  # (n, hm, wm) logits
+                        "nc,hwc->nhw", coefs[bi, src[bi][keep]], proto[bi])
+                    db = d[:, :4] * [sx, sy, sx, sy]  # det boxes at mask res
+                    ys = np.arange(hm)[None, :, None]
+                    xs = np.arange(wm)[None, None, :]
+                    inbox = ((xs >= db[:, 0, None, None]) & (xs < db[:, 2, None, None])
+                             & (ys >= db[:, 1, None, None]) & (ys < db[:, 3, None, None]))
+                    pmask = (pm > 0.0) & inbox  # (n, hm, wm) bool
                     gtm = np.asarray(batch["masks"][bi])  # (Hm, Wm) overlap ids
-                    # NOTE: batch masks are at imgsz/mask_ratio — resize to proto grid
                     if gtm.shape != (hm, wm):
                         import cv2 as _cv2
 
                         gtm = _cv2.resize(gtm.astype(np.float32), (wm, hm),
                                           interpolation=_cv2.INTER_NEAREST).astype(np.int32)
-                    # proto-space det masks need the matching coefficients; the
-                    # det rows lost their source index, so re-associate by box
-                    # against the raw candidates is overkill here — approximate
-                    # mask tp with the gt instance under the det box (IoU of
-                    # binarized masks inside the union box)
-                    miou = np.zeros((len(gt), len(d)), np.float32)
-                    for gi in range(len(gt)):
-                        g_inst = gtm == (np.nonzero(np.asarray(batch["mask"][bi]))[0].tolist().index(gi) + 1
-                                          if False else gi + 1)
-                        for di in range(len(d)):
-                            x1, y1, x2, y2 = (d[di, :4] * [sx, sy, sx, sy]).astype(int)
-                            x2, y2 = max(x2, x1 + 1), max(y2, y1 + 1)
-                            box_m = np.zeros_like(g_inst)
-                            box_m[y1:y2, x1:x2] = True
-                            inter = np.logical_and(g_inst, box_m).sum()
-                            union = np.logical_or(g_inst, box_m).sum()
-                            miou[gi, di] = inter / union if union else 0.0
+                    gmask = gtm[None] == (np.arange(len(gt)) + 1)[:, None, None]
+                    gflat = gmask.reshape(len(gt), -1).astype(np.float32)
+                    pflat = pmask.reshape(len(d), -1).astype(np.float32)
+                    inter = gflat @ pflat.T
+                    union = gflat.sum(1)[:, None] + pflat.sum(1)[None] - inter
+                    miou = inter / np.maximum(union, 1e-7)
                     mtp = MET.match_predictions(d[:, 5], gt_cls, miou)
                     mask_stats["tp"].append(mtp)
                     mask_stats["conf"].append(d[:, 4])
@@ -390,27 +387,26 @@ class Validator:
         def predict(variables, img):
             variables, img = self._prep(variables, img)
             full = model.predictions_full(variables, img)
-            n = full["cands"].shape[1]
-            merged = jnp.concatenate([full["cands"], full["kpts"]], axis=-1)
-            # NMS on boxes; keep kpts alongside by re-gathering on host
-            dets, valid = non_max_suppression(
+            # NMS on boxes; keypoints re-associate exactly via source indices
+            dets, valid, src = non_max_suppression(
                 full["cands"], conf_thres=self.conf, iou_thres=self.iou,
                 max_det=self.max_det, multi_label=True,
-                exact=self.exact_nms, pre_topk=self.pre_topk,
+                exact=self.exact_nms, pre_topk=self.pre_topk, return_idx=True,
             )
-            return dets, valid, full["kpts"], full["cands"]
+            return dets, valid, src, full["kpts"]
 
         box_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         pose_stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         n_img = 0
         t0 = _t.time()
         for batch in loader:
-            dets, valid, kpts_all, cands = predict(variables, jnp.asarray(batch["img"]))
-            dets, valid = np.asarray(dets), np.asarray(valid)
-            kpts_all, cands = np.asarray(kpts_all), np.asarray(cands)
+            dets, valid, src, kpts_all = predict(variables, jnp.asarray(batch["img"]))
+            dets, valid, src = np.asarray(dets), np.asarray(valid), np.asarray(src)
+            kpts_all = np.asarray(kpts_all)
             n_img += len(dets)
             for bi in range(len(dets)):
-                d = dets[bi][valid[bi]]
+                keep = valid[bi]
+                d = dets[bi][keep]
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]
                 gt_cls = gt[:, 0]
@@ -426,15 +422,7 @@ class Validator:
                 box_stats["pred_cls"].append(d[:, 5])
                 box_stats["target_cls"].append(gt_cls)
                 if len(gt):
-                    # re-associate det row -> candidate index by nearest box
-                    # center to recover its keypoints
-                    cxy = (cands[bi, :, :2])  # xywh center of all candidates
-                    dxy = (d[:, :2] + d[:, 2:4]) / 2
-                    idx = np.argmin(
-                        np.abs(cxy[None, :, 0] - dxy[:, 0:1]) + np.abs(cxy[None, :, 1] - dxy[:, 1:2]),
-                        axis=1,
-                    )
-                    pk = kpts_all[bi, idx].reshape(len(d), nk, -1)
+                    pk = kpts_all[bi, src[bi][keep]].reshape(len(d), nk, -1)
                     gk = np.asarray(batch["keypoints"][bi][gt_mask])  # (m, nk, 3)
                     area = (gt[:, 3] - gt[:, 1]) * (gt[:, 4] - gt[:, 2])
                     oks = _kpt_iou_np(gk, pk, sigmas, area)

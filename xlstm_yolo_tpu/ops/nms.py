@@ -52,7 +52,7 @@ def _suppress_exact(iou: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "multi_label", "exact", "max_wh", "class_agnostic", "fast_sel"),
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk", "multi_label", "exact", "max_wh", "class_agnostic", "fast_sel", "return_idx"),
 )
 def non_max_suppression(
     prediction: jnp.ndarray,
@@ -65,7 +65,8 @@ def non_max_suppression(
     max_wh: float = 7680.0,
     class_agnostic: bool = False,
     fast_sel: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return_idx: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """Batched fixed-shape NMS.
 
     Args:
@@ -74,11 +75,17 @@ def non_max_suppression(
         multi_label: emit one candidate per (box, class) over conf_thres
             (used for mAP eval, reference utils/ops.py:280-287) instead of
             argmax class.
+        return_idx: also return (B, max_det) int32 SOURCE candidate indices
+            (into the N axis; -1 for empty slots) so per-candidate payloads
+            — mask coefficients, keypoints — re-associate exactly with the
+            kept detections (the reference keeps them inline in the ragged
+            det tensor, utils/ops.py:297).
 
     Returns:
         dets: (B, max_det, 6) = (x1, y1, x2, y2, score, cls); empty slots
             are all zeros with cls = -1.
         valid: (B, max_det) bool mask.
+        [src: (B, max_det) int32 source indices, when return_idx.]
     """
     b, n, no = prediction.shape
     nc = no - 4
@@ -95,6 +102,7 @@ def non_max_suppression(
         cls = flat_cls[top_idx]
         boxes = jnp.take_along_axis(boxes_xywh, box_idx[..., None], axis=1)
         scores = top_scores
+        src = box_idx.astype(jnp.int32)
     elif fast_sel:
         # predict-path selection: bf16 score reduce + TPU-optimized
         # approximate top-k (recall_target 0.95 over candidates that are
@@ -108,6 +116,7 @@ def non_max_suppression(
         scores = scores.astype(jnp.float32)
         boxes = jnp.take_along_axis(boxes_xywh, top_idx[..., None], axis=1)
         cls = jnp.take_along_axis(cls_full, top_idx, axis=1)
+        src = top_idx.astype(jnp.int32)
     else:
         scores = jnp.max(scores_all, axis=-1)
         cls_full = jnp.argmax(scores_all, axis=-1).astype(jnp.float32)
@@ -115,11 +124,12 @@ def non_max_suppression(
         scores, top_idx = jax.lax.top_k(scores, k)
         boxes = jnp.take_along_axis(boxes_xywh, top_idx[..., None], axis=1)
         cls = jnp.take_along_axis(cls_full, top_idx, axis=1)
+        src = top_idx.astype(jnp.int32)
 
     valid = scores > conf_thres
     boxes = xywh2xyxy(boxes)
 
-    def per_image(boxes_i, scores_i, cls_i, valid_i):
+    def per_image(boxes_i, scores_i, cls_i, valid_i, src_i):
         offset = jnp.where(class_agnostic, 0.0, cls_i * max_wh)
         oboxes = boxes_i + offset[:, None]
         # invalid candidates get IoU 0 against everything by zeroing boxes
@@ -128,19 +138,25 @@ def non_max_suppression(
         keep = _suppress_exact(iou, iou_thres) if exact else _suppress_fast(iou, iou_thres)
         keep = keep & valid_i
         final_scores = jnp.where(keep, scores_i, 0.0)
-        return _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres)
+        return _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres, src_i)
 
-    return jax.vmap(per_image)(boxes, scores, cls, valid)
+    dets, out_valid, out_src = jax.vmap(per_image)(boxes, scores, cls, valid, src)
+    if return_idx:
+        return dets, out_valid, out_src
+    return dets, out_valid
 
 
-def _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres):
+def _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres, src_i=None):
     """Top-max_det gather with zero-padding when fewer candidates exist."""
     n = final_scores.shape[0]
+    if src_i is None:
+        src_i = jnp.arange(n, dtype=jnp.int32)
     kk = min(max_det, n)
     out_scores, out_idx = jax.lax.top_k(final_scores, kk)
     out_valid = out_scores > conf_thres
     out_boxes = jnp.where(out_valid[:, None], boxes_i[out_idx], 0.0)
     out_cls = jnp.where(out_valid, cls_i[out_idx], -1.0)
+    out_src = jnp.where(out_valid, src_i[out_idx], -1)
     dets = jnp.concatenate(
         [out_boxes, jnp.where(out_valid, out_scores, 0.0)[:, None], out_cls[:, None]], axis=-1
     )
@@ -149,7 +165,8 @@ def _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres):
         pad_dets = jnp.zeros((pad, dets.shape[-1]), dets.dtype).at[:, -1].set(-1.0)
         dets = jnp.concatenate([dets, pad_dets], axis=0)
         out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)], axis=0)
-    return dets, out_valid
+        out_src = jnp.concatenate([out_src, jnp.full((pad,), -1, jnp.int32)], axis=0)
+    return dets, out_valid, out_src
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "pre_topk"))
@@ -186,6 +203,6 @@ def nms_rotated(
         iou = batch_probiou(masked, masked)
         keep = _suppress_fast(iou, iou_thres) & valid_i
         final_scores = jnp.where(keep, scores_i, 0.0)
-        return _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres)
+        return _gather_top(boxes_i, final_scores, cls_i, max_det, conf_thres)[:2]
 
     return jax.vmap(per_image)(boxes, scores, cls, valid)
