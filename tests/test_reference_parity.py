@@ -972,3 +972,484 @@ def test_matched_run_convergence_parity(tmp_path):
     o_map50, o_map = outs["ours"]["map50_ema"], outs["ours"]["map_ema"]
     assert o_map50 >= t_map50 - 0.1, (o_map50, t_map50)
     assert o_map >= t_map - 0.1, (o_map, t_map)
+
+
+# ---------------------------------------------------------------------------
+# e2e val-pipeline parity for segment / pose / obb (round 3 — VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+
+def _install_tv_nms():
+    tv = importlib.import_module("torchvision")
+    ops_mod = types.ModuleType("torchvision.ops")
+    ops_mod.nms = _pure_torch_greedy_nms
+    tv.ops = ops_mod
+    sys.modules["torchvision.ops"] = ops_mod
+
+
+def _calibrate_and_shape(tm, cal_imgs, seed=7, shape_cv4_small=False):
+    """BN-calibrate + shape the Detect cls/DFL branches for a realistic
+    mostly-background score profile (same recipe as the detect val-parity
+    test above; Segment/Pose/OBB heads subclass Detect so cv2/cv3 exist)."""
+    import torch
+
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.momentum = 1.0
+    tm.train()
+    with torch.no_grad():
+        tm(torch.from_numpy(cal_imgs.transpose(0, 3, 1, 2)))
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        head = tm.model[-1]
+        for seq in head.cv3:
+            final = seq[-1]
+            final.bias.copy_(torch.randn(final.bias.shape, generator=g) * 2.3 - 10.0)
+            final.weight.copy_(torch.randn(final.weight.shape, generator=g) * 0.08)
+        for seq in head.cv2:
+            final = seq[-1]
+            decay = (torch.arange(16, dtype=torch.float32) * -0.9).repeat(4)
+            final.bias.copy_(decay + torch.randn(final.bias.shape, generator=g) * 0.4)
+            final.weight.copy_(torch.randn(final.weight.shape, generator=g) * 0.02)
+        if shape_cv4_small and hasattr(head, "cv4"):
+            # pose: small kpt offsets -> decoded keypoints land near their
+            # anchor centers (inside the image), so jittered GT keypoints
+            # stay faithful after [0,1] clipping
+            for seq in head.cv4:
+                final = seq[-1]
+                final.bias.copy_(torch.randn(final.bias.shape, generator=g) * 0.3)
+                final.weight.copy_(torch.randn(final.weight.shape, generator=g) * 0.01)
+    tm.eval()
+    return tm
+
+
+def _transfer(reference, tm, our_cfg, nc, imgsz):
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils.torch_import import load_torch_state_dict
+
+    ours = TaskModel(our_cfg, nc=nc)
+    v = ours.init(0, imgsz=imgsz)
+    v, _, missed = load_torch_state_dict(v, _torch_state_dict(tm), verbose=False)
+    missed = [m for m in missed if not m.endswith("dfl.conv.weight")]
+    assert not missed, missed[:8]
+    return ours, v
+
+
+def _cal_images(data_yaml, imgsz, task, max_labels=16):
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+
+    loader, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                 augment=False, max_labels=max_labels, task=task)
+    it = iter(loader)
+    return np.concatenate([np.asarray(next(it)["img"]) for _ in range(2)])
+
+
+def _match_shim():
+    import torch
+
+    ref_validator = importlib.import_module("ultralytics.engine.validator")
+    shim = types.SimpleNamespace(iouv=torch.linspace(0.5, 0.95, 10))
+    return lambda conf_cls, gt_cls, iou: ref_validator.BaseValidator.match_predictions(
+        shim, conf_cls, gt_cls, iou)
+
+
+def test_segment_val_pipeline_map_parity(reference, tmp_path):
+    """END-TO-END segment val parity: both frameworks' full pipelines —
+    forward, NMS with mask coefficients, process_mask (coef @ proto,
+    box-crop, logit>0), flattened mask_iou against overlap-encoded GT
+    instance masks, OKS-free box matching, 101-pt AP — on the same
+    transferred weights and on-disk dataset. GT polygons are contours of
+    the model's OWN predicted masks (jittered), so mask-AP is high at 0.5
+    and decays — non-degenerate on both sides.
+
+    Reference chain: utils/ops.py:679 process_mask +
+    models/yolo/segment/val.py:164 _process_batch + utils/metrics.py
+    mask_iou."""
+    import pathlib
+
+    import cv2
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+    from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
+    from xlstm_yolo_tpu.engine.validator import Validator
+    from xlstm_yolo_tpu.ops.nms import non_max_suppression as our_nms
+
+    _install_tv_nms()
+    imgsz, nc = 96, 3
+    data_yaml = make_synthetic_dataset(tmp_path, n_train=1, n_val=16,
+                                       imgsz=imgsz, task="segment")
+    torch.manual_seed(0)
+    tm = reference.nn.tasks.SegmentationModel("yolov8n-seg.yaml", ch=3,
+                                              nc=nc, verbose=False)
+    tm = _calibrate_and_shape(tm, _cal_images(data_yaml, imgsz, "segment"))
+    ours, v = _transfer(reference, tm, "yolov8n-seg.yaml", nc, imgsz)
+
+    # --- GT = contours of the model's own predicted masks, jittered -------
+    loader, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                 augment=False, max_labels=16, task="segment")
+    files = list(loader.ds.files)
+    predict = jax.jit(lambda v, img: (lambda full: (
+        *our_nms(full["cands"], conf_thres=0.05, iou_thres=0.7, max_det=8,
+                 multi_label=True, exact=True, pre_topk=2048, return_idx=True),
+        full["coefs"], full["proto"]))(ours.predictions_full(v, img)))
+    rng = np.random.default_rng(3)
+    seen = 0
+    for batch in loader:
+        dets, valid, src, coefs, proto = predict(v, jnp.asarray(batch["img"]))
+        dets, valid, src = np.asarray(dets), np.asarray(valid), np.asarray(src)
+        coefs, proto = np.asarray(coefs), np.asarray(proto)
+        hm, wm = proto.shape[1:3]
+        up = imgsz / hm
+        for bi in range(len(dets)):
+            fi = int(batch["im_idx"][bi]) if "im_idx" in batch else seen
+            seen += 1
+            keep = valid[bi]
+            d = dets[bi][keep][:6]
+            pm = np.einsum("nc,hwc->nhw", coefs[bi, src[bi][keep]][:6], proto[bi])
+            lines = []
+            for di in range(len(d)):
+                x1, y1, x2, y2, _conf, cls = d[di]
+                m = (pm[di] > 0).astype(np.uint8)
+                # crop to det box at mask res
+                bx = (np.asarray([x1, y1, x2, y2]) / up).astype(int)
+                mm = np.zeros_like(m)
+                mm[max(bx[1], 0): bx[3] + 1, max(bx[0], 0): bx[2] + 1] = 1
+                m = m * mm
+                cnts, _ = cv2.findContours(m, cv2.RETR_EXTERNAL,
+                                           cv2.CHAIN_APPROX_SIMPLE)
+                if not cnts:
+                    continue
+                poly = max(cnts, key=cv2.contourArea).reshape(-1, 2).astype(np.float32)
+                if len(poly) < 3 or cv2.contourArea(poly) < 8:
+                    continue
+                poly = (poly * up + rng.uniform(-1, 1, poly.shape)) / imgsz
+                poly = np.clip(poly, 0.0, 1.0)
+                flat = " ".join(f"{c:.6f}" for c in poly.reshape(-1))
+                lines.append(f"{int(cls)} {flat}")
+            if not lines:
+                lines = ["1 0.40 0.40 0.60 0.40 0.60 0.60 0.40 0.60"]
+            lbl = files[fi].replace("/images/", "/labels/").rsplit(".", 1)[0] + ".txt"
+            pathlib.Path(lbl).write_text("\n".join(lines) + "\n")
+    assert seen == 16
+    # invalidate the label cache for the rewritten labels
+    for c in pathlib.Path(files[0]).parent.glob("labels_*.cache.npz"):
+        c.unlink()
+
+    # --- ours: full segment validation pipeline ---------------------------
+    out = Validator(ours, imgsz=imgsz, conf=0.05, iou=0.7, batch=4, max_det=16,
+                    max_labels=16, exact_nms=True, pre_topk=6144)(v, data_yaml)
+
+    # --- reference: full segment validation chain on the same batches -----
+    ref_ops = importlib.import_module("ultralytics.utils.ops")
+    ref_metrics = importlib.import_module("ultralytics.utils.metrics")
+    match = _match_shim()
+    loader2, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                  augment=False, max_labels=16, task="segment")
+    box_stats = {"tp": [], "conf": [], "cls": [], "tcls": []}
+    mask_stats = {"tp": [], "conf": [], "cls": [], "tcls": []}
+    with torch.no_grad():
+        for batch in loader2:
+            x = torch.from_numpy(np.asarray(batch["img"]).transpose(0, 3, 1, 2))
+            preds = tm(x)
+            proto_t = preds[1][-1] if len(preds[1]) == 3 else preds[1]
+            p = ref_ops.non_max_suppression(preds[0], conf_thres=0.05,
+                                            iou_thres=0.7, multi_label=True,
+                                            max_det=16, nc=nc)
+            for bi, d in enumerate(p):
+                gt_mask = batch["mask"][bi]
+                gt = torch.from_numpy(np.asarray(batch["cls_boxes"][bi][gt_mask]))
+                gt_cls = gt[:, 0]
+                if d.shape[0] == 0:
+                    if len(gt):
+                        box_stats["tcls"].append(gt_cls.numpy())
+                        mask_stats["tcls"].append(gt_cls.numpy())
+                    continue
+                pred_m = ref_ops.process_mask(proto_t[bi], d[:, 6:], d[:, :4],
+                                              shape=(imgsz, imgsz))
+                iou = ref_metrics.box_iou(gt[:, 1:5], d[:, :4])
+                box_stats["tp"].append(match(d[:, 5], gt_cls, iou).numpy())
+                box_stats["conf"].append(d[:, 4].numpy())
+                box_stats["cls"].append(d[:, 5].numpy())
+                box_stats["tcls"].append(gt_cls.numpy())
+                gtm = np.asarray(batch["masks"][bi])
+                hm, wm = pred_m.shape[1:]
+                if gtm.shape != (hm, wm):
+                    import cv2 as _cv2
+
+                    gtm = _cv2.resize(gtm.astype(np.float32), (wm, hm),
+                                      interpolation=_cv2.INTER_NEAREST)
+                g_inst = torch.from_numpy(
+                    (gtm[None] == (np.arange(len(gt)) + 1)[:, None, None]
+                     ).astype(np.float32))
+                miou = ref_metrics.mask_iou(g_inst.reshape(len(gt), -1),
+                                            pred_m.reshape(len(d), -1).float())
+                mask_stats["tp"].append(match(d[:, 5], gt_cls, miou).numpy())
+                mask_stats["conf"].append(d[:, 4].numpy())
+                mask_stats["cls"].append(d[:, 5].numpy())
+                mask_stats["tcls"].append(gt_cls.numpy())
+
+    def _ap(stats):
+        r = ref_metrics.ap_per_class(
+            np.concatenate(stats["tp"]), np.concatenate(stats["conf"]),
+            np.concatenate(stats["cls"]), np.concatenate(stats["tcls"]))
+        ap = r[5]
+        return float(ap[:, 0].mean()), float(ap.mean())
+
+    rb50, rb = _ap(box_stats)
+    rm50, rm = _ap(mask_stats)
+    print("SEG-PARITY ours box", out["mAP50"], out["mAP50-95"],
+          "mask", out["mAP50(M)"], out["mAP50-95(M)"],
+          "| ref box", rb50, rb, "mask", rm50, rm)
+    # blob-contour GT puts mask IoUs near the matching thresholds, so the
+    # absolute level is low — the parity assertions below are the point
+    assert rm50 > 0.03 and rm50 > rm, (rm50, rm)  # non-degenerate, decaying
+    assert abs(out["mAP50-95"] - rb) < 0.1, (out["mAP50-95"], rb)
+    assert abs(out["mAP50(M)"] - rm50) < 0.1, (out["mAP50(M)"], rm50)
+    assert abs(out["mAP50-95(M)"] - rm) < 0.1, (out["mAP50-95(M)"], rm)
+
+
+def test_pose_val_pipeline_map_parity(reference, tmp_path):
+    """END-TO-END pose val parity: forward, NMS with keypoint payloads, OKS
+    matching (cocoeval 0.53 area factor, utils/metrics.py:156 kpt_iou),
+    101-pt AP — both frameworks on the same transferred weights and on-disk
+    dataset. GT keypoints are the model's OWN predicted keypoints jittered."""
+    import pathlib
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.cfg import load_model_yaml
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+    from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
+    from xlstm_yolo_tpu.engine.validator import Validator
+    from xlstm_yolo_tpu.ops.nms import non_max_suppression as our_nms
+
+    _install_tv_nms()
+    imgsz, nc, nk = 96, 1, 5
+    data_yaml = make_synthetic_dataset(tmp_path, n_train=1, n_val=16,
+                                       imgsz=imgsz, task="pose")
+    torch.manual_seed(0)
+    tm = reference.nn.tasks.PoseModel("yolov8n-pose.yaml", ch=3, nc=nc,
+                                      data_kpt_shape=(nk, 3), verbose=False)
+    tm = _calibrate_and_shape(tm, _cal_images(data_yaml, imgsz, "pose"),
+                              shape_cv4_small=True)
+    our_cfg, _scale = load_model_yaml("yolov8n-pose.yaml")
+    our_cfg = dict(our_cfg)
+    our_cfg["kpt_shape"] = [nk, 3]
+    ours, v = _transfer(reference, tm, our_cfg, nc, imgsz)
+
+    # --- GT = own predicted keypoints, jittered ---------------------------
+    loader, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                 augment=False, max_labels=16, task="pose")
+    files = list(loader.ds.files)
+    predict = jax.jit(lambda v, img: (lambda full: (
+        *our_nms(full["cands"], conf_thres=0.05, iou_thres=0.7, max_det=8,
+                 multi_label=True, exact=True, pre_topk=2048, return_idx=True),
+        full["kpts"]))(ours.predictions_full(v, img)))
+    rng = np.random.default_rng(3)
+    seen = 0
+    for batch in loader:
+        dets, valid, src, kpts = predict(v, jnp.asarray(batch["img"]))
+        dets, valid, src = np.asarray(dets), np.asarray(valid), np.asarray(src)
+        kpts = np.asarray(kpts)
+        for bi in range(len(dets)):
+            fi = int(batch["im_idx"][bi]) if "im_idx" in batch else seen
+            seen += 1
+            keep = valid[bi]
+            d = dets[bi][keep][:6]
+            pk = kpts[bi, src[bi][keep]][:6].reshape(-1, nk, 3)
+            lines = []
+            for di in range(len(d)):
+                x1, y1, x2, y2 = d[di, :4]
+                jx1 = max(0.0, x1 + rng.uniform(-3, 3))
+                jy1 = max(0.0, y1 + rng.uniform(-3, 3))
+                jx2 = min(float(imgsz), x2 + rng.uniform(-3, 3))
+                jy2 = min(float(imgsz), y2 + rng.uniform(-3, 3))
+                if jx2 - jx1 < 2 or jy2 - jy1 < 2:
+                    continue
+                cx, cy = (jx1 + jx2) / 2 / imgsz, (jy1 + jy2) / 2 / imgsz
+                w, h = (jx2 - jx1) / imgsz, (jy2 - jy1) / imgsz
+                kp = pk[di, :, :2] + rng.uniform(-2, 2, (nk, 2))
+                kp = np.clip(kp, 0, imgsz - 1) / imgsz
+                flat = " ".join(f"{x:.6f} {y:.6f} 2" for x, y in kp)
+                lines.append(f"0 {cx:.6f} {cy:.6f} {w:.6f} {h:.6f} {flat}")
+            if not lines:
+                lines = ["0 0.5 0.5 0.25 0.25 " + " ".join(
+                    ["0.5 0.5 2"] * nk)]
+            lbl = files[fi].replace("/images/", "/labels/").rsplit(".", 1)[0] + ".txt"
+            pathlib.Path(lbl).write_text("\n".join(lines) + "\n")
+    assert seen == 16
+    for c in pathlib.Path(files[0]).parent.glob("labels_*.cache.npz"):
+        c.unlink()
+
+    # --- ours: full pose validation pipeline -------------------------------
+    out = Validator(ours, imgsz=imgsz, conf=0.05, iou=0.7, batch=4, max_det=16,
+                    max_labels=16, exact_nms=True, pre_topk=6144)(v, data_yaml)
+
+    # --- reference chain ---------------------------------------------------
+    ref_ops = importlib.import_module("ultralytics.utils.ops")
+    ref_metrics = importlib.import_module("ultralytics.utils.metrics")
+    match = _match_shim()
+    sigma = np.ones(nk) / nk
+    loader2, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                  augment=False, max_labels=16, task="pose")
+    box_stats = {"tp": [], "conf": [], "cls": [], "tcls": []}
+    pose_stats = {"tp": [], "conf": [], "cls": [], "tcls": []}
+    with torch.no_grad():
+        for batch in loader2:
+            x = torch.from_numpy(np.asarray(batch["img"]).transpose(0, 3, 1, 2))
+            preds = tm(x)
+            p = ref_ops.non_max_suppression(preds[0], conf_thres=0.05,
+                                            iou_thres=0.7, multi_label=True,
+                                            max_det=16, nc=nc)
+            for bi, d in enumerate(p):
+                gt_mask = batch["mask"][bi]
+                gt = torch.from_numpy(np.asarray(batch["cls_boxes"][bi][gt_mask]))
+                gt_cls = gt[:, 0]
+                if d.shape[0] == 0:
+                    if len(gt):
+                        box_stats["tcls"].append(gt_cls.numpy())
+                        pose_stats["tcls"].append(gt_cls.numpy())
+                    continue
+                iou = ref_metrics.box_iou(gt[:, 1:5], d[:, :4])
+                box_stats["tp"].append(match(d[:, 5], gt_cls, iou).numpy())
+                box_stats["conf"].append(d[:, 4].numpy())
+                box_stats["cls"].append(d[:, 5].numpy())
+                box_stats["tcls"].append(gt_cls.numpy())
+                pred_kpts = d[:, 6:].view(len(d), nk, 3)
+                gt_kpts = torch.from_numpy(np.asarray(batch["keypoints"][bi][gt_mask]))
+                area = ref_ops.xyxy2xywh(gt[:, 1:5])[:, 2:].prod(1) * 0.53
+                oks = ref_metrics.kpt_iou(gt_kpts, pred_kpts, sigma=sigma, area=area)
+                pose_stats["tp"].append(match(d[:, 5], gt_cls, oks).numpy())
+                pose_stats["conf"].append(d[:, 4].numpy())
+                pose_stats["cls"].append(d[:, 5].numpy())
+                pose_stats["tcls"].append(gt_cls.numpy())
+
+    def _ap(stats):
+        r = ref_metrics.ap_per_class(
+            np.concatenate(stats["tp"]), np.concatenate(stats["conf"]),
+            np.concatenate(stats["cls"]), np.concatenate(stats["tcls"]))
+        ap = r[5]
+        return float(ap[:, 0].mean()), float(ap.mean())
+
+    rb50, rb = _ap(box_stats)
+    rp50, rp = _ap(pose_stats)
+    print("POSE-PARITY ours box", out["mAP50"], out["mAP50-95"],
+          "pose", out["mAP50(P)"], out["mAP50-95(P)"],
+          "| ref box", rb50, rb, "pose", rp50, rp)
+    assert rp50 > 0.15, (rp50, rp)
+    assert abs(out["mAP50-95"] - rb) < 0.1, (out["mAP50-95"], rb)
+    assert abs(out["mAP50(P)"] - rp50) < 0.1, (out["mAP50(P)"], rp50)
+    assert abs(out["mAP50-95(P)"] - rp) < 0.1, (out["mAP50-95(P)"], rp)
+
+
+def test_obb_val_pipeline_map_parity(reference, tmp_path):
+    """END-TO-END OBB val parity: forward, rotated NMS, probiou matching
+    (utils/metrics.py batch_probiou), 101-pt AP — both frameworks on the
+    same transferred weights and on-disk dataset. GT rotated boxes are the
+    model's OWN predicted rboxes jittered; both NMS calls run argmax-class
+    (our nms_rotated contract; reference multi_label=False)."""
+    import pathlib
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.data.dataset import build_dataloader
+    from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
+    from xlstm_yolo_tpu.engine.validator import Validator
+    from xlstm_yolo_tpu.ops.nms import nms_rotated
+    from xlstm_yolo_tpu.utils.tal import rbox_corners
+
+    _install_tv_nms()
+    imgsz, nc = 96, 3
+    data_yaml = make_synthetic_dataset(tmp_path, n_train=1, n_val=16,
+                                       imgsz=imgsz, task="obb")
+    torch.manual_seed(0)
+    tm = reference.nn.tasks.OBBModel("yolov8n-obb.yaml", ch=3, nc=nc, verbose=False)
+    tm = _calibrate_and_shape(tm, _cal_images(data_yaml, imgsz, "obb"))
+    ours, v = _transfer(reference, tm, "yolov8n-obb.yaml", nc, imgsz)
+
+    # --- GT = own predicted rboxes, jittered -------------------------------
+    loader, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                 augment=False, max_labels=16, task="obb")
+    files = list(loader.ds.files)
+    predict = jax.jit(lambda v, img: nms_rotated(
+        ours.predictions_full(v, img)["cands"], conf_thres=0.05,
+        iou_thres=0.7, max_det=8, pre_topk=2048))
+    rng = np.random.default_rng(3)
+    seen = 0
+    for batch in loader:
+        dets, valid = predict(v, jnp.asarray(batch["img"]))
+        dets, valid = np.asarray(dets), np.asarray(valid)
+        for bi in range(len(dets)):
+            fi = int(batch["im_idx"][bi]) if "im_idx" in batch else seen
+            seen += 1
+            d = dets[bi][valid[bi]][:6]
+            lines = []
+            for cx, cy, w, h, ang, _conf, cls in d:
+                rb = np.asarray([cx + rng.uniform(-2, 2), cy + rng.uniform(-2, 2),
+                                 max(w + rng.uniform(-3, 3), 4),
+                                 max(h + rng.uniform(-3, 3), 4),
+                                 ang + rng.uniform(-0.06, 0.06)], np.float32)
+                corners = np.asarray(rbox_corners(jnp.asarray(rb)[None])[0])
+                corners = np.clip(corners / imgsz, 0.0, 1.0)
+                flat = " ".join(f"{c:.6f}" for c in corners.reshape(-1))
+                lines.append(f"{int(cls)} {flat}")
+            if not lines:
+                lines = ["1 0.3 0.3 0.7 0.3 0.7 0.7 0.3 0.7"]
+            lbl = files[fi].replace("/images/", "/labels/").rsplit(".", 1)[0] + ".txt"
+            pathlib.Path(lbl).write_text("\n".join(lines) + "\n")
+    assert seen == 16
+    for c in pathlib.Path(files[0]).parent.glob("labels_*.cache.npz"):
+        c.unlink()
+
+    # --- ours: full OBB validation pipeline --------------------------------
+    out = Validator(ours, imgsz=imgsz, conf=0.05, iou=0.7, batch=4,
+                    max_det=16, max_labels=16)(v, data_yaml)
+
+    # --- reference chain ----------------------------------------------------
+    ref_ops = importlib.import_module("ultralytics.utils.ops")
+    ref_metrics = importlib.import_module("ultralytics.utils.metrics")
+    match = _match_shim()
+    loader2, _ = build_dataloader(data_yaml, "val", batch=4, imgsz=imgsz,
+                                  augment=False, max_labels=16, task="obb")
+    stats = {"tp": [], "conf": [], "cls": [], "tcls": []}
+    with torch.no_grad():
+        for batch in loader2:
+            x = torch.from_numpy(np.asarray(batch["img"]).transpose(0, 3, 1, 2))
+            preds = tm(x)
+            pred = preds[0] if isinstance(preds, (list, tuple)) else preds
+            p = ref_ops.non_max_suppression(pred, conf_thres=0.05, iou_thres=0.7,
+                                            multi_label=False, max_det=16,
+                                            nc=nc, rotated=True)
+            for bi, d in enumerate(p):
+                gt_mask = batch["mask"][bi]
+                gt = torch.from_numpy(np.asarray(batch["cls_boxes"][bi][gt_mask]))
+                gt_cls = gt[:, 0]
+                if d.shape[0] == 0:
+                    if len(gt):
+                        stats["tcls"].append(gt_cls.numpy())
+                    continue
+                rb = torch.cat([d[:, :4], d[:, -1:]], dim=-1)
+                iou = ref_metrics.batch_probiou(gt[:, 1:6], rb)
+                stats["tp"].append(match(d[:, 5], gt_cls, iou).numpy())
+                stats["conf"].append(d[:, 4].numpy())
+                stats["cls"].append(d[:, 5].numpy())
+                stats["tcls"].append(gt_cls.numpy())
+
+    r = ref_metrics.ap_per_class(
+        np.concatenate(stats["tp"]), np.concatenate(stats["conf"]),
+        np.concatenate(stats["cls"]), np.concatenate(stats["tcls"]))
+    ap = r[5]
+    r50, rmap = float(ap[:, 0].mean()), float(ap.mean())
+    print("OBB-PARITY ours", out["mAP50"], out["mAP50-95"], "| ref", r50, rmap)
+    assert r50 > 0.15, (r50, rmap)
+    assert abs(out["mAP50"] - r50) < 0.1, (out["mAP50"], r50)
+    assert abs(out["mAP50-95"] - rmap) < 0.1, (out["mAP50-95"], rmap)

@@ -424,7 +424,9 @@ class Validator:
                 if len(gt):
                     pk = kpts_all[bi, src[bi][keep]].reshape(len(d), nk, -1)
                     gk = np.asarray(batch["keypoints"][bi][gt_mask])  # (m, nk, 3)
-                    area = (gt[:, 3] - gt[:, 1]) * (gt[:, 4] - gt[:, 2])
+                    # 0.53 area factor from cocoeval via the reference
+                    # (pose/val.py:179)
+                    area = (gt[:, 3] - gt[:, 1]) * (gt[:, 4] - gt[:, 2]) * 0.53
                     oks = _kpt_iou_np(gk, pk, sigmas, area)
                     ptp = MET.match_predictions(d[:, 5], gt_cls, oks)
                     pose_stats["tp"].append(ptp)
@@ -440,16 +442,16 @@ class Validator:
 
 
 def _kpt_iou_np(gt_kpts, pred_kpts, sigmas, area, eps=1e-7):
-    """OKS matrix (m_gt, n_pred) (reference utils/metrics.py:156 kpt_iou)."""
+    """OKS matrix (m_gt, n_pred), exactly the reference's kpt_iou
+    (utils/metrics.py:156): e = d^2 / ((2 sigma)^2 * area * 2), visible-
+    keypoint masked mean."""
     m, nk = gt_kpts.shape[0], gt_kpts.shape[1]
     n = pred_kpts.shape[0]
     out = np.zeros((m, n), np.float32)
     for gi in range(m):
-        vis = gt_kpts[gi, :, 2] > 0 if gt_kpts.shape[-1] > 2 else np.ones(nk, bool)
-        if not vis.any():
-            continue
+        vis = gt_kpts[gi, :, 2] != 0 if gt_kpts.shape[-1] > 2 else np.ones(nk, bool)
         d2 = ((pred_kpts[:, :, 0] - gt_kpts[gi, :, 0]) ** 2
               + (pred_kpts[:, :, 1] - gt_kpts[gi, :, 1]) ** 2)  # (n, nk)
-        e = d2 / (2 * sigmas[None] ** 2) / (area[gi] + eps) / 2
-        out[gi] = (np.exp(-e) * vis[None]).sum(-1) / max(vis.sum(), 1)
+        e = d2 / ((2 * sigmas[None]) ** 2 * (area[gi] + eps) * 2)
+        out[gi] = (np.exp(-e) * vis[None]).sum(-1) / (vis.sum() + eps)
     return out
