@@ -33,6 +33,36 @@ from .models_sam import MLPBlock, MaskDecoder, PromptEncoder
 # ---------------------------------------------------------------------------
 
 
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Dense (n_out, n_in) interpolation matrix reproducing torch
+    F.interpolate(mode='bicubic', align_corners=False) exactly (cubic
+    convolution a=-0.75, border-replicate taps) — jax.image.resize uses a
+    different cubic kernel, which broke Hiera pos-embed parity."""
+    a = -0.75
+    scale = n_in / n_out
+    W = np.zeros((n_out, n_in), np.float64)
+    for o in range(n_out):
+        src = (o + 0.5) * scale - 0.5
+        f = int(np.floor(src))
+        t = src - f
+        offs = np.array([-1, 0, 1, 2])
+        xs = np.abs(offs - t)
+        w = np.where(
+            xs <= 1, (a + 2) * xs**3 - (a + 3) * xs**2 + 1,
+            np.where(xs < 2, a * xs**3 - 5 * a * xs**2 + 8 * a * xs - 4 * a, 0.0))
+        for k, off in enumerate(offs):
+            W[o, int(np.clip(f + off, 0, n_in - 1))] += w[k]
+    return W.astype(np.float32)
+
+
+def _bicubic_resize_torch(x, oh: int, ow: int):
+    """(1, h, w, c) -> (1, oh, ow, c) with torch-bicubic semantics."""
+    Wh = jnp.asarray(_bicubic_matrix(x.shape[1], oh))
+    Ww = jnp.asarray(_bicubic_matrix(x.shape[2], ow))
+    y = jnp.einsum("Oh,bhwc->bOwc", Wh, x)
+    return jnp.einsum("Ow,bhwc->bhOc", Ww, y)
+
+
 def _window_partition(x, ws):
     b, h, w, c = x.shape
     pad_h, pad_w = (ws - h % ws) % ws, (ws - w % ws) % ws
@@ -51,72 +81,131 @@ def _window_unpartition(x, ws, hw_pad, hw):
     return x.reshape(b, hp, wp, c)[:, :h, :w]
 
 
-class HieraBlock(nn.Module):
-    """Windowed/global MHA block with optional 2x2 query pooling between
-    stages (reference encoders.py Hiera MultiScaleBlock)."""
+class _HieraMSA(nn.Module):
+    """MultiScaleAttention (reference blocks.py:503): packed qkv, query
+    2x2-maxpooled AFTER the projection on stage-change blocks, SDPA, proj."""
 
-    dim: int
+    dim_out: int
     num_heads: int
-    window_size: int = 0  # 0 => global attention
-    q_pool: bool = False  # 2x2 maxpool queries => spatial /2, dim x2
+    q_stride: int = 0  # 0 = no query pooling
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
-        b, h, w, c = x.shape
-        out_dim = self.dim * 2 if self.q_pool else self.dim
+        b, h, w, _ = x.shape
+        dh = self.dim_out // self.num_heads
+        qkv = nn.Dense(3 * self.dim_out, name="qkv")(x.reshape(b, h * w, -1))
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.q_stride:
+            s = self.q_stride
+            q = nn.max_pool(q.reshape(b, h, w, -1), (s, s), strides=(s, s))
+            h, w = q.shape[1:3]
+            q = q.reshape(b, h * w, self.num_heads, dh)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh).astype(x.dtype)
+        att = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, h * w, self.dim_out)
+        return nn.Dense(self.dim_out, name="proj")(o).reshape(b, h, w, self.dim_out)
+
+
+class HieraBlock(nn.Module):
+    """MultiScaleBlock (reference blocks.py:583): pre-LN windowed/global MSA
+    with optional 2x2 query pooling at stage changes (dim-change shortcut =
+    pooled linear proj of the NORMALIZED input), then LN + 2-layer GELU MLP.
+    On q-pool blocks the window shrinks by the stride and attention still
+    runs windowed (reference forward, blocks.py:683-700)."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    window_size: int = 0  # 0 => global attention
+    q_stride: int = 0
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
-        if self.q_pool:
-            shortcut = nn.max_pool(
-                nn.Dense(out_dim, name="proj")(x), (2, 2), strides=(2, 2)
-            )
-            x = nn.Dense(out_dim, name="qkv_in")(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            h, w = x.shape[1:3]
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if self.dim != self.dim_out:
+            p = nn.Dense(self.dim_out, name="proj")(x)
+            if self.q_stride:
+                s = self.q_stride
+                p = nn.max_pool(p, (s, s), strides=(s, s))
+            shortcut = p
         ws = self.window_size
-        if ws > 0 and not self.q_pool:
-            xw, hw_pad = _window_partition(x, ws)
-            seq = xw.reshape(xw.shape[0], ws * ws, out_dim)
-        else:
-            seq = x.reshape(b, h * w, out_dim)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=x.dtype, name="attn"
-        )(seq, seq, seq)
-        if ws > 0 and not self.q_pool:
-            x = _window_unpartition(attn.reshape(-1, ws, ws, out_dim), ws, hw_pad, (h, w))
-        else:
-            x = attn.reshape(b, h, w, out_dim)
+        if ws > 0:
+            H, W = x.shape[1:3]
+            x, pad_hw = _window_partition(x, ws)
+        x = _HieraMSA(self.dim_out, self.num_heads, q_stride=self.q_stride,
+                      name="attn")(x)
+        if self.q_stride:
+            ws = ws // self.q_stride
+            H, W = shortcut.shape[1:3]
+            pad_h = (ws - H % ws) % ws if ws else 0
+            pad_w = (ws - W % ws) % ws if ws else 0
+            pad_hw = (H + pad_h, W + pad_w)
+        if self.window_size > 0:
+            x = _window_unpartition(x, ws, pad_hw, (H, W))
         x = shortcut + x
-        return x + MLPBlock(out_dim, out_dim * 4, name="mlp")(nn.LayerNorm(name="norm2")(x))
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(self.dim_out * 4, name="mlp0")(h)
+        h = nn.Dense(self.dim_out, name="mlp1")(jax.nn.gelu(h, approximate=False))
+        return x + h
 
 
 class Hiera(nn.Module):
-    """Hierarchical ViT trunk with 4 stages and multi-scale outputs
-    (reference encoders.py:645).  stages/dims mirror the sam2-tiny layout."""
+    """Hierarchical ViT trunk (reference encoders.py:645-760), exact
+    reference semantics so real SAM2 checkpoints map tensor-for-tensor
+    (utils/torch_import.py:sam2_hiera_params):
+
+      * flat block list; q-pool at the FIRST block of stages 2..4 (up to
+        ``q_pool`` of them), dim/heads x2 at each stage change;
+      * per-stage window spec that LAGS by one block (the first block of a
+        new stage keeps the previous stage's window);
+      * ``global_att_blocks`` run global attention (window 0);
+      * pos embed = bicubic background (14x14 default) + tiled window
+        component (arXiv:2311.05613).
+    """
 
     embed_dim: int = 96
     num_heads: int = 1
     stages: tuple = (1, 2, 7, 2)
-    window_sizes: tuple = (8, 4, 14, 7)
+    window_spec: tuple = (8, 4, 14, 7)
+    global_att_blocks: tuple = (5, 7, 9)  # sam2.1-tiny defaults
+    q_pool: int = 3
+    q_stride: int = 2
+    bkg_pos_size: tuple = (14, 14)
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, 3) -> 4 feature maps, strides 4/8/16/32
+    def __call__(self, x):  # (B, H, W, 3) -> per-stage maps, strides 4/8/16/32
         x = nn.Conv(self.embed_dim, (7, 7), strides=(4, 4), padding=((3, 3), (3, 3)),
                     name="patch_embed")(x)
+        h, w = x.shape[1:3]
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, 7, 7, self.embed_dim))
-        x = x + jax.image.resize(pos, (1, x.shape[1], x.shape[2], self.embed_dim), "bicubic")
+                         (1, *self.bkg_pos_size, self.embed_dim))
+        pos_win = self.param("pos_embed_window", nn.initializers.normal(0.02),
+                             (1, self.window_spec[0], self.window_spec[0], self.embed_dim))
+        pe = _bicubic_resize_torch(pos, h, w)
+        pe = pe + jnp.tile(pos_win, (1, h // pos_win.shape[1], w // pos_win.shape[2], 1))
+        x = x + pe
+
+        stage_ends = [sum(self.stages[: i + 1]) - 1 for i in range(len(self.stages))]
+        q_pool_blocks = [e + 1 for e in stage_ends[:-1]][: self.q_pool]
         outs = []
-        dim, heads = self.embed_dim, self.num_heads
-        for si, depth in enumerate(self.stages):
-            for bi in range(depth):
-                q_pool = si > 0 and bi == 0
-                x = HieraBlock(dim, heads, window_size=self.window_sizes[si],
-                               q_pool=q_pool, name=f"s{si}b{bi}")(x)
-                if q_pool:
-                    dim *= 2
-                    heads *= 2
-            outs.append(x)
+        dim, heads, cur_stage = self.embed_dim, self.num_heads, 1
+        for i in range(sum(self.stages)):
+            window_size = self.window_spec[cur_stage - 1]  # lags by a block
+            if self.global_att_blocks and i in self.global_att_blocks:
+                window_size = 0
+            dim_out = dim
+            if i - 1 in stage_ends:
+                dim_out = dim * 2
+                heads *= 2
+                cur_stage += 1
+            x = HieraBlock(dim, dim_out, heads, window_size=window_size,
+                           q_stride=self.q_stride if i in q_pool_blocks else 0,
+                           name=f"b{i}")(x)
+            dim = dim_out
+            if i in stage_ends:
+                outs.append(x)
         return outs
 
 

@@ -326,6 +326,95 @@ def sam_encoder_params(sd: dict, prefix: str = "image_encoder.") -> dict:
     return p
 
 
+def sam2_hiera_params(sd: dict, prefix: str = "image_encoder.trunk.") -> dict:
+    """Translate a torch SAM2 Hiera trunk state_dict into a params subtree
+    for ``models_sam2.Hiera`` (reference models/sam/modules/encoders.py:645;
+    released sam2*.pt checkpoints key the trunk as ``image_encoder.trunk.``).
+
+    Layout map (torch -> flax):
+      patch_embed.proj.{weight,bias} (C,3,7,7) -> patch_embed/{kernel(T),bias}
+      pos_embed (1,C,14,14) / pos_embed_window (1,C,ws,ws) -> NHWC
+      blocks.i.norm{1,2}.{weight,bias}        -> b{i}/norm{1,2}/{scale,bias}
+      blocks.i.attn.qkv/proj (out,in)         -> b{i}/attn/{qkv,proj}/kernel (in,out)
+      blocks.i.proj (dim-change shortcut)     -> b{i}/proj
+      blocks.i.mlp.layers.{0,1}               -> b{i}/mlp{0,1}
+    """
+    def g(k):
+        return np.asarray(sd[prefix + k], np.float32)
+
+    def lin(k):
+        return {"kernel": g(k + ".weight").T, "bias": g(k + ".bias")}
+
+    p = {
+        "patch_embed": {"kernel": g("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+                        "bias": g("patch_embed.proj.bias")},
+        "pos_embed": g("pos_embed").transpose(0, 2, 3, 1),
+        "pos_embed_window": g("pos_embed_window").transpose(0, 2, 3, 1),
+    }
+    i = 0
+    while f"{prefix}blocks.{i}.norm1.weight" in sd:
+        b = f"blocks.{i}."
+        blk = {
+            "norm1": {"scale": g(b + "norm1.weight"), "bias": g(b + "norm1.bias")},
+            "norm2": {"scale": g(b + "norm2.weight"), "bias": g(b + "norm2.bias")},
+            "attn": {"qkv": lin(b + "attn.qkv"), "proj": lin(b + "attn.proj")},
+            "mlp0": lin(b + "mlp.layers.0"),
+            "mlp1": lin(b + "mlp.layers.1"),
+        }
+        if prefix + b + "proj.weight" in sd:
+            blk["proj"] = lin(b + "proj")
+        p[f"b{i}"] = blk
+        i += 1
+    return p
+
+
+def load_sam2_hiera(variables: dict, sd: dict, prefix: str = "image_encoder.trunk.") -> dict:
+    """Return ``variables`` with the Hiera trunk params replaced by the
+    checkpoint's (shape-checked against the initialized tree). ``variables``
+    may be a bare Hiera tree or a full SAM2 tree (trunk under
+    params/image_encoder/trunk or params/trunk)."""
+    new_trunk = sam2_hiera_params(sd, prefix)
+
+    def _locate(params):
+        if "b0" in params:
+            return params, None
+        for path in (("image_encoder", "trunk"), ("trunk",)):
+            node = params
+            ok = True
+            for k in path:
+                if k not in node:
+                    ok = False
+                    break
+                node = node[k]
+            if ok and "b0" in node:
+                return node, path
+        raise ValueError("no Hiera trunk found in params")
+
+    old_trunk, path = _locate(variables["params"])
+    flat_old = dict(_flatten(old_trunk))
+    flat_new = dict(_flatten(new_trunk))
+    missing = set(flat_old) - set(flat_new)
+    extra = set(flat_new) - set(flat_old)
+    if missing or extra:
+        raise ValueError(f"SAM2 Hiera map mismatch: missing={sorted(missing)[:4]} "
+                         f"extra={sorted(extra)[:4]}")
+    for k, v in flat_new.items():
+        if tuple(flat_old[k].shape) != tuple(v.shape):
+            raise ValueError(f"shape mismatch at {k}: {flat_old[k].shape} vs {v.shape}")
+    import copy
+
+    out = dict(variables)
+    out["params"] = copy.deepcopy(dict(variables["params"]))
+    if path is None:
+        out["params"] = new_trunk
+    else:
+        node = out["params"]
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = new_trunk
+    return out
+
+
 def load_sam_encoder(variables: dict, sd: dict, prefix: str = "image_encoder.") -> dict:
     """Return ``variables`` with the image-encoder params replaced by the
     checkpoint's (shape-checked against the initialized tree)."""
