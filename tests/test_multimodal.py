@@ -153,3 +153,49 @@ def test_world_trainer_end_to_end(data_root, tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 2
     assert all(np.isfinite(float(r["train/loss"])) for r in rows)
+
+
+def test_world_trainer_with_clip_text_encoder(data_root, tmp_path):
+    """Open-vocab training with the REAL in-framework text tower: the
+    MultiModalDataset's per-batch class texts flow through the CLIP BPE
+    tokenizer + flax transformer (nn/clip_text.py) into txt_feats — the
+    reference WorldTrainer's clip path (models/yolo/world/train.py), not a
+    synthetic hash tower."""
+    import csv
+    import glob
+
+    from xlstm_yolo_tpu.engine.trainer import Trainer
+    from xlstm_yolo_tpu.nn.clip_text import CLIPTextTower, ClipTextEncoder
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    root, d = data_root
+    data_yaml = glob.glob(str(root / "*.yaml"))[0]
+
+    merges = [("p", "e"), ("pe", "r"), ("per", "s"), ("pers", "o"),
+              ("perso", "n</w>"), ("b", "u"), ("bu", "s</w>"), ("c", "a"),
+              ("ca", "r</w>"), ("d", "o"), ("do", "g</w>")]
+    bpe = tmp_path / "bpe.txt"
+    bpe.write_text("\n".join(["#v"] + [f"{a} {b}" for a, b in merges]))
+
+    model = TaskModel("yolov8-world.yaml", nc=d["nc"])
+    enc = ClipTextEncoder(
+        bpe, tower=CLIPTextTower(vocab_size=4096, context_length=16, width=32,
+                                 heads=2, layers=1,
+                                 embed_dim=int(model.txt_feats.shape[-1])),
+        context_length=16, n_merges=None)
+
+    tr = Trainer(model, overrides={
+        "data": data_yaml, "epochs": 2, "imgsz": 96, "batch": 4, "val": False,
+        "project": str(tmp_path), "name": "worldclip", "max_labels": 16,
+        "optimizer": "SGD", "lr0": 0.005, "warmup_epochs": 0.0, "nbs": 4,
+        "mosaic": 0.0, "scale": 0.0, "translate": 0.0, "fliplr": 0.0,
+        "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0, "plots": False, "seed": 0,
+    })
+    tr.text_encoder = enc
+    tr.train()
+    with open(tr.csv) as f:
+        losses = [float(r["train/loss"]) for r in csv.DictReader(f)]
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    # the same encoder then drives open-vocab inference class swapping
+    model.set_classes(["person", "bus"], encoder=enc)
+    assert model.nc == 2 and model.names[1] == "bus"

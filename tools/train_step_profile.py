@@ -118,8 +118,28 @@ def main():
 
         return many
 
+    def grads_only(params, batch_stats, opt_state, ema, n, b):
+        def loss_fn(p):
+            l, bs = fwd_only(p, batch_stats, b)
+            return l * 1e-6, bs
+
+        (l, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # touch grads so nothing is dead-code-eliminated
+        gsum = sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))
+        return params, bs, opt_state, ema, l + gsum * 0.0
+
+    def opt_only(params, batch_stats, opt_state, ema, n, b):
+        grads = jax.tree.map(lambda p: p * 1e-8 + b["img"].sum() * 0.0, params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        upd = jax.tree.map(lambda u: u * lr, upd)
+        params = optax.apply_updates(params, upd)
+        ema = TU.ema_update(ema, params, n + 1)
+        return params, batch_stats, opt_state, ema, jax.tree.leaves(params)[0].sum()
+
     out = {}
     out["fwd_ms"] = round(1e3 * timed(many_fwd, params, batch_stats, dbatch), 2)
+    out["grads_ms"] = round(1e3 * timed(loop(grads_only), params, batch_stats, opt_state, ema, dbatch), 2)
+    out["opt_ms"] = round(1e3 * timed(loop(opt_only), params, batch_stats, opt_state, ema, dbatch), 2)
     out["fwd_bwd_ms"] = round(1e3 * timed(loop(fwd_bwd), params, batch_stats, opt_state, ema, dbatch), 2)
     out["full_ms"] = round(1e3 * timed(loop(full), params, batch_stats, opt_state, ema, dbatch), 2)
     out["batch"] = batch
