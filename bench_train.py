@@ -44,8 +44,8 @@ def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
     params, batch_stats = variables["params"], variables["batch_stats"]
     # lr applied via the same per-step upd*lr tree.map the Trainer uses
     # (engine/trainer.py _build_step), so this measures the production step
-    tx = optax.chain(optax.clip_by_global_norm(0.5),
-                     optax.sgd(1.0, momentum=0.937, nesterov=True))
+    tx, _, _, _ = TU.build_optimizer(params, name="SGD", lr=0.01,
+                                     momentum=0.937, clip_norm=0.5)
     lr = jnp.float32(0.01)
     opt_state = tx.init(params)
     ema = jax.tree.map(jnp.copy, params)

@@ -13,9 +13,11 @@ pytestmark = pytest.mark.slow
 
 def test_mesh_shapes():
     m = M.build_mesh(dp=4, tp=2, sp=1)
-    assert m.shape == {"dp": 4, "tp": 2, "sp": 1}
+    assert m.shape == {"dp": 4, "tp": 2, "sp": 1, "pp": 1, "ep": 1}
     m = M.build_mesh()  # all dp
     assert m.shape["dp"] == 8
+    m = M.build_mesh(dp=2, tp=2, pp=2, ep=1)
+    assert m.shape["pp"] == 2 and m.shape["ep"] == 1
 
 
 def test_shard_batch_and_params():

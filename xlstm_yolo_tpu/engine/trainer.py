@@ -70,10 +70,10 @@ class Trainer:
             self.variables["params"], name=self.args.optimizer, lr=self.args.lr0,
             momentum=self.args.momentum, decay=self.args.weight_decay, nc=model.nc,
             iterations=self.iterations,
+            clip_norm=0.5,  # fork quirk: 0.5 not 10; fused into the flat domain
         )
         self.lr0 = lr0 if self.args.optimizer == "auto" else self.args.lr0
         self.opt_name = opt_name
-        tx = optax.chain(optax.clip_by_global_norm(0.5), tx)  # fork quirk: 0.5 not 10
         if accumulate > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
         self.tx = tx

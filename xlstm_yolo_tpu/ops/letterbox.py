@@ -13,10 +13,30 @@ for ragged/arbitrary-size offline inputs.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+@lru_cache(maxsize=64)
+def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Dense (n_out, n_in) 2-tap bilinear interpolation matrix — the exact
+    cv2.INTER_LINEAR sampling (src = (dst+0.5)*scale - 0.5, border clamp,
+    NO antialias). As a matmul it rides the MXU: jax.image.resize's
+    gather/antialias lowering cost 9.6 ms at (128, 540, 810, 3) -> 640 where
+    the two einsums cost ~2 ms (tools/infer_profile.py)."""
+    scale = n_in / n_out
+    W = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        src = (o + 0.5) * scale - 0.5
+        f = int(np.floor(src))
+        t = src - f
+        W[o, int(np.clip(f, 0, n_in - 1))] += 1.0 - t
+        W[o, int(np.clip(f + 1, 0, n_in - 1))] += t
+    return W
 
 
 @partial(jax.jit, static_argnames=("imgsz", "fill", "dtype_name"))
@@ -31,7 +51,10 @@ def letterbox_device(img: jnp.ndarray, imgsz: int = 640, fill: float = 114.0,
     r = min(imgsz / h, imgsz / w)
     nh, nw = round(h * r), round(w * r)
     x = img.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
-    x = jax.image.resize(x, (b, nh, nw, c), method="bilinear")
+    Wh = jnp.asarray(_bilinear_matrix(h, nh), dtype)
+    Ww = jnp.asarray(_bilinear_matrix(w, nw), dtype)
+    x = jnp.einsum("Oh,bhwc->bOwc", Wh, x)
+    x = jnp.einsum("Ow,bhwc->bhOc", Ww, x)
     top = (imgsz - nh) // 2
     left = (imgsz - nw) // 2
     out = jnp.full((b, imgsz, imgsz, c), fill / 255.0, dtype)

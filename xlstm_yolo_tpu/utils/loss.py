@@ -38,24 +38,34 @@ def df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int = 16) -> j
     """Distribution focal loss (reference utils/loss.py:65-88).
 
     Args:
-        pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
-            [0, reg_max-1].
+        pred_dist: (..., 4 * reg_max) RAW logits in the natural lane layout;
+            target: (..., 4) continuous in [0, reg_max-1).
     Returns:
         (...,) mean over the 4 sides.
+
+    TPU notes (tools/loss_profile.py, B128): the original
+    (..., 4, reg_max)-shaped form cost 169 ms — the reshape pads reg_max=16
+    lanes to 128 (8x bytes) and the two take_along_axis gathers select
+    lanes per element. Here everything stays 64-lane: the left/right bin
+    weights ARE the hat function max(0, 1 - |bin - t|) (targets are clipped
+    to reg_max-1-0.01 upstream, so the right tap never clamps), and the
+    per-group log-sum-exp reduces through a thin group matmul with a shared
+    row shift that cancels.
     """
-    tl = jnp.floor(target).astype(jnp.int32)
-    tr = tl + 1
-    wl = tr.astype(jnp.float32) - target
-    wr = 1.0 - wl
-    logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
-    # bin weights as a dense (..., reg_max) vector instead of two
-    # take_along_axis gathers: per-element dynamic LANE selection is the
-    # single slowest op on TPU — at B128 the two gathers cost 169 of the
-    # 190 ms loss forward (tools/loss_profile.py); the one-hot multiply is
-    # a fused elementwise+reduce over 16 lanes
-    w = (jax.nn.one_hot(jnp.clip(tl, 0, reg_max - 1), reg_max) * wl[..., None]
-         + jax.nn.one_hot(jnp.clip(tr, 0, reg_max - 1), reg_max) * wr[..., None])
-    return jnp.mean(-jnp.sum(logp * w, axis=-1), axis=-1)
+    from ..ops.anchors import _dfl_group_mats
+
+    x = pred_dist.astype(jnp.float32)
+    G, _ = _dfl_group_mats(reg_max)
+    # R: (4, 4*reg_max) broadcast of each side's target across its lanes
+    R = G.T
+    t64 = target @ R  # (..., 4*reg_max)
+    bins = jnp.tile(jnp.arange(reg_max, dtype=jnp.float32), 4)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(bins - t64))  # wl/wr hat weights
+    c = jnp.max(x, axis=-1, keepdims=True)
+    lse = jnp.log((jnp.exp(x - c) @ G))  # (..., 4), + c cancels below
+    # CE_g = -(sum_j w_j (x_j - c)) + lse_g   (sum_j w_j = 1 per group)
+    ce = -((w * (x - c)) @ G) + lse
+    return jnp.mean(ce, axis=-1)
 
 
 def detection_loss(
@@ -115,8 +125,8 @@ def detection_loss(
     iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
     loss_box = jnp.sum((1.0 - iou) * weight) / target_scores_sum
 
-    target_ltrb = bbox2dist(anchors, target_bboxes_g, reg_max)
-    dfl = df_loss(pred_dist_logits.reshape(b, -1, 4, reg_max), target_ltrb, reg_max)
+    target_ltrb = bbox2dist(anchors, target_bboxes_g, reg_max - 1)
+    dfl = df_loss(pred_dist_logits, target_ltrb, reg_max)
     loss_dfl = jnp.sum(dfl * weight) / target_scores_sum
 
     box = loss_box * box_gain
@@ -169,8 +179,8 @@ def _detection_core(raw_maps, targets, target_mask, strides, nc, reg_max, tal_to
     weight = jnp.sum(target_scores, axis=-1) * fg
     iou = bbox_iou(pred_bboxes, tb_g, xywh=False, CIoU=True)
     loss_box = jnp.sum((1.0 - iou) * weight) / tss
-    target_ltrb = bbox2dist(anchors, tb_g, reg_max)
-    dfl = df_loss(pred_dist_logits.reshape(b, -1, 4, reg_max), target_ltrb, reg_max)
+    target_ltrb = bbox2dist(anchors, tb_g, reg_max - 1)
+    dfl = df_loss(pred_dist_logits, target_ltrb, reg_max)
     loss_dfl = jnp.sum(dfl * weight) / tss
     return dict(
         loss_cls=loss_cls, loss_box=loss_box, loss_dfl=loss_dfl, fg_mask=fg_mask,
@@ -386,8 +396,8 @@ def obb_loss(
     # RotatedBboxLoss -> bbox2dist of xywh2xyxy(target))
     txy, twh = t_scaled[..., :2], t_scaled[..., 2:4]
     t_xyxy = jnp.concatenate([txy - twh / 2, txy + twh / 2], -1)
-    target_ltrb = bbox2dist(anchors, t_xyxy, reg_max)
-    dfl = df_loss(pred_dist_logits.reshape(b, -1, 4, reg_max), target_ltrb, reg_max)
+    target_ltrb = bbox2dist(anchors, t_xyxy, reg_max - 1)
+    dfl = df_loss(pred_dist_logits, target_ltrb, reg_max)
     loss_dfl = jnp.sum(dfl * weight) / tss
 
     box = loss_box * box_gain

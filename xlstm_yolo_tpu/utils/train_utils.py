@@ -40,6 +40,43 @@ def auto_optimizer_name(nc: int, iterations: float) -> tuple[str, float, float]:
     return "AdamW", lr, 0.9
 
 
+def _flat_domain(inner: optax.GradientTransformation, template) -> optax.GradientTransformation:
+    """Run ``inner`` on ONE concatenated parameter vector.
+
+    A yolov8n tree has ~200 leaves; per-leaf optimizer math costs ~2000 tiny
+    kernels ≈ 9 ms/step on the TPU (tools/train_step_profile.py) — flattened
+    it is ~1 ms. Like optax.flatten, but built here so the masked weight
+    decay can live in the flat domain too (optax.flatten breaks on pytree
+    masks)."""
+    from jax.flatten_util import ravel_pytree
+
+    _, unravel = ravel_pytree(template)
+
+    def init(params):
+        return inner.init(ravel_pytree(params)[0])
+
+    def update(updates, state, params=None):
+        uv, _ = ravel_pytree(updates)
+        pv = ravel_pytree(params)[0] if params is not None else None
+        uv, state = inner.update(uv, state, pv)
+        return unravel(uv), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _add_decayed_flat(decay: float, mask_vec) -> optax.GradientTransformation:
+    """Coupled L2 on the flat vector, masked elementwise (the 3-group
+    decay/no-decay split as one fused multiply-add)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        return updates + decay * mask_vec * params, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     params: Any,
     name: str = "auto",
@@ -48,13 +85,21 @@ def build_optimizer(
     decay: float = 0.0005,
     nc: int = 80,
     iterations: float = 1e5,
+    clip_norm: float | None = None,
 ) -> tuple[optax.GradientTransformation, str, float, float]:
     """3-group optimizer: decayed weights / no-decay biases+BN (reference
-    engine/trainer.py:764). Returns (tx, resolved_name, lr, momentum)."""
+    engine/trainer.py:764), running in the flat domain (one concatenated
+    vector). clip_norm, when given, fuses global-norm clipping in as well.
+    Returns (tx, resolved_name, lr, momentum); tx consumes/produces
+    parameter TREES like any optax transform."""
     if name == "auto":
         name, lr, momentum = auto_optimizer_name(nc, iterations)
 
-    decay_mask = jax.tree_util.tree_map_with_path(lambda p, _: not _is_no_decay(p), params)
+    from jax.flatten_util import ravel_pytree
+
+    mask_vec, _ = ravel_pytree(jax.tree_util.tree_map_with_path(
+        lambda p, x: jnp.full(x.shape, float(not _is_no_decay(p)), jnp.float32),
+        params))
 
     if name in ("Adam", "AdamW", "NAdam", "RAdam"):
         base = {
@@ -67,10 +112,11 @@ def build_optimizer(
     else:
         raise ValueError(f"unknown optimizer {name!r}")
 
-    tx = optax.chain(
-        optax.add_decayed_weights(decay, mask=decay_mask),
-        base,
-    )
+    parts = []
+    if clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(clip_norm))
+    parts += [_add_decayed_flat(decay, mask_vec), base]
+    tx = _flat_domain(optax.chain(*parts), params)
     return tx, name, lr, momentum
 
 
