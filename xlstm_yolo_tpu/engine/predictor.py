@@ -24,64 +24,49 @@ IMG_FORMATS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp"}
 VID_FORMATS = {".avi", ".mp4", ".mkv", ".mov", ".webm", ".m4v", ".mpg", ".mpeg", ".wmv"}
 
 
-def load_source(source) -> list:
-    """Resolve a source into a list of (path, RGB ndarray) frames.
+def load_source(source, vid_stride: int = 1, stream_buffer: bool = False,
+                **loader_kw):
+    """Resolve a source into a LAZY iterable of (path, RGB ndarray) frames.
 
-    Handles: ndarray, PIL image, path to image, directory, glob list, video
-    file (all frames; reference data/loaders.py LoadImagesAndVideos).
+    Dispatch mirrors reference ``data/build.py:186`` (load_inference_source):
+    in-memory arrays/PIL -> LoadPilAndNumpy; webcam index, stream URL or
+    ``*.streams`` file -> threaded LoadStreams; ``"screen ..."`` ->
+    LoadScreenshots; files/dirs/videos -> LoadImagesAndVideos (one frame
+    decoded at a time — constant memory on arbitrarily long videos).
     """
-    import cv2
+    from ..data.loaders import (LoadImagesAndVideos, LoadPilAndNumpy,
+                                LoadScreenshots, LoadStreams)
 
-    if isinstance(source, np.ndarray):
-        return [("array", source)]
-    if hasattr(source, "convert"):  # PIL
-        return [("pil", np.asarray(source.convert("RGB")))]
+    if isinstance(source, np.ndarray) or hasattr(source, "convert"):
+        return LoadPilAndNumpy(source)
     if isinstance(source, (list, tuple)):
-        out = []
-        for s in source:
-            out.extend(load_source(s))
-        return out
-    if isinstance(source, int) or (isinstance(source, str)
-                                   and source.split("://")[0] in ("rtsp", "rtmp", "http", "https")
-                                   and not source.rsplit(".", 1)[-1].lower() in ("jpg", "png", "jpeg")):
-        # webcam index or network stream (reference data/loaders.py LoadStreams)
-        cap = cv2.VideoCapture(source)
-        frames = []
-        fi = 0
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            frames.append((f"stream#{fi}", cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
-            fi += 1
-            if fi >= 10_000:  # stream safety bound
-                break
-        cap.release()
-        return frames
+        if all(isinstance(s, np.ndarray) or hasattr(s, "convert") for s in source):
+            return LoadPilAndNumpy(list(source))
+
+        def _chain(items):
+            for s in items:
+                yield from load_source(s, vid_stride=vid_stride,
+                                       stream_buffer=stream_buffer, **loader_kw)
+        return _chain(source)
+    if isinstance(source, str) and source.split()[0] == "screen":
+        return LoadScreenshots(source, **loader_kw)
+    is_url = isinstance(source, str) and source.split("://")[0] in (
+        "rtsp", "rtmp", "http", "https", "tcp")
+    is_file_url = is_url and source.rsplit(".", 1)[-1].lower() in (
+        "jpg", "png", "jpeg", "mp4", "avi", "mkv")
+    if isinstance(source, int) or (is_url and not is_file_url) or (
+            isinstance(source, (str, Path)) and str(source).endswith(".streams")):
+        return LoadStreams(source, vid_stride=vid_stride, buffer=stream_buffer,
+                           **loader_kw)
     p = Path(str(source))
     if p.is_dir():
-        out = []
-        for f in sorted(p.iterdir()):
-            if f.suffix.lower() in IMG_FORMATS:
-                out.extend(load_source(f))
-        return out
-    if p.suffix.lower() in VID_FORMATS:
-        cap = cv2.VideoCapture(str(p))
-        frames = []
-        fi = 0
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            frames.append((f"{p}#{fi}", cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)))
-            fi += 1
-        cap.release()
-        return frames
-    if p.is_file():
-        img = cv2.imread(str(p))
-        if img is None:
-            raise FileNotFoundError(f"cannot read image {p}")
-        return [(str(p), cv2.cvtColor(img, cv2.COLOR_BGR2RGB))]
+        files = sorted(f for f in p.iterdir()
+                       if f.suffix.lower() in IMG_FORMATS | VID_FORMATS)
+        return LoadImagesAndVideos(files, vid_stride=vid_stride)
+    if p.is_file() or p.suffix.lower() in VID_FORMATS:
+        if not p.is_file():
+            raise FileNotFoundError(f"source not found: {source}")
+        return LoadImagesAndVideos([p], vid_stride=vid_stride)
     raise FileNotFoundError(f"source not found: {source}")
 
 
@@ -123,6 +108,8 @@ class Predictor:
         # bf16 inference — decode/NMS stay fp32 inside predictions_full
         self.half = bool(kwargs.get("half", False)) or (
             str(kwargs.get("dtype", "float32")) == "bfloat16")
+        self.vid_stride = int(kwargs.get("vid_stride", 1) or 1)
+        self.stream_buffer = bool(kwargs.get("stream_buffer", False))
         self._jit = jax.jit(self._device_fn)
 
     def _device_fn(self, variables, img):
@@ -164,7 +151,9 @@ class Predictor:
 
     def _run(self, source):
         task = self.model.task
-        frames = load_source(source if source is not None else _default_asset())
+        frames = load_source(source if source is not None else _default_asset(),
+                             vid_stride=self.vid_stride,
+                             stream_buffer=self.stream_buffer)
         self.callbacks.run("on_predict_start", self)
         for path, orig in frames:
             self.callbacks.run("on_predict_batch_start", self)
