@@ -311,70 +311,46 @@ class Results:
     # rendering
     # ------------------------------------------------------------------
     def plot(self, line_width: int | None = None, font_scale: float | None = None,
-             labels: bool = True, conf: bool = True) -> np.ndarray:
-        """Draw boxes/masks/keypoints/obb/labels on a copy of the image (RGB)."""
-        import cv2
+             labels: bool = True, conf: bool = True, boxes: bool = True,
+             masks: bool = True, kpt_line: bool = True) -> np.ndarray:
+        """Draw boxes/masks/keypoint-skeletons/obb/labels on a copy of the
+        image (RGB), via the Annotator (reference Results.plot :476)."""
+        from ..utils.annotator import Annotator, colors
 
-        img = self.orig_img.copy()
-        lw = line_width or max(round(sum(img.shape[:2]) / 2 * 0.003), 2)
-        if self.masks is not None:
-            overlay = img.copy()
-            mh, mw = self.masks.data.shape[1:]
-            for mi, m in enumerate(self.masks.data):
-                color = np.asarray(_class_color(
-                    int(self.boxes.cls[mi]) if self.boxes is not None and mi < len(self.boxes)
-                    else mi), np.uint8)
-                mm = m.astype(bool)
-                if (mh, mw) != img.shape[:2]:
-                    mm = cv2.resize(m.astype(np.uint8), (img.shape[1], img.shape[0])).astype(bool)
-                overlay[mm] = overlay[mm] // 2 + color // 2
-            img = overlay
-        if self.obb is not None and len(self.obb):
+        ann = Annotator(self.orig_img, line_width=line_width, font_scale=font_scale)
+        if self.masks is not None and masks and len(self.masks):
+            cls_of = (lambda mi: int(self.boxes.cls[mi])
+                      if self.boxes is not None and mi < len(self.boxes) else mi)
+            ann.masks(self.masks.data,
+                      [colors(cls_of(mi)) for mi in range(len(self.masks.data))])
+        if self.obb is not None and len(self.obb) and boxes:
             for oi, pts in enumerate(self.obb.xyxyxyxy):
-                color = _class_color(int(self.obb.cls[oi]))
-                ip = pts.astype(np.int32)
-                cv2.polylines(img, [ip], True, color, lw)
-                if labels:
-                    cl, cf = int(self.obb.cls[oi]), float(self.obb.conf[oi])
-                    name = self.names.get(cl, str(cl))
-                    if self.obb.is_track:
-                        name = f"id:{int(self.obb.id[oi])} {name}"
-                    txt = f"{name} {cf:.2f}" if conf else name
-                    x0, y0 = int(ip[:, 0].min()), int(ip[:, 1].min())
-                    cv2.putText(img, txt, (x0, max(y0 - 3, 12)), 0,
-                                font_scale or lw / 3, (255, 255, 255),
-                                max(lw - 1, 1), cv2.LINE_AA)
+                cl, cf = int(self.obb.cls[oi]), float(self.obb.conf[oi])
+                name = self.names.get(cl, str(cl))
+                if self.obb.is_track:
+                    name = f"id:{int(self.obb.id[oi])} {name}"
+                txt = (f"{name} {cf:.2f}" if conf else name) if labels else ""
+                ann.box_label(pts, txt, color=colors(cl), rotated=True)
         # rotated predictions carry an axis-aligned Boxes mapping for the
         # box API — draw only the rotated form (reference draws one or the
         # other, never both)
-        if self.boxes is not None and self.obb is None:
+        if self.boxes is not None and self.obb is None and boxes:
             for row in self.boxes.data:
-                x1, y1, x2, y2, cf, cl = row[0], row[1], row[2], row[3], row[-2], row[-1]
-                color = _class_color(int(cl))
-                cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color, lw)
-                if labels:
-                    name = self.names.get(int(cl), str(int(cl)))
-                    if self.boxes.is_track:
-                        name = f"id:{int(row[4])} {name}"
-                    txt = f"{name} {cf:.2f}" if conf else name
-                    fs = font_scale or lw / 3
-                    tw, th = cv2.getTextSize(txt, 0, fs, max(lw - 1, 1))[0]
-                    y0 = int(y1) - th - 3 if y1 - th - 3 > 0 else int(y1) + th + 3
-                    cv2.rectangle(img, (int(x1), int(y1)), (int(x1) + tw, y0), color, -1)
-                    cv2.putText(img, txt, (int(x1), y0 - 2 if y0 < y1 else y0 - 2), 0, fs,
-                                (255, 255, 255), max(lw - 1, 1), cv2.LINE_AA)
+                cl, cf = int(row[-1]), float(row[-2])
+                name = self.names.get(cl, str(cl))
+                if self.boxes.is_track:
+                    name = f"id:{int(row[4])} {name}"
+                txt = (f"{name} {cf:.2f}" if conf else name) if labels else ""
+                ann.box_label(row[:4], txt, color=colors(cl))
         if self.keypoints is not None:
             for inst in self.keypoints.data:
-                for kx, ky, *kv in inst:
-                    if (not kv or kv[0] >= 0.5) and (kx > 0 or ky > 0):
-                        cv2.circle(img, (int(kx), int(ky)), max(lw, 2), (0, 255, 0), -1)
+                ann.kpts(inst, kpt_line=kpt_line)
         if self.probs is not None and labels:
-            top = self.probs.top5
-            for li, c in enumerate(top):
-                txt = f"{self.names.get(c, c)} {self.probs.data[c]:.2f}"
-                cv2.putText(img, txt, (8, 28 + 24 * li), 0, 0.8, (255, 255, 255), 2,
-                            cv2.LINE_AA)
-        return img
+            for li, c in enumerate(self.probs.top5):
+                ann.text((8, 28 + 24 * li),
+                         f"{self.names.get(c, c)} {self.probs.data[c]:.2f}",
+                         box_style=True)
+        return ann.result()
 
     def save(self, filename: str):
         import cv2

@@ -6,6 +6,12 @@ maintains host-side state. Implemented: ObjectCounter, RegionCounter,
 Heatmap, SpeedEstimator, QueueManager, TrackZone, DistanceCalculation,
 Analytics (the workhorse set of the reference's 13; reference
 solutions/solutions.py:12 BaseSolution).
+
+Every ``process`` call also renders the reference's annotated output frame
+(each reference solution draws via ``Annotator`` before returning, e.g.
+solutions/object_counter.py ``display_counts``): the RGB frame is exposed
+as ``solution.plot_im`` after the call, while the return value keeps the
+analytic payload.
 """
 from __future__ import annotations
 
@@ -17,10 +23,28 @@ import numpy as np
 class BaseSolution:
     """Track extraction + region utilities (reference solutions/solutions.py:12)."""
 
-    def __init__(self, region: list | None = None, classes: list | None = None):
+    def __init__(self, region: list | None = None, classes: list | None = None,
+                 names: dict | None = None, line_width: int | None = None):
         self.region = np.asarray(region, np.float32) if region is not None else None
         self.classes = set(classes) if classes else None
+        self.names = names or {}
+        self.line_width = line_width
         self.track_history: dict[int, list] = defaultdict(list)
+        self.plot_im: np.ndarray | None = None  # annotated frame of the last process()
+
+    def annotator(self, result):
+        """Fresh Annotator over the frame (with names from the Results if
+        the solution wasn't given any)."""
+        from .utils.annotator import Annotator
+
+        if not self.names and getattr(result, "names", None):
+            self.names = result.names
+        return Annotator(result.orig_img, line_width=self.line_width)
+
+    def _label(self, cls: int, tid: int, conf: float | None = None) -> str:
+        name = self.names.get(int(cls), str(int(cls)))
+        s = f"id:{int(tid)} {name}" if tid >= 0 else name
+        return f"{s} {conf:.2f}" if conf is not None else s
 
     def extract_tracks(self, result):
         """-> (boxes (n,4), ids (n,), clss (n,), confs (n,))."""
@@ -63,7 +87,7 @@ class ObjectCounter(BaseSolution):
         self.classwise: dict[int, dict] = defaultdict(lambda: {"in": 0, "out": 0})
 
     def process(self, result):
-        boxes, ids, clss, _ = self.extract_tracks(result)
+        boxes, ids, clss, confs = self.extract_tracks(result)
         for tid, cls in zip(ids, clss):
             if tid < 0 or len(self.track_history[int(tid)]) < 2:
                 continue
@@ -78,6 +102,17 @@ class ObjectCounter(BaseSolution):
                 self.out_count += 1
                 self.classwise[int(cls)]["out"] += 1
             self.counted[int(tid)] = is_in
+        from .utils.annotator import colors
+
+        ann = self.annotator(result)
+        ann.draw_region(self.region, color=(104, 0, 123), thickness=ann.lw * 2)
+        for b, tid, cls, cf in zip(boxes, ids, clss, confs):
+            ann.box_label(b, self._label(cls, tid, cf), color=colors(cls))
+            if tid >= 0 and self.track_history[int(tid)]:
+                ann.draw_centroid_and_tracks(self.track_history[int(tid)],
+                                             color=colors(tid))
+        ann.display_analytics({"IN": self.in_count, "OUT": self.out_count})
+        self.plot_im = ann.result()
         return {"in": self.in_count, "out": self.out_count}
 
 
@@ -85,12 +120,24 @@ class RegionCounter(BaseSolution):
     """Live occupancy count per region (reference solutions/region_counter.py)."""
 
     def process(self, result) -> int:
-        boxes, ids, clss, _ = self.extract_tracks(result)
+        from .utils.annotator import colors
+
+        boxes, ids, clss, confs = self.extract_tracks(result)
         n = 0
-        for b in boxes:
+        ann = self.annotator(result)
+        if self.region is not None:
+            ann.draw_region(self.region, color=(255, 140, 60), thickness=ann.lw * 2)
+        for b, tid, cls, cf in zip(boxes, ids, clss, confs):
             c = ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2)
-            if self.region is None or self.point_in_region(c):
-                n += 1
+            inside = self.region is None or self.point_in_region(c)
+            n += inside
+            ann.box_label(b, self._label(cls, tid, cf),
+                          color=colors(cls) if inside else (128, 128, 128))
+        if self.region is not None:
+            ann.queue_counts_display(f"count: {n}", points=self.region)
+        else:
+            ann.display_analytics({"count": n})
+        self.plot_im = ann.result()
         return n
 
 
@@ -115,9 +162,25 @@ class Heatmap(BaseSolution):
         self.heat = np.zeros(shape, np.float32)
 
     def process(self, result):
+        import cv2
+
         boxes, *_ = self.extract_tracks(result)
         for x1, y1, x2, y2 in boxes.astype(int):
             self.heat[max(y1, 0) : y2, max(x1, 0) : x2] += 1.0
+        # annotated frame: normalized heat -> JET colormap alpha-blended
+        # over the image (reference solutions/heatmap.py display)
+        ann = self.annotator(result)
+        if self.heat.max() > 0:
+            norm = (self.heat / self.heat.max() * 255).astype(np.uint8)
+            if norm.shape != ann.im.shape[:2]:
+                norm = cv2.resize(norm, (ann.im.shape[1], ann.im.shape[0]))
+            cmap = cv2.cvtColor(cv2.applyColorMap(norm, cv2.COLORMAP_JET),
+                                cv2.COLOR_BGR2RGB)
+            hot = norm > 8
+            blend = ann.im.astype(np.float32)
+            blend[hot] = 0.5 * blend[hot] + 0.5 * cmap[hot].astype(np.float32)
+            ann.im = blend.astype(np.uint8)
+        self.plot_im = ann.result()
         return self.heat
 
 
@@ -132,11 +195,22 @@ class SpeedEstimator(BaseSolution):
         self.speeds: dict[int, float] = {}
 
     def process(self, result) -> dict:
-        self.extract_tracks(result)
+        from .utils.annotator import colors
+
+        boxes, ids, clss, _ = self.extract_tracks(result)
         for tid, hist in self.track_history.items():
             if len(hist) >= 2:
                 d = np.hypot(hist[-1][0] - hist[-2][0], hist[-1][1] - hist[-2][1])
                 self.speeds[tid] = float(d * self.mpp * self.fps * 3.6)  # km/h
+        ann = self.annotator(result)
+        for b, tid, cls in zip(boxes, ids, clss):
+            v = self.speeds.get(int(tid))
+            label = f"{v:.1f} km/h" if v is not None else self._label(cls, tid)
+            ann.box_label(b, label, color=colors(tid if tid >= 0 else cls))
+            if tid >= 0 and self.track_history[int(tid)]:
+                ann.draw_centroid_and_tracks(self.track_history[int(tid)],
+                                             color=colors(tid))
+        self.plot_im = ann.result()
         return self.speeds
 
 
@@ -144,9 +218,17 @@ class TrackZone(BaseSolution):
     """Restrict tracking analytics to a zone (reference solutions/trackzone.py)."""
 
     def process(self, result):
+        from .utils.annotator import colors
+
         boxes, ids, clss, confs = self.extract_tracks(result)
         keep = [i for i, b in enumerate(boxes)
                 if self.point_in_region(((b[0] + b[2]) / 2, (b[1] + b[3]) / 2))]
+        ann = self.annotator(result)
+        ann.draw_region(self.region, color=(255, 255, 255), thickness=ann.lw * 2)
+        for i in keep:
+            ann.box_label(boxes[i], self._label(clss[i], ids[i], confs[i]),
+                          color=colors(clss[i]))
+        self.plot_im = ann.result()
         return boxes[keep], ids[keep], clss[keep], confs[keep]
 
 
@@ -158,9 +240,14 @@ class DistanceCalculation(BaseSolution):
         self.extract_tracks(result)
         ha, hb = self.track_history.get(id_a), self.track_history.get(id_b)
         if not ha or not hb:
+            self.plot_im = np.ascontiguousarray(result.orig_img).copy()
             return None
         d = np.hypot(ha[-1][0] - hb[-1][0], ha[-1][1] - hb[-1][1])
-        return float(d * meters_per_pixel)
+        dist_m = float(d * meters_per_pixel)
+        ann = self.annotator(result)
+        ann.plot_distance_and_line(dist_m, (ha[-1], hb[-1]))
+        self.plot_im = ann.result()
+        return dist_m
 
 
 class Analytics(BaseSolution):
@@ -177,7 +264,45 @@ class Analytics(BaseSolution):
             counts[int(c)] += 1
         frame = dict(counts)
         self.series.append(frame)
+        ann = self.annotator(result)
+        ann.display_analytics({self.names.get(c, str(c)): n
+                               for c, n in sorted(frame.items())} or {"total": 0})
+        self.plot_im = ann.result()
         return frame
+
+    def chart(self, kind: str = "line", figsize=(6.4, 3.6)) -> np.ndarray:
+        """Render the accumulated series as an RGB chart image (reference
+        solutions/analytics.py draws line/bar/pie/area via matplotlib)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        all_cls = sorted({c for fr in self.series for c in fr})
+        fig, ax = plt.subplots(figsize=figsize, dpi=100)
+        if kind == "pie":
+            totals = [sum(fr.get(c, 0) for fr in self.series) for c in all_cls]
+            if sum(totals):
+                ax.pie(totals, labels=[self.names.get(c, str(c)) for c in all_cls],
+                       autopct="%1.0f%%")
+        else:
+            xs = np.arange(len(self.series))
+            for c in all_cls:
+                ys = [fr.get(c, 0) for fr in self.series]
+                if kind == "bar":
+                    ax.bar(xs, ys, label=self.names.get(c, str(c)), alpha=0.6)
+                elif kind == "area":
+                    ax.fill_between(xs, ys, label=self.names.get(c, str(c)), alpha=0.5)
+                else:
+                    ax.plot(xs, ys, label=self.names.get(c, str(c)), marker="o")
+            if all_cls:
+                ax.legend()
+            ax.set_xlabel("frame")
+            ax.set_ylabel("count")
+        fig.canvas.draw()
+        img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        return img
 
 
 class AIGym(BaseSolution):
@@ -203,9 +328,15 @@ class AIGym(BaseSolution):
     def process(self, result) -> dict:
         self.extract_tracks(result)
         if result.keypoints is None:
+            self.plot_im = np.ascontiguousarray(result.orig_img).copy()
             return dict(self.count)
-        ids = getattr(result, "track_ids", np.arange(len(result.keypoints)))
-        for ki, k in enumerate(result.keypoints):
+        ann = self.annotator(result)
+        kdata = (np.asarray(result.keypoints)
+                 if isinstance(result.keypoints, np.ndarray)
+                 else np.asarray(result.keypoints.data))
+        kdata = kdata.reshape(-1, kdata.shape[-2], kdata.shape[-1])
+        ids = getattr(result, "track_ids", np.arange(len(kdata)))
+        for ki, k in enumerate(kdata):
             tid = int(ids[ki]) if ki < len(ids) else ki
             i1, i2, i3 = self.kpts
             ang = self.joint_angle(k[i1, :2], k[i2, :2], k[i3, :2])
@@ -215,6 +346,10 @@ class AIGym(BaseSolution):
                 self.stage[tid] = "up"
             elif ang < self.down_angle:
                 self.stage[tid] = "down"
+            ann.kpts(np.asarray(k))
+            ann.plot_angle_and_count_and_stage(
+                ang, self.count[tid], self.stage.get(tid, "-"), k[i2, :2])
+        self.plot_im = ann.result()
         return dict(self.count)
 
 
@@ -229,7 +364,7 @@ class ParkingManagement(BaseSolution):
     def process(self, result) -> dict:
         import cv2
 
-        boxes, *_ = self.extract_tracks(result)
+        boxes, ids, clss, confs = self.extract_tracks(result)
         occupied = 0
         status = []
         for slot in self.slots:
@@ -241,6 +376,17 @@ class ParkingManagement(BaseSolution):
                     break
             status.append(occ)
             occupied += occ
+        from .utils.annotator import colors
+
+        ann = self.annotator(result)
+        for slot, occ in zip(self.slots, status):
+            ann.draw_region(slot, color=(220, 40, 40) if occ else (40, 200, 40),
+                            thickness=max(ann.lw, 2))
+        for b, tid, cls, cf in zip(boxes, ids, clss, confs):
+            ann.box_label(b, self._label(cls, tid, cf), color=colors(cls))
+        ann.display_analytics({"occupied": occupied,
+                               "available": len(self.slots) - occupied})
+        self.plot_im = ann.result()
         return {"occupied": occupied, "available": len(self.slots) - occupied, "slots": status}
 
 
@@ -255,11 +401,20 @@ class SecurityAlarm(BaseSolution):
         self.triggered = False
 
     def process(self, result) -> bool:
-        boxes, *_ = self.extract_tracks(result)
+        from .utils.annotator import colors
+
+        boxes, ids, clss, confs = self.extract_tracks(result)
         if len(boxes) >= self.records and not self.triggered:
             self.triggered = True
             if self.on_alarm:
                 self.on_alarm(result)
+        ann = self.annotator(result)
+        for b, tid, cls, cf in zip(boxes, ids, clss, confs):
+            ann.box_label(b, self._label(cls, tid, cf), color=colors(cls))
+        if self.triggered:
+            ann.text((10, 34), "ALARM", txt_color=(255, 255, 255), box_style=True,
+                     bg_color=(200, 0, 0))
+        self.plot_im = ann.result()
         return self.triggered
 
 
