@@ -36,7 +36,7 @@ CFG_FRACTION_KEYS = {"dropout", "lr0", "lrf", "momentum", "weight_decay", "warmu
                      "conf", "iou", "fraction", "erasing", "crop_fraction"}
 CFG_INT_KEYS = {"epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio",
                 "max_det", "vid_stride", "line_width", "nbs", "save_period", "imgsz",
-                "mesh_dp", "mesh_tp", "mesh_sp", "max_labels"}
+                "mesh_dp", "mesh_tp", "mesh_sp", "max_labels", "mosaic_n"}
 CFG_BOOL_KEYS = {"save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",
                  "overlap_mask", "val", "save_json", "save_hybrid", "half", "dnn", "plots",
                  "show", "save_txt", "save_conf", "save_crop", "save_frames", "show_labels",

@@ -433,13 +433,15 @@ class YOLODataset:
         g = lambda k, d: float(hyp.get(k, d)) if isinstance(hyp, dict) else float(getattr(hyp, k, d))
 
         if self.augment and rng.random() < g("mosaic", 1.0):
-            idxs = [i] + [int(rng.integers(self.ni)) for _ in range(3)]
+            n = int(g("mosaic_n", 4))
+            fn = {3: A.mosaic3_points, 9: A.mosaic9_points}.get(n, A.mosaic4_points)
+            idxs = [i] + [int(rng.integers(self.ni)) for _ in range(max(n, 3) - 1)]
             samples = []
             for j in idxs:
                 im = self.load_image(j)
                 samples.append((im, self.labels_px(j, im.shape[:2]),
                                 self._points_px(j, im.shape[:2])))
-            img, labels, extra = A.mosaic4_points(samples, self.imgsz, rng)
+            img, labels, extra = fn(samples, self.imgsz, rng)
             # mosaic canvas is 2*imgsz; scale everything down by half
             img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
             labels = labels.copy()
@@ -454,12 +456,25 @@ class YOLODataset:
             extra = A._shift_points(pts, r, px, py)
 
         if self.task == "segment" and self.augment and g("copy_paste", 0.0) > 0:
-            img, labels, segs = A.copy_paste_flip(
-                img, labels, extra.get("segments", []), p=g("copy_paste", 0.0), rng=rng
-            )
+            mode = (hyp.get("copy_paste_mode", "flip") if isinstance(hyp, dict)
+                    else getattr(hyp, "copy_paste_mode", "flip")) or "flip"
+            if mode == "mixup":
+                # cross-image paste (reference CopyPaste mode="mixup",
+                # data/augment.py:1636): donor sample letterboxed to imgsz
+                j = int(rng.integers(self.ni))
+                im2 = self.load_image(j)
+                lb2 = self.labels_px(j, im2.shape[:2])
+                pts2 = self._points_px(j, im2.shape[:2])
+                im2, lb2, (r2, px2, py2) = A.letterbox(im2, self.imgsz, lb2)
+                segs2 = A._shift_points(pts2, r2, px2, py2).get("segments", [])
+                img, labels, segs = A.copy_paste_mix(
+                    img, labels, extra.get("segments", []), im2, lb2, segs2,
+                    p=g("copy_paste", 0.0), rng=rng)
+            else:
+                img, labels, segs = A.copy_paste_flip(
+                    img, labels, extra.get("segments", []), p=g("copy_paste", 0.0), rng=rng
+                )
             extra["segments"] = segs
-            if "keypoints" in extra:  # keep parallel arrays aligned (segment-only path)
-                pass
 
         if self.augment:
             img = A.random_hsv(img, g("hsv_h", 0.015), g("hsv_s", 0.7), g("hsv_v", 0.4), rng)
@@ -498,13 +513,19 @@ class YOLODataset:
         hyp = self.hyp
         g = lambda k, d: float(hyp.get(k, d)) if isinstance(hyp, dict) else float(getattr(hyp, k, d))
         if self.augment and rng.random() < g("mosaic", 1.0):
-            idxs = [i] + [int(rng.integers(self.ni)) for _ in range(3)]
+            n = int(g("mosaic_n", 4))
+            idxs = [i] + [int(rng.integers(self.ni)) for _ in range(max(n, 3) - 1)]
             imgs, lbs = [], []
             for j in idxs:
                 im = self.load_image(j)
                 imgs.append(im)
                 lbs.append(self.labels_px(j, im.shape[:2]))
-            img, labels = A.mosaic4(imgs, lbs, self.imgsz, rng)
+            if n in (3, 9):
+                fn = A.mosaic3_points if n == 3 else A.mosaic9_points
+                img, labels, _ = fn([(im, lb, {}) for im, lb in zip(imgs, lbs)],
+                                    self.imgsz, rng)
+            else:
+                img, labels = A.mosaic4(imgs, lbs, self.imgsz, rng)
             border = (-self.imgsz // 2, -self.imgsz // 2)
             img, labels = A.random_perspective(
                 img, labels, degrees=g("degrees", 0.0), translate=g("translate", 0.1),
@@ -771,21 +792,21 @@ class ClassificationDataset:
     def get_sample(self, i: int, rng: np.random.Generator):
         path, label = self.samples[i]
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-        h, w = img.shape[:2]
+        g = lambda k, d: self.hyp.get(k, d) if isinstance(self.hyp, dict) else getattr(self.hyp, k, d)
         if self.augment:
-            # RandomResizedCrop-ish: random scale + square crop + flip
-            scale = rng.uniform(0.6, 1.0)
-            ch = int(min(h, w) * scale)
-            y0 = int(rng.integers(0, h - ch + 1))
-            x0 = int(rng.integers(0, w - ch + 1))
-            img = img[y0 : y0 + ch, x0 : x0 + ch]
-            if rng.random() < 0.5:
-                img = np.ascontiguousarray(img[:, ::-1])
+            # reference classify_augmentations (data/augment.py:2405; wired
+            # with scale=(1-args.scale, 1) at data/dataset.py:445-458)
+            img = A.classify_train_transform(
+                img, self.imgsz, rng,
+                scale=(1.0 - float(g("scale", 0.5)), 1.0),
+                hflip=float(g("fliplr", 0.5)), vflip=float(g("flipud", 0.0)),
+                auto_augment=g("auto_augment", "randaugment") or None,
+                hsv_h=float(g("hsv_h", 0.015)), hsv_s=float(g("hsv_s", 0.4)),
+                hsv_v=float(g("hsv_v", 0.4)), erasing=float(g("erasing", 0.4)))
         else:
-            ch = min(h, w)
-            y0, x0 = (h - ch) // 2, (w - ch) // 2
-            img = img[y0 : y0 + ch, x0 : x0 + ch]
-        img = cv2.resize(img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+            # reference classify_transforms (data/augment.py:2348)
+            img = A.classify_eval_transform(
+                img, self.imgsz, crop_fraction=float(g("crop_fraction", 1.0)))
         return img, label
 
     def collate(self, samples: list, idxs=None) -> dict:

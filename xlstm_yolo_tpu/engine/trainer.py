@@ -29,6 +29,7 @@ import optax
 
 from ..cfg import get_cfg
 from ..parallel import mesh as M
+from ..utils import LOGGER
 from ..utils import train_utils as TU
 from ..utils.checkpoint import save_checkpoint
 
@@ -88,8 +89,6 @@ class Trainer:
             # seg masks, keypoints, and world text slots would silently
             # desynchronize from the permuted label slots — host augment
             # handles those tasks correctly, so fall back to it.
-            from ..utils import LOGGER
-
             LOGGER.warning(
                 f"device_augment supports task='detect' only (got "
                 f"'{model.task}'); falling back to host augmentation")
@@ -174,9 +173,27 @@ class Trainer:
         )
         self.data = data_dict
         if self.model.nc != data_dict["nc"]:
-            raise ValueError(
-                f"model nc={self.model.nc} != dataset nc={data_dict['nc']} — build the model with nc="
-            )
+            # reference behavior: the trainer rebuilds the model with the
+            # dataset's nc (models/yolo/detect/train.py get_model(nc=data
+            # ["nc"])) and transfers intersecting weights (nn/tasks.py:284
+            # intersect_dicts) — the class head re-initializes.
+            from ..nn.tasks import TaskModel
+
+            LOGGER.info(
+                f"rebuilding model with nc={data_dict['nc']} to match the dataset "
+                f"(was nc={self.model.nc})")
+            new_model = TaskModel(self.model.yaml, nc=data_dict["nc"], verbose=False)
+            if self.variables is not None:
+                new_vars = new_model.init(int(args.seed), imgsz=imgsz)
+                old_flat = dict(jax.tree_util.tree_flatten_with_path(self.variables)[0])
+                new_flat, treedef = jax.tree_util.tree_flatten_with_path(new_vars)
+                moved = [old_flat[p] if p in old_flat and old_flat[p].shape == v.shape
+                         else v for p, v in new_flat]
+                n_hit = sum(1 for p, v in new_flat
+                            if p in old_flat and old_flat[p].shape == v.shape)
+                LOGGER.info(f"transferred {n_hit}/{len(new_flat)} weight tensors")
+                self.variables = jax.tree_util.tree_unflatten(treedef, moved)
+            self.model = new_model
         self.model.names = data_dict["names"] or self.model.names
 
         # mesh + state ------------------------------------------------------
@@ -320,8 +337,11 @@ class Trainer:
             if args.val:
                 from .validator import Validator
 
+                # plots on the last epoch only (reference plots final val)
                 v = Validator(self.model, data=self.data, imgsz=imgsz, max_labels=int(args.max_labels),
-                              callbacks=self.callbacks)
+                              callbacks=self.callbacks,
+                              plots=bool(args.plots) and epoch == epochs - 1,
+                              save_dir=self.save_dir)
                 val_metrics = v({"params": ema_params, "batch_stats": batch_stats})
                 fitness = val_metrics.get("fitness", 0.0)
                 if fitness >= self.best_fitness:

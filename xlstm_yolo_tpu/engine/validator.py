@@ -25,7 +25,7 @@ class Validator:
                  batch: int = 16, verbose: bool = False, callbacks=None,
                  half: bool = False, save_json: bool = False,
                  save_dir: str | None = None, exact_nms: bool = False,
-                 pre_topk: int = 1024):
+                 pre_topk: int = 1024, plots: bool = False):
         from ..utils.callbacks import default_callbacks
 
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
@@ -50,6 +50,11 @@ class Validator:
         # Fast-NMS; pre_topk widens the fixed candidate pool
         self.exact_nms = exact_nms
         self.pre_topk = pre_topk
+        # plots=True saves confusion_matrix(.normalized).png + the PR/F1/P/R
+        # curve family into save_dir (reference BaseValidator plots,
+        # utils/metrics.py:394-503)
+        self.plots = plots
+        self.cm = None
 
     def _prep(self, variables, img):
         """In-graph bf16 cast of params + image when half (trace-time flag)."""
@@ -72,6 +77,10 @@ class Validator:
                                      augment=False, max_labels=self.max_labels,
                                      task=self.model.task)
         task = self.model.task
+        if self.plots:
+            self.cm = MET.ConfusionMatrix(
+                int(self.model.nc), conf=self.conf,
+                task="classify" if task == "classify" else "detect")
         if task == "classify":
             return self._call_classify(variables, loader)
         if task == "obb":
@@ -116,6 +125,8 @@ class Validator:
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]  # (m, 5) cls xyxy
                 gt_cls = gt[:, 0]
+                if self.cm is not None:
+                    self.cm.process_batch(d if len(d) else None, gt[:, 1:5], gt_cls)
                 if len(d) == 0:
                     if len(gt):
                         stats["target_cls"].append(gt_cls)
@@ -136,6 +147,7 @@ class Validator:
             with open(json_path, "w") as f:
                 json.dump(jdict, f)
         if not stats["tp"]:
+            self._plot_metrics()
             self.callbacks.run("on_val_end", self)
             out = {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0,
                    "fitness": 0.0, "images": n_img, "img_s": round(n_img / dt, 1)}
@@ -147,6 +159,7 @@ class Validator:
         pred_cls = np.concatenate(stats["pred_cls"])
         target_cls = np.concatenate(stats["target_cls"]) if stats["target_cls"] else np.zeros(0)
         r = MET.ap_per_class(tp, conf, pred_cls, target_cls)
+        self._plot_metrics(r)
         out = {
             "precision": r["mp"], "recall": r["mr"],
             "mAP50": r["map50"], "mAP50-95": r["map"],
@@ -163,6 +176,31 @@ class Validator:
                       f"AP={r['ap'][ci].mean():.3f}")
         self.callbacks.run("on_val_end", self)
         return out
+
+    def _plot_metrics(self, r=None):
+        """Emit the reference's val plot family into save_dir: confusion
+        matrices (raw + normalized; utils/metrics.py:394) and the PR/F1/P/R
+        confidence curves (utils/metrics.py:456-503). One-shot per run."""
+        if not self.plots:
+            return
+        from ..utils import plotting as PLT
+
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        names = dict(getattr(self.model, "names", {}) or {})
+        if self.cm is not None:
+            self.cm.plot(self.save_dir, names=names, normalize=False)
+            self.cm.plot(self.save_dir, names=names, normalize=True)
+        if r is not None and len(r.get("px", ())):
+            cnames = {i: names.get(int(c), str(int(c)))
+                      for i, c in enumerate(r["unique_classes"])}
+            PLT.plot_pr_curve(r["px"], r["prec_values"], r["ap50"],
+                              names=cnames, fname=self.save_dir / "PR_curve.png")
+            for key, ylabel, fn in (("f1_curve", "F1", "F1_curve.png"),
+                                    ("p_curve", "Precision", "P_curve.png"),
+                                    ("r_curve", "Recall", "R_curve.png")):
+                PLT.plot_mc_curve(r["px"], r[key], names=cnames, ylabel=ylabel,
+                                  fname=self.save_dir / fn)
+        self.plots = False  # one-shot (segment/pose call _finalize twice)
 
     def _class_map(self, data):
         """0..nc-1 -> COCO-format category ids: the coco80->coco91 paper map
@@ -208,6 +246,7 @@ class Validator:
     # ------------------------------------------------------------------
     def _finalize(self, stats, n_img, dt, extra=None):
         if not stats["tp"]:
+            self._plot_metrics()
             out = {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0,
                    "fitness": 0.0, "images": n_img, "img_s": round(n_img / dt, 1)}
             out.update(extra or {})
@@ -218,6 +257,7 @@ class Validator:
         pred_cls = np.concatenate(stats["pred_cls"])
         target_cls = np.concatenate(stats["target_cls"]) if stats["target_cls"] else np.zeros(0)
         r = MET.ap_per_class(tp, conf, pred_cls, target_cls)
+        self._plot_metrics(r)
         out = {"precision": r["mp"], "recall": r["mr"], "mAP50": r["map50"],
                "mAP50-95": r["map"], "fitness": MET.fitness(r["map50"], r["map"]),
                "images": n_img, "img_s": round(n_img / dt, 1)}
@@ -238,10 +278,13 @@ class Validator:
             labels = np.asarray(batch["label"]) if "label" in batch else np.asarray(
                 batch["cls_boxes"][:, 0, 0], np.int64)
             top5 = np.argsort(-probs, axis=-1)[:, :5]
+            if self.cm is not None:
+                self.cm.process_cls_preds(top5, labels)
             correct1 += int((top5[:, 0] == labels).sum())
             correct5 += int((top5 == labels[:, None]).any(-1).sum())
             total += len(labels)
         dt = _t.time() - t0
+        self._plot_metrics()
         top1 = correct1 / max(total, 1)
         top5a = correct5 / max(total, 1)
         return {"accuracy_top1": top1, "accuracy_top5": top5a, "fitness": top1,
@@ -275,6 +318,9 @@ class Validator:
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]  # (m, 6) cls + rbox
                 gt_cls = gt[:, 0]
+                if self.cm is not None:
+                    dcm = d[:, [0, 1, 2, 3, 5, 6, 4]] if len(d) else None
+                    self.cm.process_batch(dcm, gt[:, 1:6], gt_cls)
                 if len(d) == 0:
                     if len(gt):
                         stats["target_cls"].append(gt_cls)
@@ -324,6 +370,8 @@ class Validator:
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]
                 gt_cls = gt[:, 0]
+                if self.cm is not None:
+                    self.cm.process_batch(d if len(d) else None, gt[:, 1:5], gt_cls)
                 if len(d) == 0:
                     if len(gt):
                         box_stats["target_cls"].append(gt_cls)
@@ -410,6 +458,8 @@ class Validator:
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]
                 gt_cls = gt[:, 0]
+                if self.cm is not None:
+                    self.cm.process_batch(d if len(d) else None, gt[:, 1:5], gt_cls)
                 if len(d) == 0:
                     if len(gt):
                         box_stats["target_cls"].append(gt_cls)

@@ -358,16 +358,21 @@ def _bwd(chunk_size, igate_act, eps, interpret, mxu_dtype, res, g):
         # autograd-equivalence proof)
         from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd
 
-        return mlstm_chunkwise_pallas_bwd(
+        grads = mlstm_chunkwise_pallas_bwd(
             q, k, v, i_preact, f_preact, g, chunk_size=chunk_size,
             igate_act=igate_act, eps=eps, interpret=interpret,
             mxu_dtype=mxu_dtype)
-    # rectangular heads (DQK != DV): explicit golden-jnp gradients
-    from .mlstm_bwd import mlstm_chunkwise_bwd_ref
+    else:
+        # rectangular heads (DQK != DV): explicit golden-jnp gradients
+        from .mlstm_bwd import mlstm_chunkwise_bwd_ref
 
-    return mlstm_chunkwise_bwd_ref(
-        q, k, v, i_preact, f_preact, g, chunk_size=chunk_size,
-        igate_act=igate_act, eps=eps)
+        grads = mlstm_chunkwise_bwd_ref(
+            q, k, v, i_preact, f_preact, g, chunk_size=chunk_size,
+            igate_act=igate_act, eps=eps)
+    # cotangent dtypes must match each primal's dtype (bf16 activations
+    # stream through the train step; the bwd kernel computes in fp32)
+    return tuple(gr.astype(p.dtype) for gr, p in
+                 zip(grads, (q, k, v, i_preact, f_preact)))
 
 
 _mlstm_pallas.defvjp(_fwd, _bwd)
@@ -458,8 +463,8 @@ def _bwd_t(chunk_size, igate_act, eps, interpret, mxu_dtype, res, g):
     dq, dk, dv, di, df = mlstm_chunkwise_pallas_bwd(
         q, k, v, ip, fp, gn, chunk_size=chunk_size, igate_act=igate_act,
         eps=eps, interpret=interpret, mxu_dtype=mxu_dtype)
-    back = lambda x: x.reshape(BNH, S, DH).swapaxes(1, 2).astype(q_t.dtype)
-    return (back(dq), back(dk), back(dv),
+    back = lambda x, p: x.reshape(BNH, S, DH).swapaxes(1, 2).astype(p.dtype)
+    return (back(dq, q_t), back(dk, k_t), back(dv, v_t),
             di.reshape(BNH, 1, S).astype(i2.dtype), df.reshape(BNH, 1, S).astype(f2.dtype))
 
 

@@ -95,6 +95,19 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, target_
             ap[ci, ti], _, _ = compute_ap(recall[:, ti], precision[:, ti])
     f1 = 2 * p * r / (p + r + eps)
     i_best = f1.mean(0).argmax() if nc else 0
+    # precision-at-recall curves on the px grid for PR plots (reference
+    # prec_values, utils/metrics.py:616-618): envelope precision at IoU 0.5
+    prec_values = np.zeros((nc, 1000))
+    for ci, c in enumerate(unique_classes):
+        i = pred_cls == c
+        if not i.any() or nt[ci] == 0:
+            continue
+        fpc = (1 - tp[i]).cumsum(0)
+        tpc = tp[i].cumsum(0)
+        recall = tpc[:, 0] / (nt[ci] + eps)
+        precision = tpc[:, 0] / (tpc[:, 0] + fpc[:, 0])
+        _, mpre, mrec = compute_ap(recall, precision)
+        prec_values[ci] = np.interp(px, mrec[:-1], mpre[:-1])
     return {
         "unique_classes": unique_classes.astype(int),
         "nt": nt,
@@ -108,6 +121,13 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray, target_
         "map50": float(ap[:, 0].mean()) if nc else 0.0,
         "map75": float(ap[:, min(5, T - 1)].mean()) if nc else 0.0,
         "map": float(ap.mean()) if nc else 0.0,
+        # full confidence-sweep curves for plotting (reference p_curve/
+        # r_curve/f1_curve/x returns, utils/metrics.py:632)
+        "px": px,
+        "p_curve": p,
+        "r_curve": r,
+        "f1_curve": f1,
+        "prec_values": prec_values,
     }
 
 
@@ -117,17 +137,62 @@ def fitness(map50: float, map5095: float) -> float:
     return 0.1 * map50 + 0.9 * map5095
 
 
-class ConfusionMatrix:
-    """Detection confusion matrix (reference utils/metrics.py:294)."""
+def batch_probiou_np(obb1: np.ndarray, obb2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Pairwise probabilistic IoU for oriented boxes (cx cy w h angle):
+    (M, 5) x (N, 5) -> (M, N). numpy twin of ops.boxes.batch_probiou
+    (reference utils/metrics.py:198 probiou / :235 batch_probiou) for
+    host-side confusion-matrix / matching work."""
 
-    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45):
+    def cov(o):
+        w, h, r = o[..., 2], o[..., 3], o[..., 4]
+        a, b = (w ** 2) / 12.0, (h ** 2) / 12.0
+        c, s = np.cos(r), np.sin(r)
+        return a * c**2 + b * s**2, a * s**2 + b * c**2, (a - b) * c * s
+
+    o1, o2 = obb1[:, None, :], obb2[None, :, :]
+    x1, y1 = o1[..., 0], o1[..., 1]
+    x2, y2 = o2[..., 0], o2[..., 1]
+    a1, b1, c1 = cov(o1)
+    a2, b2, c2 = cov(o2)
+    den = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / den * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / den * 0.5
+    t3 = 0.5 * np.log(
+        ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+        / (4 * np.sqrt(np.clip(a1 * b1 - c1**2, 0, None)
+                       * np.clip(a2 * b2 - c2**2, 0, None)) + eps) + eps)
+    bd = np.clip(t1 + t2 + t3, eps, 100.0)
+    return 1.0 - np.sqrt(1.0 - np.exp(-bd) + eps)
+
+
+class ConfusionMatrix:
+    """Confusion matrix for detection-family AND classify tasks (reference
+    utils/metrics.py:294): detect-family is (nc+1, nc+1) with a background
+    row/col; classify is (nc, nc). Oriented (OBB) detections pass (N, 7)
+    dets = xyxy conf cls angle with (M, 5) cxcywhr gt, matched by probiou —
+    the same dispatch the reference does at utils/metrics.py:355-360."""
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45,
+                 task: str = "detect"):
+        self.task = "classify" if task == "classify" else "detect"
         self.nc = nc
-        self.conf = conf
+        # reference remaps the val-default 0.001 to 0.25 (utils/metrics.py:311)
+        self.conf = 0.25 if conf in (None, 0.001) else conf
         self.iou_thres = iou_thres
-        self.matrix = np.zeros((nc + 1, nc + 1), int)
+        n = nc if self.task == "classify" else nc + 1
+        self.matrix = np.zeros((n, n), int)
+
+    def process_cls_preds(self, preds, targets):
+        """Classification update (reference utils/metrics.py:314): preds =
+        top-k class indices (N, k) or (N,); targets = (N,) true classes."""
+        preds = np.asarray(preds)
+        top1 = preds[:, 0] if preds.ndim == 2 else preds
+        for p, t in zip(top1.astype(int), np.asarray(targets).astype(int)):
+            self.matrix[p, t] += 1
 
     def process_batch(self, dets: np.ndarray, gt_boxes: np.ndarray, gt_cls: np.ndarray):
-        """dets (N, 6) = xyxy, conf, cls; gt (M, 4), gt_cls (M,)."""
+        """dets (N, 6) = xyxy, conf, cls — or (N, 7) with a trailing angle for
+        OBB; gt (M, 4) xyxy or (M, 5) cxcywhr, gt_cls (M,)."""
         if dets is None or len(dets) == 0:
             for c in gt_cls.astype(int):
                 self.matrix[self.nc, c] += 1
@@ -137,7 +202,10 @@ class ConfusionMatrix:
             for c in dets[:, 5].astype(int):
                 self.matrix[c, self.nc] += 1
             return
-        iou = box_iou_np(gt_boxes, dets[:, :4])
+        is_obb = dets.shape[1] == 7 and gt_boxes.shape[1] == 5
+        iou = (batch_probiou_np(gt_boxes,
+                                np.concatenate([dets[:, :4], dets[:, -1:]], -1))
+               if is_obb else box_iou_np(gt_boxes, dets[:, :4]))
         matches = np.nonzero(iou > self.iou_thres)
         matches = np.stack(matches, 1)
         if matches.shape[0]:
@@ -155,3 +223,16 @@ class ConfusionMatrix:
         for di in range(len(dets)):
             if di not in matched_det:
                 self.matrix[int(dets[di, 5]), self.nc] += 1
+
+    def plot(self, save_dir=".", names: dict | None = None, normalize: bool = True):
+        """Save the heatmap png(s); reference ConfusionMatrix.plot
+        (utils/metrics.py:394) writes both raw and normalized variants."""
+        from .plotting import plot_confusion_matrix
+
+        suffix = "_normalized" if normalize else ""
+        from pathlib import Path
+
+        return plot_confusion_matrix(
+            self.matrix, names=names, normalize=normalize,
+            background=self.task == "detect",
+            fname=Path(save_dir) / f"confusion_matrix{suffix}.png")

@@ -92,14 +92,52 @@ def plot_pr_curve(px: np.ndarray, py: np.ndarray, ap: np.ndarray, names: dict | 
     return fname
 
 
+def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
+    """Box filter of fraction f (reference utils/metrics.py:446)."""
+    nf = round(len(y) * f * 2) // 2 + 1
+    p = np.ones(nf // 2)
+    yp = np.concatenate((p * y[0], y, p * y[-1]), 0)
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
+def plot_mc_curve(px: np.ndarray, py: np.ndarray, fname: str | Path = "mc_curve.png",
+                  names: dict | None = None, xlabel: str = "Confidence",
+                  ylabel: str = "Metric") -> Path:
+    """Metric-confidence curve — the F1/P/R_curve.png family (reference
+    plot_mc_curve, utils/metrics.py:481). py: (nc, n) per-class curves."""
+    fig, ax = plt.subplots(figsize=(6, 5))
+    if 0 < py.shape[0] < 21:
+        for i in range(py.shape[0]):
+            ax.plot(px, py[i], linewidth=1, label=(names or {}).get(i, str(i)))
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = smooth(py.mean(0), 0.05) if py.shape[0] else np.zeros_like(px)
+    ax.plot(px, y, linewidth=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=7)
+    ax.set_title(f"{ylabel}-Confidence Curve")
+    fname = Path(fname)
+    fname.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(fname, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return fname
+
+
 def plot_confusion_matrix(matrix: np.ndarray, names: dict | None = None,
-                          fname: str | Path = "confusion_matrix.png", normalize: bool = True) -> Path:
-    """Confusion-matrix heatmap (reference ConfusionMatrix.plot)."""
+                          fname: str | Path = "confusion_matrix.png", normalize: bool = True,
+                          background: bool = True) -> Path:
+    """Confusion-matrix heatmap (reference ConfusionMatrix.plot).
+    background=False for classify matrices (no background row/col)."""
     m = matrix.astype(np.float64)
     if normalize:
         m = m / np.clip(m.sum(0, keepdims=True), 1, None)
-    nc = m.shape[0] - 1
-    labels = [(names or {}).get(i, str(i)) for i in range(nc)] + ["background"]
+    nc = m.shape[0] - (1 if background else 0)
+    labels = [(names or {}).get(i, str(i)) for i in range(nc)] + (
+        ["background"] if background else [])
     fig, ax = plt.subplots(figsize=(max(5, nc * 0.6), max(4, nc * 0.5)))
     im = ax.imshow(m, cmap="Blues", vmin=0)
     ax.set_xticks(range(len(labels)))
