@@ -85,6 +85,63 @@ def bench_model(name: str, metric: str, imgsz: int = 640, batch: int = 256,
     }
 
 
+def kernel_parity() -> dict:
+    """Compiled-kernel numerics gate (VERDICT r3 #4): every bench round runs
+    the Pallas mLSTM forward + backward and the sLSTM scan kernel COMPILED on
+    the real chip (tests pin interpret mode on CPU; this is the only per-round
+    silicon check) against the jnp goldens (kernels/mlstm_native.py — the
+    reference math of xlstm/blocks/mlstm/backends.py:149-263 — and
+    kernels/mlstm_bwd.py / kernels/slstm.py). fp32-MXU mode isolates Mosaic
+    lowering bugs from the deliberate bf16 trade."""
+    import jax
+    import jax.numpy as jnp
+
+    from xlstm_yolo_tpu.kernels.mlstm_bwd import mlstm_chunkwise_bwd_ref
+    from xlstm_yolo_tpu.kernels.mlstm_native import mlstm_chunkwise
+    from xlstm_yolo_tpu.kernels.mlstm_pallas import mlstm_chunkwise_pallas
+    from xlstm_yolo_tpu.kernels.mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd
+    from xlstm_yolo_tpu.kernels.slstm import slstm_scan
+    from xlstm_yolo_tpu.kernels.slstm_pallas import slstm_scan_pallas
+
+    rng = np.random.default_rng(7)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    B, NH, S, DH = 2, 4, 512, 64
+    q, k, v = mk(B, NH, S, DH), mk(B, NH, S, DH), mk(B, NH, S, DH)
+    ip, fp = mk(B, NH, S) - 2.0, mk(B, NH, S) + 2.0
+    g = mk(B, NH, S, DH)
+
+    def relerr(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9))
+
+    h_pal = jax.jit(lambda *a: mlstm_chunkwise_pallas(
+        *a, chunk_size=128, mxu_dtype="float32"))(q, k, v, ip, fp)
+    h_ref = mlstm_chunkwise(q, k, v, ip, fp, chunk_size=128)
+    errs = {"mlstm_fwd": relerr(h_pal, h_ref)}
+
+    g_pal = jax.jit(lambda *a: mlstm_chunkwise_pallas_bwd(
+        *a, chunk_size=128, mxu_dtype="float32"))(q, k, v, ip, fp, g)
+    g_ref = mlstm_chunkwise_bwd_ref(q, k, v, ip, fp, g, chunk_size=128)
+    errs["mlstm_bwd"] = max(relerr(a, b) for a, b in zip(g_pal, g_ref))
+
+    wx = mk(2, 12, 2, 4, 16)
+    R = mk(2, 16, 4, 16) * 0.1
+    b = mk(2, 4, 16) * 0.1
+    y_pal = jax.jit(lambda *a: slstm_scan_pallas(*a))(wx, R, b)
+    errs["slstm_fwd"] = relerr(y_pal, slstm_scan(wx, R, b))
+
+    worst = max(errs.values())
+    tol = 2e-2
+    return {
+        "metric": "pallas_kernel_parity_maxrelerr",
+        "value": round(worst, 6),
+        "unit": "rel",
+        "ok": bool(worst < tol),
+        "detail": {kk: round(vv, 6) for kk, vv in errs.items()},
+    }
+
+
 def main():
     from pathlib import Path
 
@@ -93,6 +150,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # on-silicon kernel numerics gate, FIRST (the driver parses the LAST line
+    # as the headline metric; a parity failure must not mask the throughput)
+    print(json.dumps(kernel_parity()), flush=True)
 
     print(json.dumps(bench_model("yolov8n.yaml", "yolov8n_640_e2e_throughput")), flush=True)
 

@@ -375,12 +375,29 @@ def test_vil_layer_fused_gradients_match_composite():
 
     gf = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
     gc = jax.grad(loss_comp, argnums=tuple(range(len(args))))(*args)
-    # same tolerance note as the v2 grad test: the vjp IS the composite's,
-    # only the outer cotangent (2*out) carries the fused forward's MXU bf16
-    # rounding, amplified through the eps-dominated outnorm
+    # v3's backward is hand-split around the SAVED in-kernel cell output h
+    # (never re-running the recurrence), so both the outer cotangent AND the
+    # outnorm-tail recompute carry the fused forward's MXU bf16 rounding —
+    # slightly looser than the old recompute-everything-in-fp32 vjp. The
+    # fp32-MXU assert below pins the gradient MATH to autodiff exactly.
     for n, xg, yg in zip(names, gf, gc):
         np.testing.assert_allclose(np.asarray(xg), np.asarray(yg),
-                                   rtol=5e-2, atol=5e-2, err_msg=n)
+                                   rtol=1e-1, atol=1e-1, err_msg=n)
+
+    def loss_fused32(*t):
+        kw = dict(zip(names, t))
+        out = mlstm_vil_layer_fused_pallas(
+            kw["x"], kw["conv"], kw["nrm"], kw["wu"], kw["bu"], kw["wq"],
+            kw["bq"], kw["wk"], kw["bk"], kw["wv"], kw["bv"], kw["wgi"],
+            kw["bgi"], kw["wgf"], kw["bgf"], kw["nsc"], kw["nbi"],
+            kw["skip"], kw["wd"], kw["bd"], 2, chunk_size=64, interpret=True,
+            mxu_dtype="float32")
+        return jnp.sum(out ** 2)
+
+    gf32 = jax.grad(loss_fused32, argnums=tuple(range(len(args))))(*args)
+    for n, xg, yg in zip(names, gf32, gc):
+        np.testing.assert_allclose(np.asarray(xg), np.asarray(yg),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)
 
 
 def test_vil_conv_fused_interpret_matches_composite():

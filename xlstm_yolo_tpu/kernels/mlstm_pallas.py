@@ -449,21 +449,18 @@ def _fwd_t(q_t, k_t, v_t, i2, f2, chunk_size, igate_act, eps, interpret, mxu_dty
 def _bwd_t(chunk_size, igate_act, eps, interpret, mxu_dtype, res, g):
     q_t, k_t, v_t, i2, f2 = res
     BNH, DH, S = q_t.shape
-    to_nat = lambda x: x.swapaxes(1, 2).reshape(1, BNH, S, DH)
-    q = to_nat(q_t)
-    k = to_nat(k_t)
-    v = to_nat(v_t)
-    ip = i2.reshape(1, BNH, S)
-    fp = f2.reshape(1, BNH, S)
-    gn = g.astype(jnp.float32).swapaxes(1, 2).reshape(1, BNH, S, DH)
     # q/k/v share one BlockSpec in the transposed entry, so DHq == DHv by
-    # construction — the fused reverse-streaming backward always applies
-    from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd
+    # construction — the fused reverse-streaming backward always applies;
+    # the layout-native entry feeds it without any relayout copies
+    from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd_t
 
-    dq, dk, dv, di, df = mlstm_chunkwise_pallas_bwd(
-        q, k, v, ip, fp, gn, chunk_size=chunk_size, igate_act=igate_act,
+    dq, dk, dv, di, df = mlstm_chunkwise_pallas_bwd_t(
+        q_t.reshape(1, BNH, DH, S), k_t.reshape(1, BNH, DH, S),
+        v_t.reshape(1, BNH, DH, S), i2.reshape(1, BNH, S),
+        f2.reshape(1, BNH, S), g.reshape(1, BNH, DH, S),
+        chunk_size=chunk_size, igate_act=igate_act,
         eps=eps, interpret=interpret, mxu_dtype=mxu_dtype)
-    back = lambda x, p: x.reshape(BNH, S, DH).swapaxes(1, 2).astype(p.dtype)
+    back = lambda x, p: x.reshape(BNH, DH, S).astype(p.dtype)
     return (back(dq, q_t), back(dk, k_t), back(dv, v_t),
             di.reshape(BNH, 1, S).astype(i2.dtype), df.reshape(BNH, 1, S).astype(f2.dtype))
 
@@ -1145,10 +1142,15 @@ def mlstm_vil_block_fused_pallas(
 def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
                       buz_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
                       wgi_ref, bgi_ref, wgf_ref, bgf_ref, nsc_ref, nbi_ref,
-                      skip_ref, wd_ref, bd_ref, out_ref, c_scr, n_scr, m_scr,
-                      *, bb, nh, ns, cs, dh, inner, dim, igate_act, eps,
-                      norm_eps, rms_eps, mxu):
-    """ViLLayer forward minus the conv, on VMEM-resident values."""
+                      skip_ref, wd_ref, bd_ref, out_ref, *rest,
+                      bb, nh, ns, cs, dh, inner, dim, igate_act, eps,
+                      norm_eps, rms_eps, mxu, save_h=False):
+    """ViLLayer forward minus the conv, on VMEM-resident values. With
+    ``save_h`` the pre-outnorm cell output streams out as a second
+    (transposed) plane — the training forward saves it so the backward
+    never re-runs the recurrence (see _vil_layer_bwd)."""
+    h_ref = rest[0] if save_h else None
+    c_scr, n_scr, m_scr = rest[-3:]
     g = bb * nh
 
     t_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
@@ -1232,6 +1234,8 @@ def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
         c_scr[:] = c_new
         n_scr[:] = n_new
         m_scr[:] = m_new
+        if save_h:
+            h_ref[:, :, pl.ds(s0, cs)] = hT.astype(h_ref.dtype)
 
         mu = jnp.mean(hT, axis=1, keepdims=True)
         var = jnp.mean((hT - mu) ** 2, axis=1, keepdims=True)
@@ -1263,11 +1267,12 @@ def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
 
 
 def _pick_layout_layer(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
-                       dim: int, in_bytes: int) -> tuple:
+                       dim: int, in_bytes: int, save_h: bool = False) -> tuple:
     """(BB, NSEG) for the layer-fused kernel: streams 1 INNER-wide + 2
-    DIM-wide natural planes only. Budget calibrated on-chip: P3 (16, 25)
-    models at 15.4M and Mosaic reports 16.85M scoped (>16M limit), so the
-    model under-counts ~1.4M — 15.3M keeps every accepted config under."""
+    DIM-wide natural planes only (+1 transposed INNER h plane out when
+    ``save_h``). Budget calibrated on-chip: P3 (16, 25) models at 15.4M and
+    Mosaic reports 16.85M scoped (>16M limit), so the model under-counts
+    ~1.4M — 15.3M keeps every accepted config under."""
     budget = 15_300_000
     ns = s // cs
     bb = max(1, min(b, 32 // nh))
@@ -1283,7 +1288,7 @@ def _pick_layout_layer(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
             if ns % nseg:
                 continue
             seg = s // nseg
-            stream = 2 * bb * seg * (inner + 2 * dim) * in_bytes
+            stream = 2 * bb * seg * ((1 + save_h) * inner + 2 * dim) * in_bytes
             if stream + temps + w_bytes <= budget:
                 return (bb, nseg)
         nb = bb - 1
@@ -1296,14 +1301,16 @@ def _pick_layout_layer(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
 def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
                     wv_bd, bq, bk, bv, wgi, bgi, wgf, bgf, nsc, nbi, skip,
                     wd, bd, nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
-                    interpret=False, mxu_dtype="bfloat16", layout=None):
+                    interpret=False, mxu_dtype="bfloat16", layout=None,
+                    save_h=False):
     B, S, DIM = x.shape
     INNER = conv_act.shape[-1]
     dh = INNER // nh
     CS = chunk_size
     assert S % CS == 0
     BB, NSEG = layout or _pick_layout_layer(B, nh, S, CS, dh, INNER, DIM,
-                                            conv_act.dtype.itemsize)
+                                            conv_act.dtype.itemsize,
+                                            save_h=save_h)
     SEG = S // NSEG
     G = BB * nh
     mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
@@ -1311,12 +1318,21 @@ def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
     x_spec = pl.BlockSpec((BB, SEG, DIM), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
     cv_spec = pl.BlockSpec((BB, SEG, INNER), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
     row = lambda r, c: pl.BlockSpec((r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+    if save_h:
+        h_spec = pl.BlockSpec((G, dh, SEG), lambda b, t: (b, 0, t),
+                              memory_space=pltpu.VMEM)
+        out_specs = [x_spec, h_spec]
+        out_shape = [jax.ShapeDtypeStruct((B, S, DIM), x.dtype),
+                     jax.ShapeDtypeStruct((B * nh, dh, S), conv_act.dtype)]
+    else:
+        out_specs = x_spec
+        out_shape = jax.ShapeDtypeStruct((B, S, DIM), x.dtype)
 
     return pl.pallas_call(
         functools.partial(_kernel_vil_layer, bb=BB, nh=nh, ns=SEG // CS,
                           cs=CS, dh=dh, inner=INNER, dim=DIM,
                           igate_act=igate_act, eps=eps, norm_eps=norm_eps,
-                          rms_eps=rms_eps, mxu=mxu),
+                          rms_eps=rms_eps, mxu=mxu, save_h=save_h),
         grid=(B // BB, NSEG),
         in_specs=[x_spec, cv_spec, row(1, DIM), row(DIM, INNER), row(1, INNER),
                   row(INNER, DIM), row(INNER, 1), row(INNER, INNER),
@@ -1324,8 +1340,8 @@ def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
                   row(INNER, 1), row(INNER, 1), row(3 * INNER, nh), row(nh, 1),
                   row(3 * INNER, nh), row(nh, 1), row(INNER, 1), row(INNER, 1),
                   row(INNER, 1), row(INNER, DIM), row(1, DIM)],
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((B, S, DIM), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((G, dh, dh), jnp.float32),
             pltpu.VMEM((G, dh, 1), jnp.float32),
@@ -1337,7 +1353,8 @@ def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * S * (7 * INNER * INNER + 3 * INNER * DIM
                                + nh * (2 * CS * dh + 2 * dh * dh)),
-            bytes_accessed=B * S * (INNER + 2 * DIM) * conv_act.dtype.itemsize,
+            bytes_accessed=B * S * ((1 + save_h) * INNER + 2 * DIM)
+            * conv_act.dtype.itemsize,
             transcendentals=B * nh * S * (CS + 4),
         ),
         interpret=interpret,
@@ -1361,10 +1378,12 @@ def _vil_layer_composite(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv,
                                 bd, nh, chunk_size, igate_act, eps, norm_eps)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(20, 21, 22, 23, 24, 25, 26, 27))
-def _vil_layer(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
-               wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size, igate_act,
-               eps, norm_eps, rms_eps, interpret, mxu_dtype):
+def _vil_layer_call(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi,
+                    bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size,
+                    igate_act, eps, norm_eps, rms_eps, interpret, mxu_dtype,
+                    save_h=False):
+    """Shared prep (block-diag weights, kernel-layout reshapes/casts) +
+    impl call for the primal and the residual-saving fwd."""
     import jax.scipy.linalg as jsl
 
     dt = conv_act.dtype
@@ -1384,25 +1403,104 @@ def _vil_layer(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
         nbi.reshape(inner, 1).astype(jnp.float32),
         skip.reshape(inner, 1).astype(jnp.float32),
         wd.astype(dt), bd.reshape(1, dim).astype(jnp.float32),
-        nh, chunk_size, igate_act, eps, norm_eps, rms_eps, interpret, mxu_dtype)
+        nh, chunk_size, igate_act, eps, norm_eps, rms_eps, interpret,
+        mxu_dtype, save_h=save_h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(20, 21, 22, 23, 24, 25, 26, 27))
+def _vil_layer(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
+               wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size, igate_act,
+               eps, norm_eps, rms_eps, interpret, mxu_dtype):
+    return _vil_layer_call(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv,
+                           wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh,
+                           chunk_size, igate_act, eps, norm_eps, rms_eps,
+                           interpret, mxu_dtype)
 
 
 def _vil_layer_fwd(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
                    wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size, igate_act,
                    eps, norm_eps, rms_eps, interpret, mxu_dtype):
-    out = _vil_layer(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi,
-                     bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size,
-                     igate_act, eps, norm_eps, rms_eps, interpret, mxu_dtype)
+    out, h = _vil_layer_call(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv,
+                             wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh,
+                             chunk_size, igate_act, eps, norm_eps, rms_eps,
+                             interpret, mxu_dtype, save_h=True)
     return out, (x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
-                 wgf, bgf, nsc, nbi, skip, wd, bd)
+                 wgf, bgf, nsc, nbi, skip, wd, bd, h)
 
 
 def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
                    interpret, mxu_dtype, res, gout):
-    fn = lambda *args: _vil_layer_composite(*args, nh, chunk_size, igate_act,
-                                            eps, norm_eps, rms_eps)
-    _, vjp = jax.vjp(fn, *res)
-    return vjp(gout)
+    """Hand-split backward: the forward kernel saved the cell output h, so
+    the recurrence is NEVER re-run here (the old composite-recompute VJP
+    paid a full cell forward — ~40% of the backward at ViL-P3/b128). The
+    projection head and the outnorm/gate/proj_down tail recompute as plain
+    XLA (GEMM-bound, cheap), and the cell gradient hops straight onto the
+    layout-native reverse-streaming kernel."""
+    (x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf, bgf,
+     nsc, nbi, skip, wd, bd, h) = res
+    B, S, DIM = x.shape
+    INNER = conv_act.shape[-1]
+    dh = INNER // nh
+
+    def head(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
+             wgf, bgf):
+        # mirrors _vil_layer_composite's pre-cell math exactly
+        xf = x.astype(jnp.float32)
+        xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                                + rms_eps)
+        xn = (xn * nrm.astype(jnp.float32)).astype(x.dtype)
+        y = jnp.dot(xn, wu.astype(x.dtype)) + bu.astype(x.dtype)
+        x_mlstm, z = jnp.split(y, 2, axis=-1)
+        dt = conv_act.dtype
+        xs = conv_act.reshape(B, S, nh, dh)
+        xms = x_mlstm.reshape(B, S, nh, dh)
+        q_t = jnp.einsum("bsnd,nod->bnos", xs, wq.astype(dt)) + bq.astype(dt).reshape(nh, dh, 1)
+        k_t = jnp.einsum("bsnd,nod->bnos", xs, wk.astype(dt)) + bk.astype(dt).reshape(nh, dh, 1)
+        v_t = jnp.einsum("bsnd,nod->bnos", xms, wv.astype(dt)) + bv.astype(dt).reshape(nh, dh, 1)
+        rs = lambda wm: wm.reshape(nh, dh, nh).astype(dt)
+        i_pre = (jnp.einsum("bnos,noh->bhs", q_t, rs(wgi[:INNER]), preferred_element_type=jnp.float32)
+                 + jnp.einsum("bnos,noh->bhs", k_t, rs(wgi[INNER:2 * INNER]), preferred_element_type=jnp.float32)
+                 + jnp.einsum("bnos,noh->bhs", v_t, rs(wgi[2 * INNER:]), preferred_element_type=jnp.float32)
+                 + bgi.astype(jnp.float32).reshape(1, nh, 1))
+        f_pre = (jnp.einsum("bnos,noh->bhs", q_t, rs(wgf[:INNER]), preferred_element_type=jnp.float32)
+                 + jnp.einsum("bnos,noh->bhs", k_t, rs(wgf[INNER:2 * INNER]), preferred_element_type=jnp.float32)
+                 + jnp.einsum("bnos,noh->bhs", v_t, rs(wgf[2 * INNER:]), preferred_element_type=jnp.float32)
+                 + bgf.astype(jnp.float32).reshape(1, nh, 1))
+        return q_t, k_t, v_t, i_pre, f_pre, z
+
+    (q_t, k_t, v_t, i_pre, f_pre, z), head_vjp = jax.vjp(
+        head, x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
+        wgf, bgf)
+
+    def tail(h, z, conv_act, x_res, nsc, nbi, skip, wd, bd):
+        # mirrors _vil_block_composite's post-cell math exactly
+        hf = h.reshape(B, nh, dh, S).astype(jnp.float32)
+        mu = jnp.mean(hf, axis=2, keepdims=True)
+        var = jnp.var(hf, axis=2, keepdims=True)
+        hn = (hf - mu) * jax.lax.rsqrt(var + norm_eps)
+        hn = hn * nsc.reshape(1, nh, dh, 1) + nbi.reshape(1, nh, dh, 1)
+        hn = hn.astype(conv_act.dtype).transpose(0, 3, 1, 2).reshape(B, S, INNER)
+        y = (hn + skip.astype(hn.dtype) * conv_act) * jax.nn.silu(z)
+        out = jnp.dot(y, wd.astype(y.dtype), preferred_element_type=jnp.float32)
+        out = (out + bd.astype(jnp.float32)).astype(conv_act.dtype)
+        return out + x_res
+
+    _, tail_vjp = jax.vjp(tail, h, z, conv_act, x, nsc, nbi, skip, wd, bd)
+    dht, dz, dconv_tail, dx_res, dnsc, dnbi, dskip, dwd, dbd = tail_vjp(gout)
+
+    from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd_t
+
+    dq_t, dk_t, dv_t, di, df = mlstm_chunkwise_pallas_bwd_t(
+        q_t, k_t, v_t, i_pre, f_pre, dht.reshape(B, nh, dh, S),
+        chunk_size=chunk_size, igate_act=igate_act, eps=eps,
+        interpret=interpret, mxu_dtype=mxu_dtype)
+
+    (dx_h, dconv_head, dnrm, dwu, dbu, dwq, dwk, dwv, dbq, dbk, dbv,
+     dwgi, dbgi, dwgf, dbgf) = head_vjp((dq_t, dk_t, dv_t, di, df, dz))
+
+    return (dx_h + dx_res, dconv_head + dconv_tail, dnrm, dwu, dbu, dwq, dwk,
+            dwv, dbq, dbk, dbv, dwgi, dbgi, dwgf, dbgf, dnsc, dnbi, dskip,
+            dwd, dbd)
 
 
 _vil_layer.defvjp(_vil_layer_fwd, _vil_layer_bwd)

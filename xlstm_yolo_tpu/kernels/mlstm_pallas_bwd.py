@@ -37,6 +37,23 @@ from .mlstm_native import _log_igate
 NEG_INF = -1e30
 
 
+def _gate_chunk_weights(i_preact, f_preact, chunk_size, igate_act):
+    """Per-chunk gate summaries shared by both phase-1 entries: returns
+    (gw (B, NH, NS, CS) intra-chunk accumulation weights, btot (B, NH, NS)
+    total log-decay, m_loc (B, NH, NS) local stabilizer max)."""
+    B, NH, S = f_preact.shape
+    NS = S // chunk_size
+    f32 = jnp.float32
+    logf = jax.nn.log_sigmoid(f_preact.astype(f32)).reshape(B, NH, NS, chunk_size)
+    logi = _log_igate(i_preact.astype(f32), igate_act).reshape(B, NH, NS, chunk_size)
+    b = jnp.cumsum(logf, axis=-1)
+    btot = b[..., -1]
+    g_acc = logi + (btot[..., None] - b)
+    m_loc = jnp.max(g_acc, axis=-1)
+    gw = jnp.exp(g_acc - m_loc[..., None])
+    return gw, btot, m_loc
+
+
 def chunk_carry_states(q, k, v, i_preact, f_preact, chunk_size, igate_act="exp"):
     """Phase 1: per-chunk carry-in states (C^T, n, scalars) via plain XLA.
 
@@ -49,15 +66,35 @@ def chunk_carry_states(q, k, v, i_preact, f_preact, chunk_size, igate_act="exp")
     f32 = jnp.float32
     kc = k.astype(f32).reshape(B, NH, NS, CS, DH)
     vc = v.astype(f32).reshape(B, NH, NS, CS, DV)
-    logf = jax.nn.log_sigmoid(f_preact.astype(f32)).reshape(B, NH, NS, CS)
-    logi = _log_igate(i_preact.astype(f32), igate_act).reshape(B, NH, NS, CS)
-    b = jnp.cumsum(logf, axis=-1)
-    btot = b[..., -1]
-    g_acc = logi + (btot[..., None] - b)
-    m_loc = jnp.max(g_acc, axis=-1)
-    gw = jnp.exp(g_acc - m_loc[..., None])
+    gw, btot, m_loc = _gate_chunk_weights(i_preact, f_preact, CS, igate_act)
     kv = jnp.einsum("bncsd,bncse->bncde", kc * gw[..., None], vc)
     ksum = jnp.sum(kc * gw[..., None], axis=-2)
+    return _carry_scan(kv, ksum, btot, m_loc)
+
+
+def chunk_carry_states_t(k_t, v_t, i_preact, f_preact, chunk_size,
+                         igate_act="exp"):
+    """Phase 1 on transposed (B, NH, DH, S) k/v — the einsums consume the
+    kernel layout directly so no natural-layout plane is ever materialized
+    (the relayout-free twin of ``chunk_carry_states``)."""
+    B, NH, DH, S = k_t.shape
+    CS = chunk_size
+    NS = S // CS
+    f32 = jnp.float32
+    kc = k_t.astype(f32).reshape(B, NH, DH, NS, CS)
+    vc = v_t.astype(f32).reshape(B, NH, DH, NS, CS)
+    gw, btot, m_loc = _gate_chunk_weights(i_preact, f_preact, CS, igate_act)
+    kcw = kc * gw[:, :, None]
+    kv = jnp.einsum("bndjc,bnejc->bnjde", kcw, vc)
+    ksum = jnp.moveaxis(jnp.sum(kcw, axis=-1), 2, 3)  # (B, NH, NS, DH)
+    return _carry_scan(kv, ksum, btot, m_loc)
+
+
+def _carry_scan(kv, ksum, btot, m_loc):
+    """The inter-chunk (C, n, m) recurrence shared by both phase-1 entries;
+    kv (B, NH, NS, DH, DV), ksum (B, NH, NS, DH), btot/m_loc (B, NH, NS)."""
+    B, NH, NS, DH, DV = kv.shape
+    f32 = jnp.float32
 
     def step(carry, xs):
         c_prev, n_prev, m_prev = carry
@@ -361,3 +398,77 @@ def mlstm_chunkwise_pallas_bwd(
     df = dff.reshape(B, NH, S)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             di.astype(i_preact.dtype), df.astype(f_preact.dtype))
+
+
+def mlstm_chunkwise_pallas_bwd_t(
+    q_t, k_t, v_t, i_preact, f_preact, dh_t,
+    chunk_size: int = 64, igate_act: str = "exp", eps: float = 1e-6,
+    interpret: bool = False, mxu_dtype: str = "bfloat16",
+):
+    """Layout-native backward: q/k/v/dh in the kernel's own transposed
+    (B, NH, DH, S) layout, gates (B, NH, S). The phase-2 kernel already
+    wants (BNH, DH, S) blocks, so this entry feeds it with ZERO relayout
+    copies (the natural-layout entry above round-trips q/k/v/dh and the
+    three grad planes through ~14 full-plane HBM transposes). Returns
+    (dq_t, dk_t, dv_t, di, df) in the input layouts."""
+    B, NH, DH, S = q_t.shape
+    assert v_t.shape[2] == DH, "pallas bwd requires DH == DV"
+    CS = chunk_size
+    NS = S // CS
+    BNH = B * NH
+    G, NSEG = _pick_layout_bwd(BNH, S, CS, DH, q_t.dtype.itemsize)
+    SEG = S // NSEG
+    SEGC = SEG // CS
+    mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
+
+    ct_prev, n_prev, scal = chunk_carry_states_t(k_t, v_t, i_preact, f_preact,
+                                                 CS, igate_act)
+
+    qf = q_t.reshape(BNH, DH, S)
+    kf = k_t.reshape(BNH, DH, S)
+    vf = v_t.reshape(BNH, DH, S)
+    dhf = dh_t.astype(jnp.float32).reshape(BNH, DH, S)
+    i2 = i_preact.reshape(BNH, 1, S)
+    f2 = f_preact.reshape(BNH, 1, S)
+
+    qkv_spec = pl.BlockSpec((G, DH, SEG), lambda r, t: (r, 0, NSEG - 1 - t),
+                            memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec((G, 1, SEG), lambda r, t: (r, 0, NSEG - 1 - t),
+                             memory_space=pltpu.VMEM)
+    ct_spec = pl.BlockSpec((G, SEGC, DH, DH), lambda r, t: (r, NSEG - 1 - t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    np_spec = pl.BlockSpec((G, DH, NS), lambda r, t: (r, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((G, 3, NS), lambda r, t: (r, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, g=G, segc=SEGC, nseg=NSEG, cs=CS, dh=DH,
+                          igate_act=igate_act, eps=eps, mxu=mxu),
+        grid=(BNH // G, NSEG),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, gate_spec, gate_spec, qkv_spec,
+                  ct_spec, np_spec, sc_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec, gate_spec, gate_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BNH, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((BNH, 1, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, DH, DH), jnp.float32),
+            pltpu.VMEM((G, DH, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, i2, f2, dhf, ct_prev, n_prev, scal)
+
+    dqf, dkf, dvf, dif, dff = outs
+    sh = (B, NH, DH, S)
+    return (dqf.reshape(sh).astype(q_t.dtype), dkf.reshape(sh).astype(k_t.dtype),
+            dvf.reshape(sh).astype(v_t.dtype),
+            dif.reshape(B, NH, S).astype(i_preact.dtype),
+            dff.reshape(B, NH, S).astype(f_preact.dtype))
