@@ -124,3 +124,121 @@ def test_trainer_with_device_augment(tmp_path):
     assert all(np.isfinite(losses))
     # augmented overfit is noisier than clean overfit; require a mild drop
     assert min(losses[2:]) < losses[0], f"no improvement: {losses}"
+
+
+# ---------------------------------------------------------------------------
+# segment/pose payloads (VERDICT r3 #6): slot-encoded masks and keypoints
+# must ride the same geometry as the boxes
+# ---------------------------------------------------------------------------
+
+def _seg_pose_batch(B=2, S=64, M=4, ms=32, K=3, seed=3):
+    b = _batch(B=B, S=S, M=M, seed=seed)
+    masks = np.zeros((B, ms, ms), np.int32)
+    r = ms / S
+    for bi in range(B):
+        for si in range(M):
+            if not b["mask"][bi, si]:
+                continue
+            x1, y1, x2, y2 = (b["cls_boxes"][bi, si, 1:5] * r).astype(int)
+            masks[bi, y1:y2, x1:x2] = si + 1
+    kpts = np.zeros((B, M, K, 3), np.float32)
+    for bi in range(B):
+        for si in range(M):
+            if not b["mask"][bi, si]:
+                continue
+            x1, y1, x2, y2 = b["cls_boxes"][bi, si, 1:5]
+            kpts[bi, si] = [[x1, y1, 2.0], [(x1 + x2) / 2, (y1 + y2) / 2, 2.0],
+                            [x2 - 1, y2 - 1, 1.0]]
+    b["masks"] = masks
+    b["keypoints"] = kpts
+    return b
+
+
+def test_identity_preserves_masks_and_kpts():
+    b = _seg_pose_batch()
+    out = device_augment(b, jax.random.PRNGKey(0), IDENTITY)
+    np.testing.assert_array_equal(np.asarray(out["masks"]), b["masks"])
+    mk = b["mask"]
+    np.testing.assert_allclose(np.asarray(out["keypoints"])[mk],
+                               b["keypoints"][mk], atol=1e-3)
+
+
+def test_fliplr_mirrors_masks_and_swaps_kpts():
+    b = _seg_pose_batch()
+    hyp = dict(IDENTITY, fliplr=1.0)
+    flip_idx = (0, 2, 1)  # swap kpts 1<->2
+    out = device_augment(b, jax.random.PRNGKey(1), hyp, flip_idx=flip_idx)
+    np.testing.assert_array_equal(np.asarray(out["masks"]), b["masks"][:, :, ::-1])
+    S = b["img"].shape[1]
+    kp = np.asarray(out["keypoints"])
+    want = b["keypoints"][:, :, list(flip_idx)].copy()
+    vis = want[..., 2] > 0
+    want[..., 0] = np.where(vis, S - want[..., 0], want[..., 0])
+    mk = b["mask"]
+    np.testing.assert_allclose(kp[mk], want[mk], atol=1e-3)
+
+
+def test_random_geometry_keeps_payloads_synchronized():
+    """Under a random affine + mosaic, every surviving slot's mask pixels and
+    visible keypoints must lie inside (a slightly dilated) slot box — i.e.
+    the payloads follow the same warp AND the same slot permutation."""
+    b = _seg_pose_batch(B=4, S=64, M=4, ms=64)
+    hyp = dict(IDENTITY, mosaic=1.0, degrees=10.0, translate=0.1, scale=0.4,
+               fliplr=0.5)
+    out = device_augment(b, jax.random.PRNGKey(7), hyp)
+    cb = np.asarray(out["cls_boxes"])
+    mk = np.asarray(out["mask"])
+    masks = np.asarray(out["masks"])
+    kp = np.asarray(out["keypoints"])
+    S = b["img"].shape[1]
+    r = masks.shape[1] / S
+    pad = 3.0  # nearest-resample + box-clip slack (mask px)
+    any_checked = False
+    for bi in range(masks.shape[0]):
+        present = np.unique(masks[bi])
+        for v in present:
+            if v == 0:
+                continue
+            si = int(v) - 1
+            assert mk[bi, si], f"mask slot {v} not a valid label slot"
+            ys, xs = np.nonzero(masks[bi] == v)
+            x1, y1, x2, y2 = cb[bi, si, 1:5] * r
+            assert xs.min() >= x1 - pad and xs.max() <= x2 + pad
+            assert ys.min() >= y1 - pad and ys.max() <= y2 + pad
+            any_checked = True
+        for si in range(kp.shape[1]):
+            if not mk[bi, si]:
+                assert np.all(kp[bi, si] == 0)
+                continue
+            x1, y1, x2, y2 = cb[bi, si, 1:5]
+            vis = kp[bi, si][:, 2] > 0
+            pts = kp[bi, si][vis]
+            if len(pts):
+                # keypoints can land outside the clipped box (the box was
+                # clipped to the canvas; points are only vis-masked) but must
+                # stay inside the canvas
+                assert np.all(pts[:, 0] >= 0) and np.all(pts[:, 0] <= S)
+                assert np.all(pts[:, 1] >= 0) and np.all(pts[:, 1] <= S)
+                any_checked = True
+    assert any_checked
+
+
+def test_host_device_equivalence_flip_only():
+    """Host pipeline vs device pipeline on the SAME deterministic transform
+    (forced flip, no geometry): outputs must agree exactly up to HSV fp
+    wiggle — the device path is a drop-in for the host path."""
+    b = _seg_pose_batch()
+    hyp = dict(IDENTITY, fliplr=1.0)
+    out = device_augment(b, jax.random.PRNGKey(5), hyp)
+    # host reference: numpy flip of every payload
+    np.testing.assert_allclose(np.asarray(out["img"]),
+                               b["img"].astype(np.float32)[:, :, ::-1], atol=1.5)
+    np.testing.assert_array_equal(np.asarray(out["masks"]), b["masks"][:, :, ::-1])
+    S = b["img"].shape[1]
+    cb = np.asarray(out["cls_boxes"])
+    want = b["cls_boxes"].copy()
+    x1 = want[:, :, 1].copy()
+    want[:, :, 1] = S - want[:, :, 3]
+    want[:, :, 3] = S - x1
+    mkb = b["mask"]
+    np.testing.assert_allclose(cb[mkb], want[mkb], atol=1e-3)

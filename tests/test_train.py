@@ -61,14 +61,20 @@ def test_dataset_no_augment_boxes_match_image(data_yaml):
 def test_trainer_loss_decreases(data_yaml, tmp_path):
     from xlstm_yolo_tpu import YOLO
 
-    m = YOLO("yolov8n.yaml")
-    # nc mismatch must be caught
-    with pytest.raises(ValueError, match="nc"):
-        m.train(data=data_yaml, epochs=1, imgsz=96, batch=8, val=False,
-                project=str(tmp_path), name="bad")
-
     from xlstm_yolo_tpu.nn.tasks import TaskModel
     from xlstm_yolo_tpu.engine.trainer import Trainer
+
+    # nc mismatch: the trainer rebuilds the model with the dataset's nc and
+    # transfers intersecting weights (reference models/yolo/detect/train.py
+    # get_model(nc=data["nc"]) + nn/tasks.py intersect_dicts)
+    m80 = TaskModel("yolov8n.yaml")  # nc=80
+    tr_mismatch = Trainer(m80, overrides={
+        "data": data_yaml, "epochs": 1, "imgsz": 96, "batch": 8, "val": False,
+        "project": str(tmp_path), "name": "bad", "max_labels": 16,
+        "workers": 0, "plots": False, "seed": 0,
+    })
+    tr_mismatch.train()
+    assert tr_mismatch.model.nc == 3
 
     model = TaskModel("yolov8n.yaml", nc=3)
     tr = Trainer(model, overrides={

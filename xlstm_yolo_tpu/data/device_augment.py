@@ -118,11 +118,43 @@ def _transform_boxes(boxes, mask, fwd, out_size: int):
 
 
 def _pack_first(cls_boxes, mask, m_out: int):
-    """Stable-pack valid slots to the front; truncate to m_out."""
+    """Stable-pack valid slots to the front; truncate to m_out. Also returns
+    the slot permutation so co-indexed payloads (keypoints, slot-encoded
+    masks) can follow it."""
     order = jnp.argsort(~mask, stable=True)  # valid slots first, stable
     cb = jnp.take(cls_boxes, order, axis=0)[:m_out]
     mk = jnp.take(mask, order, axis=0)[:m_out]
-    return cb, mk
+    return cb, mk, order
+
+
+def _sample_mask_nearest(msk, inv, out_size: int, ratio: float):
+    """Slot-encoded int mask (h, w) warped with the image's dst->src affine
+    at mask resolution (mask px = image px * ratio); nearest sampling keeps
+    slot ids intact, out-of-canvas -> 0 (background)."""
+    H, W = msk.shape
+    ys, xs = jnp.mgrid[0:out_size, 0:out_size]
+    pts = jnp.stack([xs * ratio, ys * ratio, jnp.ones_like(xs)],
+                    0).reshape(3, -1).astype(jnp.float32)
+    src = inv @ pts
+    sx = src[0] / ratio
+    sy = src[1] / ratio
+    xi = jnp.round(sx).astype(jnp.int32)
+    yi = jnp.round(sy).astype(jnp.int32)
+    inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    v = msk[jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1)]
+    return jnp.where(inb, v, 0).reshape(out_size, out_size)
+
+
+def _transform_kpts(kpts, fwd, out_size: int):
+    """kpts (M, K, 3) px+vis -> affine-transformed; points leaving the
+    canvas get visibility 0 (the host pipeline's convention)."""
+    xy = kpts[..., :2]
+    p = jnp.concatenate([xy, jnp.ones((*xy.shape[:2], 1))], -1) @ fwd.T
+    nxy = p[..., :2]
+    inb = ((nxy[..., 0] >= 0) & (nxy[..., 0] < out_size)
+           & (nxy[..., 1] >= 0) & (nxy[..., 1] < out_size))
+    vis = jnp.where(inb, kpts[..., 2], 0.0)
+    return jnp.concatenate([nxy, vis[..., None]], -1)
 
 
 # ---------------------------------------------------------------------------
@@ -191,10 +223,18 @@ def _mosaic_canvas(imgs, cls_boxes, mask, idx):
     return canvas, jnp.concatenate(cbs, 0), jnp.concatenate(mks, 0)
 
 
-@partial(jax.jit, static_argnames=("hyp_t",))
-def _device_augment_jit(imgs, cls_boxes, mask, key, mosaic_p, hyp_t):
+@partial(jax.jit, static_argnames=("hyp_t", "flip_idx"))
+def _device_augment_jit(imgs, cls_boxes, mask, key, mosaic_p, hyp_t,
+                        seg_masks=None, kpts=None, flip_idx=None):
     """mosaic_p is a traced scalar so close_mosaic can zero it mid-training
-    without a recompile (reference trainer.py:343 mosaic close)."""
+    without a recompile (reference trainer.py:343 mosaic close).
+
+    ``seg_masks`` (B, ms, ms) int32 slot-encoded instance masks (slot+1 per
+    pixel, collate layout) and ``kpts`` (B, M, K, 3) px keypoints ride the
+    SAME geometry: mosaic slot-concat (partner j's slots shift by j*M),
+    affine warp (nearest for mask ids), the pack-first slot permutation, and
+    the flip — so labels never desynchronize from their payloads.
+    ``flip_idx`` is the pose left/right keypoint swap of the dataset yaml."""
     hyp = dict(hyp_t)
     B, S = imgs.shape[0], imgs.shape[1]
     M = cls_boxes.shape[1]
@@ -203,6 +243,7 @@ def _device_augment_jit(imgs, cls_boxes, mask, key, mosaic_p, hyp_t):
 
     def per_image(idx, key):
         kmo, kaff, khsv, kflip = jax.random.split(key, 4)
+        mcv = kp = None
         if use_mosaic:
             src, cb, mk = _mosaic_canvas(imgs, cls_boxes, mask, idx)
             mos = jax.random.uniform(kmo) < mosaic_p
@@ -214,9 +255,29 @@ def _device_augment_jit(imgs, cls_boxes, mask, key, mosaic_p, hyp_t):
             cb = jnp.where(mos, cb, cb0)
             mk = jnp.where(mos, mk, own)
             src_size = 2 * S
+            if seg_masks is not None:
+                ms = seg_masks.shape[1]
+                mq = [seg_masks[(idx + j) % B] for j in range(4)]
+                mq = [jnp.where(m > 0, m + j * M, 0) for j, m in enumerate(mq)]
+                mcv = jnp.concatenate([jnp.concatenate([mq[0], mq[1]], 1),
+                                       jnp.concatenate([mq[2], mq[3]], 1)], 0)
+                mcv = jnp.where(mos, mcv, jnp.pad(seg_masks[idx], ((0, ms), (0, ms))))
+            if kpts is not None:
+                K = kpts.shape[2]
+                offs = jnp.asarray([[0, 0], [S, 0], [0, S], [S, S]], jnp.float32)
+                kq = jnp.concatenate([
+                    kpts[(idx + j) % B]
+                    + jnp.concatenate([offs[j], jnp.zeros(1)])[None, None, :]
+                    for j in range(4)], 0)
+                k0 = jnp.concatenate([kpts[idx], jnp.zeros((3 * M, K, 3))], 0)
+                kp = jnp.where(mos, kq, k0)
         else:
             src, cb, mk = imgs[idx], cls_boxes[idx], mask[idx]
             src_size = S
+            if seg_masks is not None:
+                mcv = seg_masks[idx]
+            if kpts is not None:
+                kp = kpts[idx]
 
         fwd, inv = _affine_matrix(
             kaff, float(hyp.get("degrees", 0.0)), float(hyp.get("translate", 0.1)),
@@ -225,7 +286,22 @@ def _device_augment_jit(imgs, cls_boxes, mask, key, mosaic_p, hyp_t):
         out = _sample_bilinear(src, inv, S)
         boxes, mk = _transform_boxes(cb[:, 1:5], mk, fwd, S)
         cb = jnp.concatenate([cb[:, :1], boxes], -1)
-        cb, mk = _pack_first(cb, mk, M)
+        cb, mk, order = _pack_first(cb, mk, M)
+
+        if seg_masks is not None:
+            ms_out = seg_masks.shape[1]
+            mwarp = _sample_mask_nearest(mcv, inv, ms_out, S / ms_out)
+            # slot permutation + drop-filter as a lookup: old slot id (1-based
+            # in the pre-pack index space) -> packed id or 0
+            n_slots = order.shape[0]
+            remap = jnp.zeros((n_slots + 1,), jnp.int32)
+            remap = remap.at[order[:M] + 1].set(
+                jnp.where(mk, jnp.arange(M, dtype=jnp.int32) + 1, 0))
+            mwarp = remap[mwarp]
+        if kpts is not None:
+            kp = _transform_kpts(kp, fwd, S)
+            kp = jnp.take(kp, order, axis=0)[:M]
+            kp = jnp.where(mk[:, None, None], kp, 0.0)
 
         out = hsv_jitter(khsv, out, float(hyp.get("hsv_h", 0.015)),
                          float(hyp.get("hsv_s", 0.7)), float(hyp.get("hsv_v", 0.4)))
@@ -235,25 +311,52 @@ def _device_augment_jit(imgs, cls_boxes, mask, key, mosaic_p, hyp_t):
         out = jnp.where(do_lr, flipped, out)
         fb = cb.at[:, 1].set(S - cb[:, 3]).at[:, 3].set(S - cb[:, 1])
         cb = jnp.where(do_lr, fb, cb)
-        return out, cb, mk
+        if seg_masks is not None:
+            mwarp = jnp.where(do_lr, mwarp[:, ::-1], mwarp)
+        if kpts is not None:
+            kf = kp.at[..., 0].set(
+                jnp.where(kp[..., 2] > 0, S - kp[..., 0], kp[..., 0]))
+            if flip_idx is not None:
+                kf = kf[:, list(flip_idx)]
+            kp = jnp.where(do_lr, kf, kp)
+
+        extras = []
+        if seg_masks is not None:
+            extras.append(mwarp)
+        if kpts is not None:
+            extras.append(kp)
+        return (out, cb, mk, *extras)
 
     keys = jax.random.split(key, B)
-    out, cb, mk = jax.vmap(per_image)(jnp.arange(B), keys)
-    return out, cb, mk
+    return jax.vmap(per_image)(jnp.arange(B), keys)
 
 
-def device_augment(batch: dict, key, hyp: dict | None = None) -> dict:
+def device_augment(batch: dict, key, hyp: dict | None = None,
+                   flip_idx=None) -> dict:
     """Augment a collated batch on device. batch: {"img" (B,S,S,3) uint8/f32,
-    "cls_boxes" (B,M,5) cls+xyxy px, "mask" (B,M) bool}. Returns same keys
-    (img fp32 0..255). Extra keys pass through untouched."""
+    "cls_boxes" (B,M,5) cls+xyxy px, "mask" (B,M) bool} plus optionally
+    "masks" (B, ms, ms) slot-encoded int32 (segment) and/or "keypoints"
+    (B, M, K, 3) px (pose). Returns same keys (img fp32 0..255). Other keys
+    pass through untouched."""
     hyp = hyp or {}
     keep = {k: (float(v) if isinstance(v, (int, float)) else v) for k, v in hyp.items()
             if k in ("mosaic", "degrees", "translate", "scale", "shear",
                      "hsv_h", "hsv_s", "hsv_v", "fliplr") and v is not None}
-    img, cb, mk = _device_augment_jit(
+    seg = jnp.asarray(batch["masks"]) if "masks" in batch else None
+    kp = jnp.asarray(batch["keypoints"]) if "keypoints" in batch else None
+    res = _device_augment_jit(
         jnp.asarray(batch["img"]), jnp.asarray(batch["cls_boxes"]),
         jnp.asarray(batch["mask"]), key,
-        jnp.float32(keep.get("mosaic", 1.0)), tuple(sorted(keep.items())))
+        jnp.float32(keep.get("mosaic", 1.0)), tuple(sorted(keep.items())),
+        seg_masks=seg, kpts=kp,
+        flip_idx=tuple(flip_idx) if flip_idx is not None else None)
+    img, cb, mk = res[:3]
     out = dict(batch)
     out.update(img=img, cls_boxes=cb, mask=mk)
+    i = 3
+    if seg is not None:
+        out["masks"] = res[i]
+        i += 1
+    if kp is not None:
+        out["keypoints"] = res[i]
     return out

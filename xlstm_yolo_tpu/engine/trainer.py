@@ -84,13 +84,13 @@ class Trainer:
         # CPU core here) only letterboxes. Keyed off n_updates for
         # reproducibility; mosaic prob is a traced scalar (close_mosaic).
         dev_aug = bool(getattr(self.args, "device_augment", False))
-        if dev_aug and model.task != "detect":
-            # the XLA augment path only warps img/cls_boxes/mask: slot-encoded
-            # seg masks, keypoints, and world text slots would silently
-            # desynchronize from the permuted label slots — host augment
+        if dev_aug and model.task not in ("detect", "segment", "pose"):
+            # the XLA augment path warps img/cls_boxes/mask plus slot-encoded
+            # seg masks and keypoints; rotated OBB corners and classify/world
+            # text slots are not geometry it understands — host augment
             # handles those tasks correctly, so fall back to it.
             LOGGER.warning(
-                f"device_augment supports task='detect' only (got "
+                f"device_augment supports detect/segment/pose (got "
                 f"'{model.task}'); falling back to host augmentation")
             dev_aug = False
         if dev_aug:
@@ -102,6 +102,10 @@ class Trainer:
                 (k, float(getattr(self.args, k))) for k in aug_keys
                 if getattr(self.args, k, None) is not None))
             aug_base_key = jax.random.PRNGKey(int(self.args.seed) + 7919)
+            aug_flip_idx = None
+            if model.task == "pose":
+                fi = (self.data or {}).get("flip_idx") if hasattr(self, "data") else None
+                aug_flip_idx = tuple(int(x) for x in fi) if fi else None
 
         # bf16 mixed precision (dtype cfg key): activations compute in bf16
         # (modules take dtype from their input; norms/loss stay fp32
@@ -113,10 +117,19 @@ class Trainer:
         def train_step(params, batch_stats, opt_state, ema_params, n_updates, batch, lr):
             if dev_aug:
                 akey = jax.random.fold_in(aug_base_key, n_updates)
-                img, cb, mk = _device_augment_jit(
+                res = _device_augment_jit(
                     batch["img"] * 255.0, batch["cls_boxes"], batch["mask"],
-                    akey, batch["mosaic_p"], aug_hyp)
+                    akey, batch["mosaic_p"], aug_hyp,
+                    seg_masks=batch.get("masks"), kpts=batch.get("keypoints"),
+                    flip_idx=aug_flip_idx)
+                img, cb, mk = res[:3]
                 batch = {**batch, "img": img / 255.0, "cls_boxes": cb, "mask": mk}
+                i = 3
+                if "masks" in batch:
+                    batch["masks"] = res[i]
+                    i += 1
+                if "keypoints" in batch:
+                    batch["keypoints"] = res[i]
                 batch.pop("mosaic_p", None)
             if amp:  # after augmentation (its geometry runs fp32)
                 batch = {**batch, "img": batch["img"].astype(jnp.bfloat16)}
@@ -160,7 +173,7 @@ class Trainer:
         # refused there, the HOST pipeline must keep augmenting — otherwise
         # the run would silently train with no augmentation at all
         dev_aug = (bool(getattr(args, "device_augment", False))
-                   and self.model.task == "detect")
+                   and self.model.task in ("detect", "segment", "pose"))
         self.loader, data_dict = build_dataloader(
             args.data, "train", batch=batch, imgsz=imgsz, hyp=vars(args),
             max_labels=int(args.max_labels), seed=int(args.seed),
@@ -202,8 +215,14 @@ class Trainer:
         dp = int(args.mesh_dp)
         if dp == -1:
             dp = len(jax.devices()) // (tp * sp * pp * ep)
+        dp_want = dp
         while dp > 1 and batch % dp != 0:  # dp must divide the global batch
             dp -= 1
+        if dp != dp_want:
+            LOGGER.warning(
+                f"batch={batch} is not divisible by dp={dp_want}; shrinking to "
+                f"dp={dp} — {(dp_want - dp) * tp * sp * pp * ep} device(s) will "
+                f"sit IDLE. Pick batch as a multiple of dp to use every chip.")
         mesh = M.build_mesh(dp=dp, tp=tp, sp=sp, pp=pp, ep=ep,
                             devices=jax.devices()[: dp * tp * sp * pp * ep])
         self.mesh = mesh
