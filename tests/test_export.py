@@ -1,4 +1,6 @@
 """Export + AutoBackend parity tests (StableHLO / SavedModel / TFLite)."""
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -147,3 +149,28 @@ def test_model_ctor_from_torch_pt(small_model, tmp_path):
     assert m2.task == "detect" and m2.model.nc == 3
     for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(m2.variables)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_onnx_gated(small_model, tmp_path):
+    """format='onnx' is registered and properly gated: with the optional
+    tf2onnx bridge absent (as in this image) it must raise an ImportError
+    that names the extras, never a silent fallback or an AttributeError."""
+    import importlib.util
+
+    from xlstm_yolo_tpu.engine.exporter import FORMATS, Exporter
+    from xlstm_yolo_tpu.nn.autobackend import AutoBackend
+
+    assert "onnx" in FORMATS
+    assert AutoBackend._sniff(Path("model.onnx")) == "onnx"
+
+    m, v = small_model
+    ex = Exporter(m, v, format="onnx", imgsz=64, output_dir=str(tmp_path))
+    if importlib.util.find_spec("tf2onnx") is None:
+        with pytest.raises(ImportError, match="tf2onnx"):
+            ex()
+    else:  # bridge present: full round-trip through onnxruntime
+        out = ex()
+        ab = AutoBackend(out, imgsz=64)
+        pred = ab.forward(np.zeros((1, 64, 64, 3), np.float32))
+        ref = np.asarray(jax.jit(m.predictions)(v, jnp.zeros((1, 64, 64, 3))))
+        np.testing.assert_allclose(pred, ref, atol=1e-3)

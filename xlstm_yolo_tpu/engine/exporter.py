@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-FORMATS = ("stablehlo", "savedmodel", "tflite", "torch")
+FORMATS = ("stablehlo", "savedmodel", "tflite", "torch", "onnx")
 
 
 class Exporter:
@@ -93,6 +93,8 @@ class Exporter:
             out = self._export_tflite(fn, shape)
         elif self.format == "torch":
             out = self._export_torch()
+        elif self.format == "onnx":
+            out = self._export_onnx(fn, shape)
         else:
             raise ValueError(f"unknown export format {self.format!r}; choose from {FORMATS}")
         print(f"export {self.format} done in {time.time() - t0:.1f}s -> {out}")
@@ -153,6 +155,40 @@ class Exporter:
         module.serve = tf_fn
         out = self.output_dir / f"{self._stem()}_savedmodel"
         tf.saved_model.save(module, str(out), signatures={"serving_default": tf_fn})
+        return out
+
+    def _export_onnx(self, fn, shape) -> Path:
+        """ONNX via the SavedModel bridge (reference engine/exporter.py:524
+        export_onnx). The jax graph converts jax2tf -> SavedModel -> tf2onnx;
+        tf2onnx/onnx are NOT bundled with this image, so the path is gated:
+        it raises a clear ImportError naming the pip extras when absent.
+        Output round-trips through onnxruntime (AutoBackend kind 'onnx')."""
+        try:
+            import tf2onnx  # noqa: F401  (optional dependency)
+        except ImportError as e:
+            raise ImportError(
+                "ONNX export needs the optional onnx bridge: "
+                "pip install tf2onnx onnx  (and onnxruntime to run the "
+                "artifact). The jax-native equivalent that needs no extras "
+                "is format='stablehlo'.") from e
+        import subprocess
+        import sys
+
+        sm = self._export_savedmodel(fn, shape)
+        out = self.output_dir / f"{self._stem()}.onnx"
+        # tf2onnx's supported entrypoint is its CLI module; the python API
+        # (from_function) chokes on jax2tf's XlaCallModule ops unless the
+        # graph is fully lowered, which the CLI's saved-model path handles
+        subprocess.run(
+            [sys.executable, "-m", "tf2onnx.convert", "--saved-model",
+             str(sm), "--output", str(out), "--opset", "17"],
+            check=True)
+        meta = {
+            "imgsz": self.imgsz, "batch": self.batch, "task": self.model.task,
+            "nc": self.model.nc, "names": self.model.names, "nms": self.nms,
+            "strides": list(self.model.strides), "format": "onnx",
+        }
+        out.with_suffix(".json").write_text(json.dumps(meta, indent=2))
         return out
 
     def _representative_dataset(self, shape):

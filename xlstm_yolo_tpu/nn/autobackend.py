@@ -33,6 +33,8 @@ class AutoBackend:
             return "stablehlo"
         if s.endswith(".tflite"):
             return "tflite"
+        if s.endswith(".onnx"):
+            return "onnx"
         if s.endswith("_savedmodel") or (p / "saved_model.pb").exists():
             return "savedmodel"
         if s.endswith(".ckpt") or (p / "meta.yaml").exists() or (p.with_suffix("") / "meta.yaml").exists():
@@ -91,10 +93,33 @@ class AutoBackend:
 
         self._fn = call
 
+    def _init_onnx(self):
+        """onnxruntime session over an Exporter(format='onnx') artifact
+        (reference autobackend.py onnx branch). Gated: onnxruntime is an
+        optional extra in this image."""
+        try:
+            import onnxruntime as ort
+        except ImportError as e:
+            raise ImportError(
+                "the onnx backend needs onnxruntime: pip install onnxruntime"
+            ) from e
+        self._sess = ort.InferenceSession(
+            str(self.path), providers=["CPUExecutionProvider"])
+        inp_name = self._sess.get_inputs()[0].name
+        meta_path = self.path.with_suffix(".json")
+        if meta_path.exists():
+            self.meta = json.loads(meta_path.read_text())
+
+        def call(img):
+            return self._sess.run(None, {inp_name: np.asarray(img, np.float32)})[0]
+
+        self._fn = call
+
     # -- uniform API -------------------------------------------------------
     def forward(self, img) -> np.ndarray:
         """img: (B, H, W, 3) float32 [0, 1] -> (B, N, 4+nc) candidates."""
-        out = self._fn(img if self.kind in ("savedmodel", "tflite") else jnp.asarray(img))
+        out = self._fn(img if self.kind in ("savedmodel", "tflite", "onnx")
+                       else jnp.asarray(img))
         if isinstance(out, (list, tuple)):
             out = out[0]
         return np.asarray(out)
