@@ -1,4 +1,6 @@
 """Mesh / sharding tests on the 8-device virtual CPU platform."""
+import os
+
 import numpy as np
 import pytest
 
@@ -126,6 +128,10 @@ def test_sequence_parallel_mlstm():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_DRYRUN"),
+                    reason="duplicates the driver's own __graft_entry__ "
+                    "dryrun gate (~17 min on the 1-core host); RUN_DRYRUN=1 "
+                    "to include it here")
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
