@@ -372,7 +372,8 @@ def test_callback_integrations_gate_on_import():
 
     cbs = Callbacks()
     # wandb/comet/etc are not installed here: gating returns False, no raise
-    for name in ("wandb", "mlflow", "comet", "clearml", "dvc", "neptune"):
+    for name in ("wandb", "mlflow", "comet", "clearml", "dvc", "neptune",
+                 "raytune"):
         assert name in INTEGRATIONS
         assert add_integration(cbs, name) is False
     # jsonl always attaches

@@ -209,6 +209,20 @@ def neptune_integration(project: str | None = None) -> dict:
             "on_fit_epoch_end": on_fit_epoch_end, "on_train_end": on_train_end}
 
 
+def raytune_integration() -> dict:
+    """Ray Tune session sink (reference utils/callbacks/raytune.py): reports
+    per-epoch metrics to an ACTIVE ray tune session so schedulers (ASHA)
+    can early-stop trials launched by engine.tuner.run_ray_tune."""
+    from ray import tune
+    from ray.tune import is_session_enabled
+
+    def on_fit_epoch_end(trainer):
+        if is_session_enabled():
+            tune.report({**_scalar_metrics(trainer), "epoch": trainer.epoch})
+
+    return {"on_fit_epoch_end": on_fit_epoch_end}
+
+
 INTEGRATIONS = {
     "tensorboard": tensorboard_integration,
     "jsonl": jsonl_integration,
@@ -218,6 +232,7 @@ INTEGRATIONS = {
     "clearml": clearml_integration,
     "dvc": dvc_integration,
     "neptune": neptune_integration,
+    "raytune": raytune_integration,
 }
 
 
