@@ -173,7 +173,8 @@ class YOLODataset:
     def __init__(self, img_path: str, imgsz: int = 640, augment: bool = False, hyp=None,
                  max_labels: int = 128, rect: bool = False, single_cls: bool = False,
                  fraction: float = 1.0, task: str = "detect", kpt_shape: tuple = (17, 3),
-                 mask_ratio: int = 4, cache: str | bool = False):
+                 mask_ratio: int = 4, cache: str | bool = False,
+                 batch: int | None = None, stride: int = 32, pad: float = 0.5):
         self.imgsz = imgsz
         # "ram" (or True) keeps decoded+resized images in memory after first
         # touch (reference data/base.py:151 cache_images) — on this 1-core
@@ -198,6 +199,17 @@ class YOLODataset:
         self.ori_shapes: dict[int, tuple[int, int]] = {}
         if self.ni == 0:
             raise FileNotFoundError(f"no images found in {img_path}")
+        # rect mode (reference data/base.py set_rectangle, static-shape
+        # flavored): aspect-ratio-sorted batches, each batch one
+        # stride-aligned (h, w) — a small set of static shapes (one XLA
+        # compilation each) instead of per-image dynamic shapes
+        self.rect = bool(rect) and not augment
+        self.stride = int(stride)
+        self.pad = float(pad)
+        self.rect_batches: list[tuple[list, tuple[int, int]]] = []
+        self.rect_shape_of: dict[int, tuple[int, int]] = {}
+        if self.rect:
+            self._set_rectangle(int(batch or 16), img_path)
 
     @staticmethod
     def _scan(img_path) -> list:
@@ -254,6 +266,70 @@ class YOLODataset:
             except OSError:
                 pass  # read-only dataset dir: stay scan-per-run
         return labels
+
+    def _image_shapes(self, img_path) -> np.ndarray:
+        """(ni, 2) original (h, w) per image via header-only reads, persisted
+        beside the label cache (the reference stores verified shapes inside
+        its .cache and reads them for set_rectangle, data/base.py)."""
+        cp = self._cache_path(img_path)
+        sp = cp.with_name(cp.name + ".shapes.npz") if cp is not None else None
+        want = _labels_hash(self.files)
+        if sp is not None and sp.exists():
+            try:
+                with np.load(sp, allow_pickle=False) as z:
+                    if str(z["hash"]) == want and z["shapes"].shape[0] == self.ni:
+                        return z["shapes"]
+            except Exception:
+                pass  # corrupt/stale shape cache -> re-read headers below
+        from PIL import Image
+
+        shapes = np.zeros((self.ni, 2), np.int32)
+        for i, f in enumerate(self.files):
+            try:
+                with Image.open(f) as im:
+                    w, h = im.size  # header only, no pixel decode
+            except Exception:
+                h = w = self.imgsz
+            shapes[i] = (h, w)
+        if sp is not None:
+            try:
+                np.savez(sp, hash=want, shapes=shapes)
+            except OSError:
+                pass  # read-only dataset dir
+        return shapes
+
+    def _set_rectangle(self, batch: int, img_path) -> None:
+        """Group images into loader batches by aspect ratio and give each
+        batch one stride-aligned static (h, w) (reference data/base.py
+        set_rectangle + val pad=0.5, models/yolo/detect/val.py). The batch
+        shapes quantize to the stride grid, so a val run compiles only as
+        many XLA programs as there are distinct bucket shapes (~O(10))."""
+        shapes = self._image_shapes(img_path).astype(np.float64)
+        ar = shapes[:, 0] / np.maximum(shapes[:, 1], 1)  # h / w
+        order = np.argsort(ar, kind="stable")
+        nb = int(math.ceil(self.ni / batch))
+        self.rect_batches = []
+        self.rect_shape_of = {}
+        for b in range(nb):
+            idx = order[b * batch : (b + 1) * batch]
+            ari = ar[idx]
+            mini, maxi = float(ari.min()), float(ari.max())
+            shp = [1.0, 1.0]
+            if maxi < 1:
+                shp = [maxi, 1.0]
+            elif mini > 1:
+                shp = [1.0, 1.0 / mini]
+            hw = (np.ceil(np.asarray(shp) * self.imgsz / self.stride + self.pad)
+                  .astype(int) * self.stride)
+            hw = (int(hw[0]), int(hw[1]))
+            self.rect_batches.append(([int(i) for i in idx], hw))
+            for i in idx:
+                self.rect_shape_of[int(i)] = hw
+
+    def _target_shape(self, i: int):
+        """Letterbox target for sample i: the rect bucket shape when rect
+        mode is on, else the square imgsz."""
+        return self.rect_shape_of.get(int(i), self.imgsz) if self.rect else self.imgsz
 
     def _load_label(self, img_file: str):
         """Task-dependent label dict:
@@ -452,7 +528,8 @@ class YOLODataset:
             h0, w0 = img.shape[:2]
             labels = self.labels_px(i, (h0, w0))
             pts = self._points_px(i, (h0, w0))
-            img, labels, (r, px, py) = A.letterbox(img, self.imgsz, labels, scaleup=self.augment)
+            img, labels, (r, px, py) = A.letterbox(img, self._target_shape(i), labels,
+                                                   scaleup=self.augment)
             extra = A._shift_points(pts, r, px, py)
 
         if self.task == "segment" and self.augment and g("copy_paste", 0.0) > 0:
@@ -541,7 +618,8 @@ class YOLODataset:
         else:
             img = self.load_image(i)
             labels = self.labels_px(i, img.shape[:2])
-            img, labels, _ = A.letterbox(img, self.imgsz, labels, scaleup=self.augment)
+            img, labels, _ = A.letterbox(img, self._target_shape(i), labels,
+                                         scaleup=self.augment)
             if self.augment:
                 img, labels = A.random_perspective(
                     img, labels, degrees=g("degrees", 0.0), translate=g("translate", 0.1),
@@ -560,15 +638,16 @@ class YOLODataset:
 
     def collate(self, samples: list, idxs=None) -> dict:
         b = len(samples)
-        sz = self.imgsz
-        imgs = np.zeros((b, sz, sz, 3), np.float32)
+        # rect mode: every sample in a batch shares its bucket (h, w)
+        sh, sw = samples[0][0].shape[:2] if samples else (self.imgsz, self.imgsz)
+        imgs = np.zeros((b, sh, sw, 3), np.float32)
         box_dim = 6 if self.task == "obb" else 5
         boxes = np.zeros((b, self.max_labels, box_dim), np.float32)
         mask = np.zeros((b, self.max_labels), bool)
         extras: dict = {}
         if self.task == "segment":
-            ms = sz // self.mask_ratio
-            extras["masks"] = np.zeros((b, ms, ms), np.int32)
+            extras["masks"] = np.zeros(
+                (b, sh // self.mask_ratio, sw // self.mask_ratio), np.int32)
         elif self.task == "pose":
             nk = self.kpt_shape[0]
             extras["keypoints"] = np.zeros((b, self.max_labels, nk, 3), np.float32)
@@ -628,21 +707,35 @@ class Loader:
         self.epoch = 0
 
     def __len__(self):
+        if getattr(self.ds, "rect", False) and not self.shuffle:
+            return len(self.ds.rect_batches[self.shard_index :: self.num_shards])
         n = len(self.ds) // self.num_shards
         return n // self.bs if self.drop_last else math.ceil(n / self.bs)
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)
-        idxs = np.arange(len(self.ds))
-        if self.shuffle:
-            rng.shuffle(idxs)
-        idxs = idxs[self.shard_index :: self.num_shards]
-        nb = len(idxs) // self.bs if self.drop_last else math.ceil(len(idxs) / self.bs)
+        rect = bool(getattr(self.ds, "rect", False)) and not self.shuffle
+        if rect:
+            # aspect-ratio bucket groups, sharded at batch granularity so a
+            # batch never mixes bucket shapes (reference rect=True keeps the
+            # sampler sequential over the sorted order, data/build.py)
+            batches = [np.asarray(g[0])
+                       for g in self.ds.rect_batches[self.shard_index :: self.num_shards]]
+            if self.drop_last:
+                batches = [b for b in batches if len(b) == self.bs] or batches
+            nb = len(batches)
+        else:
+            idxs = np.arange(len(self.ds))
+            if self.shuffle:
+                rng.shuffle(idxs)
+            idxs = idxs[self.shard_index :: self.num_shards]
+            nb = len(idxs) // self.bs if self.drop_last else math.ceil(len(idxs) / self.bs)
+            batches = [idxs[b * self.bs : (b + 1) * self.bs] for b in range(nb)]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        use_native = (not self.ds.augment) and self.ds.task == "detect"
+        use_native = (not self.ds.augment) and self.ds.task == "detect" and not rect
 
         def _put(item) -> bool:
             # bounded put that re-checks the stop flag: an abandoned iterator
@@ -683,7 +776,7 @@ class Loader:
                 for b in range(nb):
                     if stop.is_set():
                         return
-                    batch_idx = idxs[b * self.bs : (b + 1) * self.bs]
+                    batch_idx = batches[b]
                     batch = self.ds.collate_native(batch_idx) if use_native else None
                     if batch is None:
                         batch = _assemble(batch_idx)
@@ -717,7 +810,8 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
                      max_labels: int = 128, seed: int = 0, fraction: float = 1.0,
                      single_cls: bool = False, task: str = "detect",
                      embed_fn=None, text_cfg: dict | None = None,
-                     cache: str | bool = False, workers: int = 0):
+                     cache: str | bool = False, workers: int = 0,
+                     rect: bool = False, stride: int = 32, pad: float = 0.5):
     """Convenience: dataset YAML/dir -> (Loader, data_dict).
 
     task="world": open-vocab training — a MultiModalDataset samples per-batch
@@ -749,7 +843,8 @@ def build_dataloader(data_yaml: str | dict, split: str = "train", batch: int = 1
         ds = YOLODataset(d[split], imgsz=imgsz, augment=augment, hyp=hyp,
                          max_labels=max_labels, single_cls=single_cls,
                          fraction=fraction, task=task, kpt_shape=kpt_shape,
-                         cache=cache)
+                         cache=cache, rect=rect, batch=batch, stride=stride,
+                         pad=pad)
     # per-host shard on multi-host pods (DistributedSampler equivalent)
     from ..parallel.distributed import local_shard
 

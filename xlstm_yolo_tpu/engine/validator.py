@@ -25,7 +25,8 @@ class Validator:
                  batch: int = 16, verbose: bool = False, callbacks=None,
                  half: bool = False, save_json: bool = False,
                  save_dir: str | None = None, exact_nms: bool = False,
-                 pre_topk: int = 1024, plots: bool = False):
+                 pre_topk: int = 1024, plots: bool = False,
+                 rect: bool = False):
         from ..utils.callbacks import default_callbacks
 
         self.callbacks = callbacks if callbacks is not None else default_callbacks()
@@ -50,6 +51,10 @@ class Validator:
         # Fast-NMS; pre_topk widens the fixed candidate pool
         self.exact_nms = exact_nms
         self.pre_topk = pre_topk
+        # rect=True: aspect-ratio-bucketed static batch shapes (reference
+        # detect/val.py rect=True, pad=0.5) — one jit compilation per
+        # distinct bucket shape (~O(10)) instead of one square program
+        self.rect = rect
         # plots=True saves confusion_matrix(.normalized).png + the PR/F1/P/R
         # curve family into save_dir (reference BaseValidator plots,
         # utils/metrics.py:394-503)
@@ -75,7 +80,7 @@ class Validator:
             data = check_det_dataset(data)
         loader, _ = build_dataloader(data, "val", batch=self.batch, imgsz=self.imgsz,
                                      augment=False, max_labels=self.max_labels,
-                                     task=self.model.task)
+                                     task=self.model.task, rect=self.rect)
         task = self.model.task
         if self.plots:
             self.cm = MET.ConfusionMatrix(
@@ -120,8 +125,10 @@ class Validator:
                         n_img - len(dets) + bi)
                     ori = batch.get("ori_shape")
                     ori = tuple(ori[bi]) if ori is not None else None
+                    in_shape = batch["img"].shape[1:3]
                     self._pred_to_json(jdict, d, files, im_idx, ori,
-                                       self.imgsz, class_map)
+                                       (in_shape[0], in_shape[1]), class_map,
+                                       load_sz=self.imgsz)
                 gt_mask = batch["mask"][bi]
                 gt = batch["cls_boxes"][bi][gt_mask]  # (m, 5) cls xyxy
                 gt_cls = gt[:, 0]
@@ -215,7 +222,8 @@ class Validator:
         return coco80_to_coco91_class() if is_coco else list(range(1, nc + 1))
 
     @staticmethod
-    def _pred_to_json(jdict, dets, files, img_idx, ori_shape, imgsz, class_map):
+    def _pred_to_json(jdict, dets, files, img_idx, ori_shape, imgsz, class_map,
+                      load_sz: float | None = None):
         """COCO-format detection records (reference detect/val.py:281
         pred_to_json): boxes un-letterboxed back to original image pixels
         (reference ops.scale_boxes in _prepare_pred), image_id = numeric stem
@@ -225,8 +233,15 @@ class Validator:
         d = np.asarray(dets, dtype=float)
         if len(d) and ori_shape is not None:
             h0, w0 = float(ori_shape[0]), float(ori_shape[1])
-            gain = min(imgsz / h0, imgsz / w0)
-            padx, pady = (imgsz - w0 * gain) / 2, (imgsz - h0 * gain) / 2
+            # imgsz: square size or the rect batch's (in_h, in_w). The gain
+            # is clamped by the long-side load resize (load_image r =
+            # load_sz/max), matching letterbox scaleup=False on rect buckets
+            # whose long side exceeds the load size (672 vs 640 at pad 0.5).
+            in_h, in_w = ((imgsz, imgsz) if np.isscalar(imgsz) else
+                          (float(imgsz[0]), float(imgsz[1])))
+            r1 = (load_sz or max(in_h, in_w)) / max(h0, w0)
+            gain = min(r1, in_h / h0, in_w / w0)
+            padx, pady = (in_w - w0 * gain) / 2, (in_h - h0 * gain) / 2
             d = d.copy()
             d[:, [0, 2]] = np.clip((d[:, [0, 2]] - padx) / gain, 0, w0)
             d[:, [1, 3]] = np.clip((d[:, [1, 3]] - pady) / gain, 0, h0)
