@@ -103,3 +103,36 @@ def test_world_full_graph():
         jnp.asarray([[8.0, 8.0, 40.0, 40.0], [4.0, 4.0, 20.0, 20.0]]))
     (total, aux), _ = m.loss(v, {"img": x, "cls_boxes": gt, "mask": jnp.ones((2, 2))})
     assert np.isfinite(float(total))
+
+
+def test_fastsam_exact_mask_association():
+    """Two overlapping same-class instances must keep DISTINCT masks: the
+    kept detections re-associate to coefficients by exact NMS source index
+    (return_idx), not nearest-center (which swaps under overlap)."""
+    from xlstm_yolo_tpu.models_extra import FastSAM
+    from xlstm_yolo_tpu.ops.nms import non_max_suppression
+
+    # two candidates, same class, overlapping boxes (IoU < nms iou so both
+    # survive), centers 4px apart — a center-match heuristic is ambiguous
+    nm, hm = 4, 16
+    cands = np.zeros((1, 2, 4 + 1), np.float32)  # xywh + 1 class score
+    cands[0, 0] = [30, 30, 40, 40, 0.9]
+    cands[0, 1] = [34, 34, 12, 12, 0.8]  # nested small box, IoU ~0.09
+    coefs = np.zeros((1, 2, nm), np.float32)
+    coefs[0, 0, 0] = 8.0   # instance 0 -> proto plane 0
+    coefs[0, 1, 1] = 8.0   # instance 1 -> proto plane 1
+    proto = np.full((1, hm, hm, nm), -8.0, np.float32)
+    proto[0, :8, :, 0] = 1.0   # plane 0: top half (after coef 8 -> sigmoid>0.5)
+    proto[0, 8:, :, 1] = 1.0   # plane 1: bottom half
+    dets, valid, src = non_max_suppression(
+        jnp.asarray(cands), conf_thres=0.25, iou_thres=0.5, max_det=4,
+        return_idx=True)
+    dets, valid, src = np.asarray(dets), np.asarray(valid), np.asarray(src)
+    assert valid[0].sum() == 2
+    masks = FastSAM.masks_from_src(coefs, proto, valid, src)
+    # the higher-score det came from candidate 0 (top-half mask); the other
+    # from candidate 1 (bottom-half) — distinct, matching their sources
+    order = np.argsort(-dets[0, :2, 4])
+    m_hi, m_lo = masks[0, order[0]], masks[0, order[1]]
+    assert m_hi[:8].all() and not m_hi[8:].any()
+    assert m_lo[8:].all() and not m_lo[:8].any()

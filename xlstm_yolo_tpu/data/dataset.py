@@ -208,8 +208,10 @@ class YOLODataset:
         self.pad = float(pad)
         self.rect_batches: list[tuple[list, tuple[int, int]]] = []
         self.rect_shape_of: dict[int, tuple[int, int]] = {}
+        self._img_path = img_path  # kept so Loader can re-bucket on bs change
+        self.batch = int(batch or 16)
         if self.rect:
-            self._set_rectangle(int(batch or 16), img_path)
+            self._set_rectangle(self.batch, img_path)
 
     @staticmethod
     def _scan(img_path) -> list:
@@ -273,7 +275,20 @@ class YOLODataset:
         its .cache and reads them for set_rectangle, data/base.py)."""
         cp = self._cache_path(img_path)
         sp = cp.with_name(cp.name + ".shapes.npz") if cp is not None else None
-        want = _labels_hash(self.files)
+        # hash the IMAGE files' own size/mtime (not the label files'): an
+        # image replaced in place with different dimensions must invalidate
+        # the shape cache or bucketing silently serves stale shapes
+        import hashlib
+
+        h = hashlib.sha256()
+        for f in self.files:
+            h.update(f.encode())
+            try:
+                st = os.stat(f)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                h.update(b"-")
+        want = h.hexdigest()
         if sp is not None and sp.exists():
             try:
                 with np.load(sp, allow_pickle=False) as z:
@@ -706,23 +721,39 @@ class Loader:
         self.workers = max(0, int(workers))
         self.epoch = 0
 
+    def _rect_batches(self):
+        """Sharded rect bucket groups, re-bucketed if this Loader's bs differs
+        from the dataset's (a directly-constructed Loader with bs != ds.batch
+        would otherwise emit the dataset's batch size, not its own)."""
+        if self.bs != getattr(self.ds, "batch", self.bs):
+            self.ds.batch = self.bs
+            self.ds._set_rectangle(self.bs, self.ds._img_path)
+        groups = [np.asarray(g[0])
+                  for g in self.ds.rect_batches[self.shard_index :: self.num_shards]]
+        if self.drop_last:
+            groups = [b for b in groups if len(b) == self.bs] or groups
+        return groups
+
     def __len__(self):
         if getattr(self.ds, "rect", False) and not self.shuffle:
-            return len(self.ds.rect_batches[self.shard_index :: self.num_shards])
+            return len(self._rect_batches())
         n = len(self.ds) // self.num_shards
         return n // self.bs if self.drop_last else math.ceil(n / self.bs)
 
     def __iter__(self):
+        if getattr(self.ds, "rect", False) and self.shuffle:
+            raise ValueError(
+                "shuffle=True on a rect dataset: rect buckets are aspect-"
+                "sorted sequential batches; shuffling would mix per-index "
+                "bucket shapes inside one batch. Build the dataset with "
+                "rect=False for shuffled loading.")
         rng = np.random.default_rng(self.seed + self.epoch)
         rect = bool(getattr(self.ds, "rect", False)) and not self.shuffle
         if rect:
             # aspect-ratio bucket groups, sharded at batch granularity so a
             # batch never mixes bucket shapes (reference rect=True keeps the
             # sampler sequential over the sorted order, data/build.py)
-            batches = [np.asarray(g[0])
-                       for g in self.ds.rect_batches[self.shard_index :: self.num_shards]]
-            if self.drop_last:
-                batches = [b for b in batches if len(b) == self.bs] or batches
+            batches = self._rect_batches()
             nb = len(batches)
         else:
             idxs = np.arange(len(self.ds))

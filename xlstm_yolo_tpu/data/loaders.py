@@ -208,6 +208,12 @@ class LoadStreams:
                         time.sleep(1 / max(min(self.fps), 1))
                         waited += 1 / max(min(self.fps), 1)
                         if waited > 30:
+                            # reference logs dead/stalled streams before
+                            # giving up (/root/reference/data/loaders.py:143-161)
+                            LOGGER.warning(
+                                f"stream {i} produced no frame for {waited:.0f}s "
+                                f"(reader alive={self.threads[i].is_alive()}); "
+                                "ending stream iteration")
                             return
                     with self._locks[i]:
                         if not self.imgs[i]:

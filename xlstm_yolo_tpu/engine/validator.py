@@ -78,9 +78,15 @@ class Validator:
         data = data or self.data
         if isinstance(data, (str, Path)) and self.model.task != "classify":
             data = check_det_dataset(data)
+        # rect buckets must quantize to the model's coarsest pyramid stride
+        # (P6 configs have stride 64) or the FPN upsample+concat shapes
+        # mismatch; reference sizes rect shapes by max(model.stride)
+        # (/root/reference/engine/validator.py check_imgsz stride arg)
+        stride = max(32, int(max(getattr(self.model, "strides", (32,)) or (32,))))
         loader, _ = build_dataloader(data, "val", batch=self.batch, imgsz=self.imgsz,
                                      augment=False, max_labels=self.max_labels,
-                                     task=self.model.task, rect=self.rect)
+                                     task=self.model.task, rect=self.rect,
+                                     stride=stride)
         task = self.model.task
         if self.plots:
             self.cm = MET.ConfusionMatrix(

@@ -46,25 +46,35 @@ class FastSAM:
         from .ops.nms import non_max_suppression
 
         full = jax.jit(self.model.predictions_full)(variables, img)
-        dets, valid = non_max_suppression(full["cands"], conf_thres=conf, iou_thres=iou,
-                                          max_det=max_det)
-        # re-associate kept boxes -> candidate coefficients by box-center match
-        cands = np.asarray(full["cands"])
-        coefs = np.asarray(full["coefs"])
-        proto = np.asarray(full["proto"])
-        dets_np = np.asarray(dets)
-        masks = np.zeros((dets_np.shape[0], dets_np.shape[1], proto.shape[1], proto.shape[2]), bool)
-        for bi in range(len(dets_np)):
-            cxy = cands[bi, :, :2]
-            for di in range(dets_np.shape[1]):
-                if not valid[bi, di]:
+        # exact payload re-association: return_idx gives the SOURCE candidate
+        # index of every kept detection, so mask coefficients match their
+        # boxes even for overlapping same-class instances (the seg validator's
+        # path; replaces a nearest-center heuristic that could swap masks —
+        # reference keeps payloads inline in the ragged det tensor,
+        # /root/reference/models/fastsam/predict.py:14-86)
+        dets, valid, src = non_max_suppression(
+            full["cands"], conf_thres=conf, iou_thres=iou, max_det=max_det,
+            return_idx=True)
+        dets_np, valid_np = np.asarray(dets), np.asarray(valid)
+        masks = self.masks_from_src(
+            np.asarray(full["coefs"]), np.asarray(full["proto"]),
+            valid_np, np.asarray(src))
+        return dets_np, valid_np, masks
+
+    @staticmethod
+    def masks_from_src(coefs, proto, valid, src):
+        """Decode binary masks for NMS-kept detections from their SOURCE
+        candidate coefficients. coefs (B, N, nm), proto (B, Hm, Wm, nm),
+        valid/src (B, max_det) -> (B, max_det, Hm, Wm) bool."""
+        masks = np.zeros((src.shape[0], src.shape[1], proto.shape[1], proto.shape[2]), bool)
+        for bi in range(src.shape[0]):
+            pm = proto[bi].reshape(-1, coefs.shape[-1]).T
+            for di in range(src.shape[1]):
+                if not valid[bi, di] or src[bi, di] < 0:
                     continue
-                d = dets_np[bi, di]
-                dxy = (d[:2] + d[2:4]) / 2
-                idx = int(np.argmin(np.abs(cxy[:, 0] - dxy[0]) + np.abs(cxy[:, 1] - dxy[1])))
-                m = 1 / (1 + np.exp(-(coefs[bi, idx] @ proto[bi].reshape(-1, coefs.shape[-1]).T)))
+                m = 1 / (1 + np.exp(-(coefs[bi, src[bi, di]] @ pm)))
                 masks[bi, di] = (m > 0.5).reshape(proto.shape[1], proto.shape[2])
-        return dets_np, np.asarray(valid), masks
+        return masks
 
     # -- prompts (reference FastSAMPredictor.prompt) --------------------------
     @staticmethod
