@@ -64,7 +64,24 @@ def test_tp_sp_multistep_training_matches_single_device():
 
     from xlstm_yolo_tpu.nn.tasks import TaskModel
 
-    m = TaskModel("vil_yolon.yaml", nc=3)
+    # a thinned 2-stage ViL+conv graph: exercises the exact same tp/sp
+    # sharding rules (ViL proj/gate params + conv + Detect) as the flagship
+    # but compiles ~3x faster on this 1-core host (round-5 ask: keep this
+    # file under 5 min; vil_yolon here cost 204 s alone)
+    cfg = {
+        "nc": 3,
+        "backbone": [
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "ViLBlockPairBlock", [64, 64, {"qkv_block_size": 32, "chunk_size": 64}]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 1, "ViLBlockPairBlock", [128, 128, {"qkv_block_size": 32, "chunk_size": 64}]],
+        ],
+        "head": [
+            [[2, 4], 1, "Detect", ["nc"]],
+        ],
+    }
+    m = TaskModel(cfg, nc=3)
     v = m.init(0, imgsz=64)
     rng = np.random.default_rng(0)
     batch = {

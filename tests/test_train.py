@@ -331,3 +331,25 @@ def test_loader_worker_pool_batches_match_meta(tmp_path):
         np.testing.assert_allclose(x["img"], y["img"], atol=1e-7)
         np.testing.assert_allclose(x["cls_boxes"], y["cls_boxes"], atol=1e-6)
         np.testing.assert_array_equal(x["mask"], y["mask"])
+
+
+def test_multi_scale_training(tmp_path):
+    """multi_scale rotates among a static bucket of stride-aligned sizes
+    (reference preprocess_batch rescale,
+    /root/reference/models/yolo/detect/train.py:57-74): >=2 distinct batch
+    shapes must actually train, loss stays finite."""
+    from xlstm_yolo_tpu.data.synthetic import make_synthetic_dataset
+    from xlstm_yolo_tpu.engine.trainer import Trainer
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+
+    yml = make_synthetic_dataset(tmp_path / "ms", n_train=8, n_val=2, imgsz=96)
+    model = TaskModel("yolov8n.yaml", nc=3)
+    tr = Trainer(model, overrides=dict(
+        data=yml, imgsz=96, batch=2, epochs=2, val=False, max_labels=16,
+        optimizer="SGD", lr0=0.002, warmup_epochs=0.0, nbs=2, mosaic=0.0,
+        scale=0.0, translate=0.0, fliplr=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+        multi_scale=True, seed=3, project=str(tmp_path), name="ms"))
+    metrics = tr.train()
+    assert len(tr._ms_sizes_used) >= 2, tr._ms_sizes_used
+    assert all(s % 32 == 0 for s in tr._ms_sizes_used)
+    assert np.isfinite(metrics["train_loss"])

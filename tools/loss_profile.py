@@ -114,7 +114,7 @@ def main():
                       jnp.float32)
     out["bce_ms"] = timed(
         lambda s, t: jnp.sum(L._bce_logits(s, t)), pred_sl, tsc)
-    pdl = jnp.asarray(rng.normal(0, 1, (B, A, 4, 16)), jnp.float32)
+    pdl = jnp.asarray(rng.normal(0, 1, (B, A, 64)), jnp.float32)  # raw (..., 4*reg_max) lane layout
     tgt_ltrb = jnp.asarray(rng.uniform(0, 15, (B, A, 4)), jnp.float32)
     out["dfl_ms"] = timed(lambda p, t: L.df_loss(p, t, 16), pdl, tgt_ltrb)
     out["bbox2dist_ms"] = timed(

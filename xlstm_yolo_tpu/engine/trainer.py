@@ -265,6 +265,50 @@ class Trainer:
         ema_params = jax.tree.map(jnp.copy, params)  # real copy: params are donated separately
         n_updates = jnp.zeros((), jnp.int32)
 
+        # multi-scale training (reference preprocess_batch,
+        # /root/reference/models/yolo/detect/train.py:57-74: every batch is
+        # rescaled to a random stride-aligned size in [0.5, 1.5]*imgsz).
+        # TPU adaptation: a STATIC bucket set of 5 stride-aligned sizes —
+        # each size is one XLA program (like rect-val), the host rotates
+        # among them per step; the continuous-uniform draw would compile an
+        # unbounded program set.
+        ms = getattr(args, "multi_scale", False)
+        ms = 0.5 if ms is True else float(ms or 0.0)
+        self._ms_sizes_used: set = set()
+        ms_sizes: list[int] = []
+        if ms > 0:
+            gs = max(32, int(max(self.model.strides)))
+            ms_sizes = sorted({max(gs, int(round(imgsz * f / gs)) * gs)
+                               for f in (1 - ms, 1 - ms / 2, 1.0, 1 + ms / 2, 1 + ms)})
+            ms_rng = np.random.default_rng(int(args.seed) + 4242)
+            mask_ratio = int(getattr(self.loader.ds, "mask_ratio", 4) or 4)
+            LOGGER.info(f"multi_scale={ms}: rotating batch sizes {ms_sizes} "
+                        f"(one XLA program each)")
+
+            import functools
+
+            @functools.partial(jax.jit, static_argnames="sz")
+            def _ms_rescale(batch, sz):
+                f = sz / imgsz
+                out = dict(batch)
+                img = batch["img"]
+                out["img"] = jax.image.resize(
+                    img, (img.shape[0], sz, sz, img.shape[3]), "bilinear")
+                if "cls_boxes" in batch:  # (B, M, 5|6): cls + pixel coords
+                    cb = batch["cls_boxes"]
+                    out["cls_boxes"] = jnp.concatenate(
+                        [cb[..., :1], cb[..., 1:5] * f, cb[..., 5:]], -1)
+                if "masks" in batch:  # overlap-encoded ints: nearest resize
+                    m = batch["masks"]
+                    out["masks"] = jax.image.resize(
+                        m, (m.shape[0], sz // mask_ratio, sz // mask_ratio),
+                        "nearest")
+                if "keypoints" in batch:
+                    kp = batch["keypoints"]
+                    out["keypoints"] = jnp.concatenate(
+                        [kp[..., :2] * f, kp[..., 2:]], -1)
+                return out
+
         sched = TU.lr_schedule(self.lr0, args.lrf, epochs, cos_lr=bool(args.cos_lr))
         # reference floors warmup at 100 steps (trainer.py:340); cap it at half
         # the run so tiny datasets don't spend the whole schedule warming up
@@ -326,6 +370,11 @@ class Trainer:
                     batch_data["mosaic_p"] = np.float32(
                         getattr(self, "_mosaic_p", float(args.mosaic)))
                 db = M.shard_batch(mesh, batch_data)
+                if ms_sizes:
+                    sz = int(ms_rng.choice(ms_sizes))
+                    self._ms_sizes_used.add(sz)
+                    if sz != imgsz:
+                        db = _ms_rescale(db, sz)
                 params, batch_stats, opt_state, ema_params, n_updates, metrics = step_fn(
                     params, batch_stats, opt_state, ema_params, n_updates, db, jnp.float32(lr)
                 )
