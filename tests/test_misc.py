@@ -533,3 +533,25 @@ def test_dataset_descriptor_zoo():
             if isinstance(rn, list):
                 rn = dict(enumerate(rn))
             assert d["names"] == rn, f
+
+
+def test_benchmark_reports_gated_formats(tmp_path):
+    """Dependency-gated formats (torch, onnx) are in the DEFAULT benchmark
+    sweep and a missing bridge yields an explicit error row, never silence
+    (reference benchmarks all formats, utils/benchmarks.py:51-200)."""
+    import inspect
+
+    from xlstm_yolo_tpu.nn.tasks import TaskModel
+    from xlstm_yolo_tpu.utils.benchmarks import benchmark
+
+    sig = inspect.signature(benchmark)
+    defaults = sig.parameters["formats"].default
+    assert "onnx" in defaults and "torch" in defaults
+
+    m = TaskModel("yolov8n.yaml", nc=2)
+    v = m.init(0, imgsz=64)
+    rows = benchmark(m, v, imgsz=64, formats=("torch", "onnx"),
+                     output_dir=str(tmp_path), verbose=False)
+    assert [r["format"] for r in rows] == ["torch", "onnx"]
+    for r in rows:
+        assert r["ok"] or "error" in r, r  # attempted and reported, not skipped

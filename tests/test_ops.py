@@ -156,3 +156,18 @@ def test_nms_fixed_shape_and_padding():
     assert int(valid[0].sum()) == 1 and int(valid[1].sum()) == 0
     # invalid slots are zeroed with cls -1
     assert float(jnp.abs(dets[1]).sum()) == pytest.approx(8.0)  # only the -1 cls markers
+
+
+def test_rowwise_kth_value_matches_xla():
+    """Pallas single-pass kth-largest (interpret mode) == k-1-pass XLA form,
+    incl. lane padding (N not a multiple of 128) and duplicate values."""
+    from xlstm_yolo_tpu.kernels.topk_pallas import rowwise_kth_value
+
+    rng = np.random.default_rng(0)
+    for R, N, k in ((7, 300, 10), (16, 131, 3), (4, 8400, 10)):
+        x = rng.standard_normal((R, N)).astype(np.float32)
+        x[0, :5] = x[0, 5]  # ties
+        xj = jnp.asarray(x)
+        got = np.asarray(rowwise_kth_value(xj, k, interpret=True))[:, 0]
+        want = np.partition(x, N - k, axis=1)[:, N - k]
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)

@@ -100,8 +100,13 @@ def main():
         return best
 
     def many_fwd(params, batch_stats, b):
+        # perturb the input per iteration or XLA hoists the loop-invariant
+        # forward out of the fori_loop and reports time/iters (1/iters of
+        # the truth — caught round 5 when ViL stage sums exceeded the
+        # "whole model" number)
         def body(i, acc):
-            l, bs = fwd_only(params, batch_stats, b)
+            bi = {**b, "img": b["img"] + (acc * 1e-12 + i).astype(b["img"].dtype) * 1e-6}
+            l, bs = fwd_only(params, batch_stats, bi)
             return acc + l
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
@@ -110,7 +115,10 @@ def main():
         def many(params, batch_stats, opt_state, ema, b):
             def body(i, carry):
                 params, bs, opt_state, ema, acc = carry
-                params, bs, opt_state, ema, l = step(params, bs, opt_state, ema, i, b)
+                # grads_only/opt_only leave params untouched — perturb the
+                # batch per iteration so XLA cannot hoist the body
+                bi = {**b, "img": b["img"] + (acc * 1e-12 + i).astype(b["img"].dtype) * 1e-6}
+                params, bs, opt_state, ema, l = step(params, bs, opt_state, ema, i, bi)
                 return params, bs, opt_state, ema, acc + l
 
             return jax.lax.fori_loop(
@@ -128,6 +136,19 @@ def main():
         gsum = sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))
         return params, bs, opt_state, ema, l + gsum * 0.0
 
+    def grads_eval(params, batch_stats, opt_state, ema, n, b):
+        # BN frozen (running stats, train=False): the delta vs grads_only is
+        # the price of train-mode BN (batch-stat reductions + their backward)
+        def loss_fn(p):
+            out = model.module.apply({"params": p, "batch_stats": batch_stats},
+                                     b["img"], train=False)
+            det = out["det"] if isinstance(out, dict) else out
+            return sum(jnp.sum(d.astype(jnp.float32) ** 2) for d in det) * 1e-6
+
+        l, grads = jax.value_and_grad(loss_fn)(params)
+        gsum = sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))
+        return params, batch_stats, opt_state, ema, l + gsum * 0.0
+
     def opt_only(params, batch_stats, opt_state, ema, n, b):
         grads = jax.tree.map(lambda p: p * 1e-8 + b["img"].sum() * 0.0, params)
         upd, opt_state = tx.update(grads, opt_state, params)
@@ -139,6 +160,7 @@ def main():
     out = {}
     out["fwd_ms"] = round(1e3 * timed(many_fwd, params, batch_stats, dbatch), 2)
     out["grads_ms"] = round(1e3 * timed(loop(grads_only), params, batch_stats, opt_state, ema, dbatch), 2)
+    out["grads_eval_ms"] = round(1e3 * timed(loop(grads_eval), params, batch_stats, opt_state, ema, dbatch), 2)
     out["opt_ms"] = round(1e3 * timed(loop(opt_only), params, batch_stats, opt_state, ema, dbatch), 2)
     out["fwd_bwd_ms"] = round(1e3 * timed(loop(fwd_bwd), params, batch_stats, opt_state, ema, dbatch), 2)
     out["full_ms"] = round(1e3 * timed(loop(full), params, batch_stats, opt_state, ema, dbatch), 2)

@@ -13,11 +13,18 @@ import numpy as np
 
 
 def benchmark(model, variables, data: str | dict | None = None, imgsz: int = 640,
-              formats: tuple = ("stablehlo", "savedmodel", "tflite"),
+              formats: tuple = ("stablehlo", "savedmodel", "tflite", "torch", "onnx"),
               output_dir: str = "runs/benchmark", verbose: bool = True,
               floor: float | None = None) -> list:
     """Export -> reload -> parity + speed per format. Returns rows of
-    {format, ok, max_abs_diff, ms_per_image, mAP50_95?}."""
+    {format, ok, max_abs_diff, ms_per_image, mAP50_95?}.
+
+    Every format the exporter knows is attempted BY DEFAULT, including the
+    dependency-gated ones (torch needs torch, onnx needs tf2onnx +
+    onnxruntime) — a missing bridge produces an explicit
+    {format, error: ...} row instead of silently never being mentioned
+    (reference benchmarks every format the same way,
+    /root/reference/utils/benchmarks.py:51-200)."""
     import jax
     import jax.numpy as jnp
 

@@ -38,9 +38,12 @@ def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, ep
 def topk_positive_mask(candidate_metric: jnp.ndarray, k: int) -> jnp.ndarray:
     """Top-k-by-metric membership mask over the last axis, positives only.
 
-    Computed as a kth-value THRESHOLD: k-1 fused max+suppress passes find the
-    kth-largest metric per row; membership is then one comparison. This
-    replaces the reference shape lax.top_k (a full sort on TPU) + scatter-add
+    Computed as a kth-value THRESHOLD; membership is then one comparison.
+    The kth value comes from a single-pass Pallas kernel on TPU (one HBM
+    read of the metric; kernels/topk_pallas.py) — the k-1 max+suppress XLA
+    passes it replaces cost one full HBM round trip each (8.1 of the 21.5 ms
+    assign at B128, tools/loss_profile.py). This replaces the reference
+    shape lax.top_k (a full sort on TPU) + scatter-add
     one-hot, which together dominated the whole train step at B128
     (tools/train_step_profile.py: loss overhead 225 of 312 ms). Exact for
     distinct positive metrics; a positive tie at the kth value admits both
@@ -57,11 +60,11 @@ def topk_positive_mask(candidate_metric: jnp.ndarray, k: int) -> jnp.ndarray:
     in-GT restriction (candidate_metric arrives masked) while matching the
     reference's keep-alive behavior.
     """
-    v = candidate_metric
-    for _ in range(k - 1):
-        row_max = jnp.max(v, axis=-1, keepdims=True)
-        v = jnp.where(v >= row_max, -jnp.inf, v)
-    kth = jnp.maximum(jnp.max(v, axis=-1, keepdims=True), 0.0)
+    from ..kernels.topk_pallas import rowwise_kth_value
+
+    shp = candidate_metric.shape
+    kth = rowwise_kth_value(candidate_metric.reshape(-1, shp[-1]), k)
+    kth = jnp.maximum(kth.reshape(*shp[:-1], 1), 0.0)
     return ((candidate_metric >= kth) & (candidate_metric > 0.0)).astype(jnp.float32)
 
 
@@ -119,9 +122,13 @@ def assign(
 
     # --- alignment metric: score(gt class)^alpha * ciou^beta -----------------
     gt_cls = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, nc - 1)  # (b, n_max)
-    # scores of each anchor at each gt's class: (b, n_max, n_anchors)
-    scores_t = jnp.swapaxes(pd_scores, 1, 2)  # (b, nc, n_anchors)
-    bbox_scores = jnp.take_along_axis(scores_t, gt_cls[:, :, None], axis=1)
+    # scores of each anchor at each gt's class, as a one-hot MXU contraction
+    # over nc: (b, n_max, nc) @ (b, n_anchors, nc) -> (b, n_max, n_anchors).
+    # The take_along_axis form needed a (b, nc, n_anchors) transpose copy +
+    # a per-element gather (8.0 of the 21.5 ms assign, tools/loss_profile.py)
+    oh = jax.nn.one_hot(gt_cls, nc, dtype=pd_scores.dtype)
+    bbox_scores = jnp.einsum("bmc,bac->bma", oh, pd_scores,
+                             preferred_element_type=jnp.float32)
     overlaps = jnp.clip(
         bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True), 0.0, None
     )  # (b, n_max, n_anchors)
@@ -239,8 +246,9 @@ def assign_rotated(
     mask_gt = mask_gt.astype(jnp.float32)[..., 0]
 
     gt_cls = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, nc - 1)
-    scores_t = jnp.swapaxes(pd_scores, 1, 2)
-    bbox_scores = jnp.take_along_axis(scores_t, gt_cls[:, :, None], axis=1)
+    oh = jax.nn.one_hot(gt_cls, nc, dtype=pd_scores.dtype)  # MXU gather (see assign)
+    bbox_scores = jnp.einsum("bmc,bac->bma", oh, pd_scores,
+                             preferred_element_type=jnp.float32)
     overlaps = jnp.clip(
         probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :]), 0.0, None
     )
