@@ -83,10 +83,8 @@ def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
 
         (total, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         upd, opt_state = tx.update(grads, opt_state, params)
-        upd = jax.tree.map(lambda u: u * lr, upd)
-        params = optax.apply_updates(params, upd)
         n_updates = n_updates + 1
-        ema = TU.ema_update(ema, params, n_updates)
+        params, ema = TU.fused_apply_ema(params, upd, ema, lr, n_updates)
         return params, updates.get("batch_stats", batch_stats), opt_state, ema, n_updates, total
 
     @jax.jit

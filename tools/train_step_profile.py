@@ -71,9 +71,7 @@ def main():
 
         (l, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         upd, opt_state = tx.update(grads, opt_state, params)
-        upd = jax.tree.map(lambda u: u * lr, upd)
-        params = optax.apply_updates(params, upd)
-        ema = TU.ema_update(ema, params, n + 1)
+        params, ema = TU.fused_apply_ema(params, upd, ema, lr, n + 1)
         return params, bs, opt_state, ema, l
 
     def full(params, batch_stats, opt_state, ema, n, b):
@@ -84,9 +82,7 @@ def main():
 
         (total, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         upd, opt_state = tx.update(grads, opt_state, params)
-        upd = jax.tree.map(lambda u: u * lr, upd)
-        params = optax.apply_updates(params, upd)
-        ema = TU.ema_update(ema, params, n + 1)
+        params, ema = TU.fused_apply_ema(params, upd, ema, lr, n + 1)
         return params, updates.get("batch_stats", batch_stats), opt_state, ema, total
 
     def timed(fn, *args):
@@ -152,9 +148,7 @@ def main():
     def opt_only(params, batch_stats, opt_state, ema, n, b):
         grads = jax.tree.map(lambda p: p * 1e-8 + b["img"].sum() * 0.0, params)
         upd, opt_state = tx.update(grads, opt_state, params)
-        upd = jax.tree.map(lambda u: u * lr, upd)
-        params = optax.apply_updates(params, upd)
-        ema = TU.ema_update(ema, params, n + 1)
+        params, ema = TU.fused_apply_ema(params, upd, ema, lr, n + 1)
         return params, batch_stats, opt_state, ema, jax.tree.leaves(params)[0].sum()
 
     out = {}
