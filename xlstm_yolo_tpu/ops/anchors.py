@@ -96,4 +96,13 @@ def dfl_decode(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     c = jnp.max(x, axis=-1, keepdims=True)  # any per-row constant cancels
     e = jnp.exp(x - c)
     G, P = _dfl_group_mats(reg_max)
+    if pred_dist.dtype == jnp.bfloat16:
+        # bf16 model path: materialize the exp operand in bf16 (the (.., 64)
+        # plane is 275 MB fp32 at B128 — this chip's effective HBM bandwidth
+        # is ~60 GB/s, tools: /tmp bw probe r5, so bytes are the cost);
+        # accumulate the thin dots in fp32
+        e = e.astype(jnp.bfloat16)
+        num = jnp.dot(e, P.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        den = jnp.dot(e, G.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        return num / den
     return (e @ P) / (e @ G)

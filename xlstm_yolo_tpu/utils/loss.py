@@ -30,7 +30,13 @@ class DetectionLossOut(NamedTuple):
 
 
 def _bce_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """Numerically-stable binary cross-entropy with logits (sum-none)."""
+    """Numerically-stable binary cross-entropy with logits (sum-none).
+
+    Element math upcasts to fp32 in-register (fuses into the surrounding
+    pass — no fp32 materialization of bf16 inputs) so downstream reductions
+    accumulate fp32 whatever dtype the model streams in."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
@@ -62,9 +68,19 @@ def df_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int = 16) -> j
     bins = jnp.tile(jnp.arange(reg_max, dtype=jnp.float32), 4)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(bins - t64))  # wl/wr hat weights
     c = jnp.max(x, axis=-1, keepdims=True)
-    lse = jnp.log((jnp.exp(x - c) @ G))  # (..., 4), + c cancels below
-    # CE_g = -(sum_j w_j (x_j - c)) + lse_g   (sum_j w_j = 1 per group)
-    ce = -((w * (x - c)) @ G) + lse
+    if pred_dist.dtype == jnp.bfloat16:
+        # bf16 model path: the two (.., 64)-wide dot operands are the only
+        # big materializations here — keep them bf16 (fp32 accumulate); see
+        # dfl_decode for the bandwidth rationale
+        Gb = G.astype(jnp.bfloat16)
+        e = jnp.exp(x - c).astype(jnp.bfloat16)
+        lse = jnp.log(jnp.dot(e, Gb, preferred_element_type=jnp.float32))
+        wx = (w * (x - c)).astype(jnp.bfloat16)
+        ce = -jnp.dot(wx, Gb, preferred_element_type=jnp.float32) + lse
+    else:
+        lse = jnp.log((jnp.exp(x - c) @ G))  # (..., 4), + c cancels below
+        # CE_g = -(sum_j w_j (x_j - c)) + lse_g   (sum_j w_j = 1 per group)
+        ce = -((w * (x - c)) @ G) + lse
     return jnp.mean(ce, axis=-1)
 
 
@@ -85,11 +101,15 @@ def detection_loss(
     feat_shapes = [m.shape[1:3] for m in raw_maps]
     anchors, stride_t = make_anchors(feat_shapes, strides)  # (N,2), (N,1)
 
+    # big (b, N, ·) planes stay in the MODEL's compute dtype (bf16 under the
+    # production AMP step, fp32 in the parity tests): this chip's effective
+    # HBM bandwidth is ~60 GB/s (round-5 probe), so every fp32 materialization
+    # of a 344/275 MB plane costs ~5 ms. Reductions/decodes accumulate fp32.
     x = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in raw_maps], axis=1)
-    pred_dist_logits = x[..., : 4 * reg_max].astype(jnp.float32)  # (b, N, 64)
-    pred_scores_logits = x[..., 4 * reg_max :].astype(jnp.float32)  # (b, N, nc)
+    pred_dist_logits = x[..., : 4 * reg_max]  # (b, N, 64) model dtype
+    pred_scores_logits = x[..., 4 * reg_max :]  # (b, N, nc) model dtype
 
-    pred_dist = dfl_decode(pred_dist_logits, reg_max)  # (b, N, 4)
+    pred_dist = dfl_decode(pred_dist_logits, reg_max).astype(jnp.float32)  # (b, N, 4)
     pred_bboxes = dist2bbox(pred_dist, anchors, xywh=False)  # grid units xyxy
 
     gt_labels = targets[..., :1]
@@ -102,7 +122,7 @@ def detection_loss(
     anchors_px = anchors * stride_t  # (N, 2) pixel centers
 
     _, target_bboxes, target_scores, fg_mask, _ = tal.assign(
-        jax.nn.sigmoid(pred_scores_logits),
+        pred_scores_logits,  # sigmoid applied inside, after class selection
         pred_bboxes_px,
         anchors_px,
         gt_labels,
@@ -110,9 +130,10 @@ def detection_loss(
         target_mask[..., None],
         topk=tal_topk,
         num_classes=nc,
+        scores_are_logits=True,
     )
 
-    target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
+    target_scores_sum = jnp.maximum(jnp.sum(target_scores, dtype=jnp.float32), 1.0)
 
     # cls loss
     loss_cls = jnp.sum(_bce_logits(pred_scores_logits, target_scores)) / target_scores_sum
@@ -120,7 +141,7 @@ def detection_loss(
     # box + dfl, masked to foreground
     target_bboxes_g = target_bboxes / stride_t[None]
     fg = fg_mask.astype(jnp.float32)
-    weight = jnp.sum(target_scores, axis=-1) * fg  # (b, N)
+    weight = jnp.sum(target_scores, axis=-1, dtype=jnp.float32) * fg  # (b, N)
 
     iou = bbox_iou(pred_bboxes, target_bboxes_g, xywh=False, CIoU=True)
     loss_box = jnp.sum((1.0 - iou) * weight) / target_scores_sum
@@ -161,22 +182,22 @@ def _detection_core(raw_maps, targets, target_mask, strides, nc, reg_max, tal_to
     feat_shapes = [m.shape[1:3] for m in raw_maps]
     anchors, stride_t = make_anchors(feat_shapes, strides)
     x = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in raw_maps], axis=1)
-    pred_dist_logits = x[..., : 4 * reg_max].astype(jnp.float32)
-    pred_scores_logits = x[..., 4 * reg_max :].astype(jnp.float32)
-    pred_dist = dfl_decode(pred_dist_logits, reg_max)
+    pred_dist_logits = x[..., : 4 * reg_max]  # model dtype (see detection_loss)
+    pred_scores_logits = x[..., 4 * reg_max :]
+    pred_dist = dfl_decode(pred_dist_logits, reg_max).astype(jnp.float32)
     pred_bboxes = dist2bbox(pred_dist, anchors, xywh=False)
 
     _, target_bboxes, target_scores, fg_mask, target_gt_idx = tal.assign(
-        jax.nn.sigmoid(pred_scores_logits), pred_bboxes * stride_t[None], anchors * stride_t,
+        pred_scores_logits, pred_bboxes * stride_t[None], anchors * stride_t,
         targets[..., :1], targets[..., 1:5], target_mask[..., None],
-        topk=tal_topk, num_classes=nc,
+        topk=tal_topk, num_classes=nc, scores_are_logits=True,
     )
-    tss = jnp.maximum(jnp.sum(target_scores), 1.0)
+    tss = jnp.maximum(jnp.sum(target_scores, dtype=jnp.float32), 1.0)
     loss_cls = jnp.sum(_bce_logits(pred_scores_logits, target_scores)) / tss
 
     tb_g = target_bboxes / stride_t[None]
     fg = fg_mask.astype(jnp.float32)
-    weight = jnp.sum(target_scores, axis=-1) * fg
+    weight = jnp.sum(target_scores, axis=-1, dtype=jnp.float32) * fg
     iou = bbox_iou(pred_bboxes, tb_g, xywh=False, CIoU=True)
     loss_box = jnp.sum((1.0 - iou) * weight) / tss
     target_ltrb = bbox2dist(anchors, tb_g, reg_max - 1)
@@ -363,14 +384,14 @@ def obb_loss(
     feat_shapes = [m.shape[1:3] for m in raw_maps]
     anchors, stride_t = make_anchors(feat_shapes, strides)
     x = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in raw_maps], axis=1)
-    pred_dist_logits = x[..., : 4 * reg_max].astype(jnp.float32)
-    pred_scores_logits = x[..., 4 * reg_max :].astype(jnp.float32)
+    pred_dist_logits = x[..., : 4 * reg_max]  # model dtype (see detection_loss)
+    pred_scores_logits = x[..., 4 * reg_max :]
     angle_logits = jnp.concatenate(
         [m.reshape(b, -1, m.shape[-1]) for m in out["angle"]], axis=1
     ).astype(jnp.float32)
     pred_angle = (jax.nn.sigmoid(angle_logits) - 0.25) * _math.pi  # (B, N, 1)
 
-    pred_dist = dfl_decode(pred_dist_logits, reg_max)
+    pred_dist = dfl_decode(pred_dist_logits, reg_max).astype(jnp.float32)
     pred_rbox = dist2rbox(pred_dist, pred_angle, anchors)  # (B, N, 4) cxcywh grid units
 
     gt = batch["cls_boxes"]
@@ -383,11 +404,11 @@ def obb_loss(
         gt[..., :1], gt_rbox, batch["mask"][..., None],
         num_classes=nc,
     )
-    tss = jnp.maximum(jnp.sum(target_scores), 1.0)
+    tss = jnp.maximum(jnp.sum(target_scores, dtype=jnp.float32), 1.0)
     loss_cls = jnp.sum(_bce_logits(pred_scores_logits, target_scores)) / tss
 
     fg = fg_mask.astype(jnp.float32)
-    weight = jnp.sum(target_scores, axis=-1) * fg
+    weight = jnp.sum(target_scores, axis=-1, dtype=jnp.float32) * fg
     t_scaled = jnp.concatenate([target_rbox[..., :4] / stride_t[None], target_rbox[..., 4:5]], -1)
     iou = probiou(jnp.concatenate([pred_rbox, pred_angle], -1), t_scaled)
     loss_box = jnp.sum((1.0 - iou) * weight) / tss

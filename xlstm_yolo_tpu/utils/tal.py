@@ -64,8 +64,8 @@ def topk_positive_mask(candidate_metric: jnp.ndarray, k: int) -> jnp.ndarray:
 
     shp = candidate_metric.shape
     kth = rowwise_kth_value(candidate_metric.reshape(-1, shp[-1]), k)
-    kth = jnp.maximum(kth.reshape(*shp[:-1], 1), 0.0)
-    return ((candidate_metric >= kth) & (candidate_metric > 0.0)).astype(jnp.float32)
+    kth = jnp.maximum(kth.reshape(*shp[:-1], 1), 0.0).astype(candidate_metric.dtype)
+    return ((candidate_metric >= kth) & (candidate_metric > 0.0)).astype(candidate_metric.dtype)
 
 
 def select_highest_overlaps(mask_pos: jnp.ndarray, overlaps: jnp.ndarray, n_max_boxes: int):
@@ -86,9 +86,10 @@ def select_highest_overlaps(mask_pos: jnp.ndarray, overlaps: jnp.ndarray, n_max_
     return target_gt_idx, fg_mask, mask_pos
 
 
-@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta"))
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta",
+                                   "scores_are_logits"))
 def assign(
-    pd_scores: jnp.ndarray,  # (b, n_anchors, nc) sigmoid scores
+    pd_scores: jnp.ndarray,  # (b, n_anchors, nc) sigmoid scores (or logits)
     pd_bboxes: jnp.ndarray,  # (b, n_anchors, 4) xyxy (grid units)
     anc_points: jnp.ndarray,  # (n_anchors, 2)
     gt_labels: jnp.ndarray,  # (b, n_max, 1) int
@@ -99,6 +100,7 @@ def assign(
     alpha: float = 0.5,
     beta: float = 6.0,
     eps: float = 1e-9,
+    scores_are_logits: bool = False,
 ):
     """Task-aligned one-stage assignment.
 
@@ -118,7 +120,14 @@ def assign(
     pd_bboxes = jax.lax.stop_gradient(pd_bboxes)
     b, n_anchors, nc = pd_scores.shape
     n_max = gt_bboxes.shape[1]
-    mask_gt = mask_gt.astype(jnp.float32)[..., 0]  # (b, n_max)
+    # every (b, n_max, n_anchors)-sized tensor below is materialized in the
+    # MODEL's compute dtype (bf16 under the AMP train step, fp32 in parity
+    # tests) — at B128 each such plane is 137 MB fp32 and this chip's
+    # effective HBM bandwidth is ~60 GB/s, so bytes dominate the assign cost.
+    # bf16 shares fp32's exponent range (no underflow of score^a * iou^b);
+    # only ranking ties shift, which select_highest_overlaps resolves anyway.
+    dt = pd_scores.dtype
+    mask_gt = mask_gt.astype(dt)[..., 0]  # (b, n_max)
 
     # --- alignment metric: score(gt class)^alpha * ciou^beta -----------------
     gt_cls = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, nc - 1)  # (b, n_max)
@@ -126,12 +135,19 @@ def assign(
     # over nc: (b, n_max, nc) @ (b, n_anchors, nc) -> (b, n_max, n_anchors).
     # The take_along_axis form needed a (b, nc, n_anchors) transpose copy +
     # a per-element gather (8.0 of the 21.5 ms assign, tools/loss_profile.py)
-    oh = jax.nn.one_hot(gt_cls, nc, dtype=pd_scores.dtype)
+    oh = jax.nn.one_hot(gt_cls, nc, dtype=dt)
     bbox_scores = jnp.einsum("bmc,bac->bma", oh, pd_scores,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32).astype(dt)
+    if scores_are_logits:
+        # one-hot selection is exact (0/1 weights pick one logit), and
+        # sigmoid(select(logits)) == select(sigmoid(logits)) — applying it
+        # AFTER the contraction skips materializing the full
+        # (b, n_anchors, nc) sigmoid plane (344 MB fp32 / 172 MB bf16 at
+        # B128) that existed only to be row-selected here
+        bbox_scores = jax.nn.sigmoid(bbox_scores)
     overlaps = jnp.clip(
         bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True), 0.0, None
-    )  # (b, n_max, n_anchors)
+    ).astype(dt)  # (b, n_max, n_anchors)
     # integer/half powers computed as multiplies/sqrt — jnp.power's exp·log
     # lowering is a transcendental per element on a (b, n_max, n_anchors)
     # tensor (defaults: alpha 0.5, beta 6.0)
@@ -145,7 +161,7 @@ def assign(
     align_metric = pow_s * pow_o
 
     # --- candidate selection --------------------------------------------------
-    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes).astype(jnp.float32)
+    mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes).astype(dt)
     candidate_metric = align_metric * mask_in_gts * mask_gt[..., None]
 
     # top-k per GT among candidates (reference select_topk_candidates),
@@ -166,16 +182,19 @@ def assign(
     # --- build targets ---------------------------------------------------------
     target_labels = jnp.take_along_axis(gt_cls, target_gt_idx, axis=1)  # (b, n_anchors)
     target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)
-    target_scores = jax.nn.one_hot(target_labels, nc, dtype=jnp.float32)
-    target_scores = target_scores * fg_mask[..., None].astype(jnp.float32)
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=dt)
+    target_scores = target_scores * fg_mask[..., None].astype(dt)
 
-    # normalize: per-GT max alignment scaled by per-GT max IoU (reference tal.py:108-116)
+    # normalize: per-GT max alignment scaled by per-GT max IoU (reference
+    # tal.py:108-116); the per-GT maxima and the final ratio run fp32 —
+    # (b, n_max, 1)-sized, so the upcast costs nothing
     align_metric = align_metric * mask_pos
-    pos_align_max = jnp.max(align_metric, axis=-1, keepdims=True)  # (b, n_max, 1)
-    pos_overlap_max = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)
-    norm_align = align_metric * pos_overlap_max / (pos_align_max + eps)  # (b, n_max, n_anchors)
+    pos_align_max = jnp.max(align_metric, axis=-1, keepdims=True).astype(jnp.float32)
+    pos_overlap_max = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True).astype(jnp.float32)
+    norm_align = align_metric.astype(jnp.float32) * (
+        pos_overlap_max / (pos_align_max + eps))  # (b, n_max, n_anchors)
     norm_per_anchor = jnp.max(norm_align, axis=-2)  # (b, n_anchors)
-    target_scores = target_scores * norm_per_anchor[..., None]
+    target_scores = target_scores * norm_per_anchor[..., None].astype(dt)
 
     return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
 
