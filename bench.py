@@ -157,6 +157,12 @@ def main():
 
     print(json.dumps(bench_model("yolov8n.yaml", "yolov8n_640_e2e_throughput")), flush=True)
 
+    # compute-bound model (VERDICT r4 #4: n-scale models are overhead/
+    # bandwidth-dominated; MFU claims need a larger config). yolov8m is
+    # ~79 GFLOP/img at 640 — the MXU-utilization row.
+    print(json.dumps(bench_model("yolov8m.yaml", "yolov8m_640_e2e_throughput",
+                                 batch=128)), flush=True)
+
     # training-step throughput (full jit'd step: bf16 fwd + TAL loss + bwd +
     # clip + SGD + EMA at B128/640 — bench_train.py), driver-visible per
     # round since r3
@@ -164,6 +170,8 @@ def main():
 
     print(json.dumps(bench_train(
         "yolov8n.yaml", "yolov8n_640_train_step_throughput")), flush=True)
+    print(json.dumps(bench_train(
+        "yolov8m.yaml", "yolov8m_640_train_step_throughput", batch=64)), flush=True)
     print(json.dumps(bench_train(
         "vil_yolon.yaml", "vil_yolon_640_train_step_throughput")), flush=True)
 
