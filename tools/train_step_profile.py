@@ -62,7 +62,9 @@ def main():
             {"params": params, "batch_stats": batch_stats}, b["img"],
             train=True, mutable=["batch_stats"])
         det = out["det"] if isinstance(out, dict) else out
-        return sum(jnp.sum(d.astype(jnp.float32) ** 2) for d in det), upd["batch_stats"]
+        import jax as _jax
+        return sum(jnp.sum(d.astype(jnp.float32) ** 2)
+                   for d in _jax.tree.leaves(det)), upd["batch_stats"]
 
     def fwd_bwd(params, batch_stats, opt_state, ema, n, b):
         def loss_fn(p):
@@ -139,7 +141,7 @@ def main():
             out = model.module.apply({"params": p, "batch_stats": batch_stats},
                                      b["img"], train=False)
             det = out["det"] if isinstance(out, dict) else out
-            return sum(jnp.sum(d.astype(jnp.float32) ** 2) for d in det) * 1e-6
+            return sum(jnp.sum(d.astype(jnp.float32) ** 2) for d in jax.tree.leaves(det)) * 1e-6
 
         l, grads = jax.value_and_grad(loss_fn)(params)
         gsum = sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))

@@ -80,7 +80,7 @@ def run_and_trace(step_kind: str, batch: int, name: str, trace_dir: str):
                 {"params": params, "batch_stats": batch_stats}, b["img"],
                 train=True, mutable=["batch_stats"])
             det = out["det"] if isinstance(out, dict) else out
-            return sum(jnp.sum(d.astype(jnp.float32) ** 2) for d in det)
+            return sum(jnp.sum(d.astype(jnp.float32) ** 2) for d in jax.tree.leaves(det))
 
         args = (params, batch_stats, dbatch)
     else:

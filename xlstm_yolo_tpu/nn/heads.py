@@ -73,7 +73,11 @@ class Detect(nn.Module):
             c = nn.Conv(
                 self.nc, (1, 1), use_bias=True, bias_init=_cls_bias_init(self.nc, s), name=f"cv3_{i}_2"
             )(c)
-            outs.append(jnp.concatenate([b, c], axis=-1))
+            # box and cls stay SEPARATE streams (see split_maps): the
+            # reference concatenates here (head.py:53) only because torch's
+            # loss slices it back apart; on TPU the concat + unaligned
+            # re-slicing cost ~5 ms/step of relayout copies at B128
+            outs.append((b, c))
         return outs
 
 
@@ -165,6 +169,30 @@ def flatten_maps(maps: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return jnp.concatenate([m.reshape(m.shape[0], -1, m.shape[-1]) for m in maps], axis=1)
 
 
+def map_shape(m) -> tuple:
+    """Shape of a per-scale det map that may be a (box, cls) pair."""
+    return (m[0] if isinstance(m, (tuple, list)) else m).shape
+
+
+def split_maps(raw_maps: Sequence, reg_max: int = 16):
+    """Per-scale raw det maps -> (dist (B,N,4*reg_max), cls (B,N,nc)).
+
+    Accepts per-scale (box_map, cls_map) TUPLES — the Detect head's native
+    output, where box and cls come from separate conv branches — or legacy
+    single (B, H, W, 4*reg_max + nc) arrays. Keeping the two streams
+    separate end-to-end removes a 144-wide channel concat plus two
+    lane-UNALIGNED slices per consumer (~5 ms/step of 'data formatting'
+    copies at B128 in the round-5 XProf trace, tools/xprof_step.py)."""
+    if isinstance(raw_maps[0], (tuple, list)):
+        dist = jnp.concatenate(
+            [bm.reshape(bm.shape[0], -1, bm.shape[-1]) for bm, _ in raw_maps], axis=1)
+        cls = jnp.concatenate(
+            [cm.reshape(cm.shape[0], -1, cm.shape[-1]) for _, cm in raw_maps], axis=1)
+        return dist, cls
+    x = flatten_maps(raw_maps)
+    return x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+
+
 def decode_detections(
     raw_maps: Sequence[jnp.ndarray],
     strides: Sequence[float],
@@ -177,10 +205,9 @@ def decode_detections(
     decode, dist2bbox around the anchor grid, scaled by stride; class logits
     through sigmoid.
     """
-    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    feat_shapes = [map_shape(m)[1:3] for m in raw_maps]
     anchors, stride_t = make_anchors(feat_shapes, strides)
-    x = flatten_maps(raw_maps)
-    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    box_logits, cls_logits = split_maps(raw_maps, reg_max)
     dist = dfl_decode(box_logits, reg_max)
     boxes = dist2bbox(dist, anchors, xywh=True) * stride_t
     return jnp.concatenate([boxes, jax.nn.sigmoid(cls_logits.astype(jnp.float32))], axis=-1)
@@ -197,11 +224,10 @@ def decode_obb(
 
     Angle activation: (sigmoid - 0.25) * pi (reference head.py OBB.forward).
     """
-    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    feat_shapes = [map_shape(m)[1:3] for m in raw_maps]
     anchors, stride_t = make_anchors(feat_shapes, strides)
-    x = flatten_maps(raw_maps)
     angle = (jax.nn.sigmoid(flatten_maps(angle_maps)) - 0.25) * math.pi
-    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    box_logits, cls_logits = split_maps(raw_maps, reg_max)
     dist = dfl_decode(box_logits, reg_max)
     rbox = dist2rbox(dist, angle, anchors) * stride_t
     return jnp.concatenate([rbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32)), angle], axis=-1)

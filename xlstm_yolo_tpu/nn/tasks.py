@@ -130,7 +130,9 @@ class TaskModel:
             det = out.get("det") or out.get("one2one")
         else:
             det = out
-        return tuple(imgsz // m.shape[1] for m in det)
+        from . import heads as H
+
+        return tuple(imgsz // H.map_shape(m)[1] for m in det)
 
     def init(self, key: jax.Array | int = 0, imgsz: int = 64) -> dict:
         """Initialize variables ({'params': ..., 'batch_stats': ...})."""

@@ -97,17 +97,17 @@ def detection_loss(
     tal_topk: int = 10,
 ) -> DetectionLossOut:
     """v8 detection loss: BCE cls + CIoU box + DFL, TAL-assigned."""
-    b = raw_maps[0].shape[0]
-    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    from ..nn.heads import map_shape, split_maps
+
+    b = map_shape(raw_maps[0])[0]
+    feat_shapes = [map_shape(m)[1:3] for m in raw_maps]
     anchors, stride_t = make_anchors(feat_shapes, strides)  # (N,2), (N,1)
 
     # big (b, N, ·) planes stay in the MODEL's compute dtype (bf16 under the
-    # production AMP step, fp32 in the parity tests): this chip's effective
-    # HBM bandwidth is ~60 GB/s (round-5 probe), so every fp32 materialization
-    # of a 344/275 MB plane costs ~5 ms. Reductions/decodes accumulate fp32.
-    x = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in raw_maps], axis=1)
-    pred_dist_logits = x[..., : 4 * reg_max]  # (b, N, 64) model dtype
-    pred_scores_logits = x[..., 4 * reg_max :]  # (b, N, nc) model dtype
+    # production AMP step, fp32 in the parity tests) and the box/cls streams
+    # stay SEPARATE (split_maps) — no 144-wide concat + unaligned slices.
+    # Reductions/decodes accumulate fp32.
+    pred_dist_logits, pred_scores_logits = split_maps(raw_maps, reg_max)
 
     pred_dist = dfl_decode(pred_dist_logits, reg_max).astype(jnp.float32)  # (b, N, 4)
     pred_bboxes = dist2bbox(pred_dist, anchors, xywh=False)  # grid units xyxy
@@ -178,12 +178,12 @@ class SegmentationLossOut(NamedTuple):
 def _detection_core(raw_maps, targets, target_mask, strides, nc, reg_max, tal_topk=10):
     """Shared TAL + cls/box/dfl computation; returns the pieces the task
     losses compose (mirrors the duplicated block in every v8*Loss)."""
-    b = raw_maps[0].shape[0]
-    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    from ..nn.heads import map_shape, split_maps
+
+    b = map_shape(raw_maps[0])[0]
+    feat_shapes = [map_shape(m)[1:3] for m in raw_maps]
     anchors, stride_t = make_anchors(feat_shapes, strides)
-    x = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in raw_maps], axis=1)
-    pred_dist_logits = x[..., : 4 * reg_max]  # model dtype (see detection_loss)
-    pred_scores_logits = x[..., 4 * reg_max :]
+    pred_dist_logits, pred_scores_logits = split_maps(raw_maps, reg_max)
     pred_dist = dfl_decode(pred_dist_logits, reg_max).astype(jnp.float32)
     pred_bboxes = dist2bbox(pred_dist, anchors, xywh=False)
 
@@ -253,8 +253,10 @@ def segmentation_loss(
 
     # crop to the gt box in mask coords; normalize by box area (reference
     # single_mask_loss, utils/loss.py:354-377)
-    img_h = out["det"][0].shape[1] * strides[0]
-    img_w = out["det"][0].shape[2] * strides[0]
+    from ..nn.heads import map_shape
+
+    img_h = map_shape(out["det"][0])[1] * strides[0]
+    img_w = map_shape(out["det"][0])[2] * strides[0]
     sx, sy = wm / img_w, hm / img_h
     mx1, my1, mx2, my2 = (sel_boxes[..., 0] * sx, sel_boxes[..., 1] * sy,
                           sel_boxes[..., 2] * sx, sel_boxes[..., 3] * sy)
@@ -310,8 +312,10 @@ def pose_loss(
     pose_gain: float = 12.0,
     kobj_gain: float = 1.0,
 ) -> PoseLossOut:
+    from ..nn.heads import map_shape
+
     core = _detection_core(out["det"], batch["cls_boxes"], batch["mask"], strides, nc, reg_max)
-    b = out["det"][0].shape[0]
+    b = map_shape(out["det"][0])[0]
     nk, nd = kpt_shape
     kmaps = jnp.concatenate(
         [m.reshape(b, -1, m.shape[-1]) for m in out["kpts"]], axis=1
@@ -379,13 +383,13 @@ def obb_loss(
     from ..ops.anchors import dist2rbox
     from ..ops.boxes import probiou
 
+    from ..nn.heads import map_shape, split_maps
+
     raw_maps = out["det"]
-    b = raw_maps[0].shape[0]
-    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    b = map_shape(raw_maps[0])[0]
+    feat_shapes = [map_shape(m)[1:3] for m in raw_maps]
     anchors, stride_t = make_anchors(feat_shapes, strides)
-    x = jnp.concatenate([m.reshape(b, -1, m.shape[-1]) for m in raw_maps], axis=1)
-    pred_dist_logits = x[..., : 4 * reg_max]  # model dtype (see detection_loss)
-    pred_scores_logits = x[..., 4 * reg_max :]
+    pred_dist_logits, pred_scores_logits = split_maps(raw_maps, reg_max)
     angle_logits = jnp.concatenate(
         [m.reshape(b, -1, m.shape[-1]) for m in out["angle"]], axis=1
     ).astype(jnp.float32)

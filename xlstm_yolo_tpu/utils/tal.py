@@ -38,12 +38,9 @@ def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, ep
 def topk_positive_mask(candidate_metric: jnp.ndarray, k: int) -> jnp.ndarray:
     """Top-k-by-metric membership mask over the last axis, positives only.
 
-    Computed as a kth-value THRESHOLD; membership is then one comparison.
-    The kth value comes from a single-pass Pallas kernel on TPU (one HBM
-    read of the metric; kernels/topk_pallas.py) — the k-1 max+suppress XLA
-    passes it replaces cost one full HBM round trip each (8.1 of the 21.5 ms
-    assign at B128, tools/loss_profile.py). This replaces the reference
-    shape lax.top_k (a full sort on TPU) + scatter-add
+    Computed as a kth-value THRESHOLD: k-1 fused max+suppress passes find the
+    kth-largest metric per row; membership is then one comparison. This
+    replaces the reference shape lax.top_k (a full sort on TPU) + scatter-add
     one-hot, which together dominated the whole train step at B128
     (tools/train_step_profile.py: loss overhead 225 of 312 ms). Exact for
     distinct positive metrics; a positive tie at the kth value admits both
@@ -60,11 +57,18 @@ def topk_positive_mask(candidate_metric: jnp.ndarray, k: int) -> jnp.ndarray:
     in-GT restriction (candidate_metric arrives masked) while matching the
     reference's keep-alive behavior.
     """
-    from ..kernels.topk_pallas import rowwise_kth_value
-
-    shp = candidate_metric.shape
-    kth = rowwise_kth_value(candidate_metric.reshape(-1, shp[-1]), k)
-    kth = jnp.maximum(kth.reshape(*shp[:-1], 1), 0.0).astype(candidate_metric.dtype)
+    # k-1 max+suppress passes in plain XLA. An XProf device-lane trace
+    # (tools/xprof_step.py, round 5) showed XLA fuses this chain to ~2 ms at
+    # B128 while a hand-written single-HBM-pass Pallas kernel
+    # (kernels/topk_pallas.py, kept for the record) ran at 2-7 GB/s — 15 ms
+    # — because its in-VMEM lane-axis max iterations are VPU-serial. The
+    # earlier wall-clock timings that motivated the kernel were inflated by
+    # ~25 ms of axon relay readback latency per measurement.
+    v = candidate_metric
+    for _ in range(k - 1):
+        row_max = jnp.max(v, axis=-1, keepdims=True)
+        v = jnp.where(v >= row_max, -jnp.inf, v)
+    kth = jnp.maximum(jnp.max(v, axis=-1, keepdims=True), 0.0)
     return ((candidate_metric >= kth) & (candidate_metric > 0.0)).astype(candidate_metric.dtype)
 
 
