@@ -31,7 +31,13 @@ def test_forward_shapes(v8n):
     m, v = v8n
     x = jnp.zeros((2, 64, 64, 3))
     out = jax.jit(lambda v, x: m.raw_forward(v, x))(v, x)
-    assert [o.shape for o in out] == [(2, 8, 8, 144), (2, 4, 4, 144), (2, 2, 2, 144)]
+    # per-scale (box, cls) stream pairs (round 5: the head no longer
+    # concatenates — see nn/heads.py split_maps)
+    assert [(b.shape, c.shape) for b, c in out] == [
+        ((2, 8, 8, 64), (2, 8, 8, 80)),
+        ((2, 4, 4, 64), (2, 4, 4, 80)),
+        ((2, 2, 2, 64), (2, 2, 2, 80)),
+    ]
     pred = jax.jit(m.predictions)(v, x)
     assert pred.shape == (2, 84, 84)
     assert bool(jnp.isfinite(pred).all())

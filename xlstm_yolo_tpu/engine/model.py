@@ -170,6 +170,9 @@ class Model:
             out = fn(self.variables, jnp.asarray(img, jnp.float32)[None] / 255.0)
             det = out.get("det") if isinstance(out, dict) else out
             feats = det if isinstance(det, (list, tuple)) else [det]
+            # per-scale maps may be (box, cls) stream pairs (nn/heads.py
+            # split_maps) — pool every leaf
+            feats = jax.tree.leaves(feats)
             pooled = [np.asarray(jnp.mean(f, axis=(1, 2))) for f in feats]
             outs.append(np.concatenate([p.reshape(-1) for p in pooled]))
         return outs

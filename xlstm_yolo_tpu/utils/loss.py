@@ -327,7 +327,12 @@ def pose_loss(
     xy = (pk[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
 
     gt_k = batch["keypoints"].astype(jnp.float32)  # (B, M, nk, 3|2) pixels
-    sel_k = jnp.take_along_axis(gt_k, core["target_gt_idx"][..., None, None], axis=1)  # (B, N, nk, ·)
+    # one-hot MXU gather (TPU gather custom-calls run at single-digit GB/s
+    # — tools/xprof_step.py; the (B, N, nk, 3) output makes this the worst
+    # offender in the pose step): exact fp32 selection per anchor
+    oh_idx = jax.nn.one_hot(core["target_gt_idx"], gt_k.shape[1], dtype=jnp.float32)
+    sel_k = jnp.einsum("bam,bmkc->bakc", oh_idx, gt_k,
+                       preferred_element_type=jnp.float32)  # (B, N, nk, ·)
     vis = (sel_k[..., 2] > 0).astype(jnp.float32) if nd == 3 and gt_k.shape[-1] > 2 else jnp.ones(sel_k.shape[:-1])
 
     tb = core["target_bboxes"]  # pixels

@@ -184,8 +184,20 @@ def assign(
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps, n_max)
 
     # --- build targets ---------------------------------------------------------
-    target_labels = jnp.take_along_axis(gt_cls, target_gt_idx, axis=1)  # (b, n_anchors)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)
+    # per-anchor GT gathers as one-hot MXU contractions: XLA lowers
+    # take_along_axis to a gather custom-call that ran at 2-7 GB/s — 15.1 ms
+    # of the 118 ms step at B128 (tools/xprof_step.py round 5). One-hot rows
+    # are exact 0/1 selectors, n_max is tiny (32), so the contraction is
+    # exact and effectively free on the MXU.
+    # fp32 one-hot: the gathered PAYLOADS (pixel boxes, class ids) must not
+    # quantize to bf16 — fp32 selection is exact for both
+    oh_idx = jax.nn.one_hot(target_gt_idx, n_max, dtype=jnp.float32)
+    target_labels = jnp.einsum(
+        "bam,bm->ba", oh_idx, gt_cls.astype(jnp.float32),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    target_bboxes = jnp.einsum(
+        "bam,bmc->bac", oh_idx, gt_bboxes.astype(jnp.float32),
+        preferred_element_type=jnp.float32)
     target_scores = jax.nn.one_hot(target_labels, nc, dtype=dt)
     target_scores = target_scores * fg_mask[..., None].astype(dt)
 
@@ -283,8 +295,15 @@ def assign_rotated(
     mask_pos = mask_topk * mask_in_gts * mask_gt[..., None]
 
     target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps, n_max)
-    target_labels = jnp.take_along_axis(gt_cls, target_gt_idx, axis=1)
-    target_rboxes = jnp.take_along_axis(gt_rboxes, target_gt_idx[..., None], axis=1)
+    # one-hot MXU gathers (see assign): TPU gather custom-calls run at
+    # single-digit GB/s; fp32 one-hot selection is exact
+    oh_idx = jax.nn.one_hot(target_gt_idx, n_max, dtype=jnp.float32)
+    target_labels = jnp.einsum(
+        "bam,bm->ba", oh_idx, gt_cls.astype(jnp.float32),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    target_rboxes = jnp.einsum(
+        "bam,bmc->bac", oh_idx, gt_rboxes.astype(jnp.float32),
+        preferred_element_type=jnp.float32)
     target_scores = jax.nn.one_hot(target_labels, nc, dtype=jnp.float32)
     target_scores = target_scores * fg_mask[..., None].astype(jnp.float32)
 
