@@ -1144,12 +1144,18 @@ def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
                       wgi_ref, bgi_ref, wgf_ref, bgf_ref, nsc_ref, nbi_ref,
                       skip_ref, wd_ref, bd_ref, out_ref, *rest,
                       bb, nh, ns, cs, dh, inner, dim, igate_act, eps,
-                      norm_eps, rms_eps, mxu, save_h=False):
+                      norm_eps, rms_eps, mxu, save_h=False, save_acts=False):
     """ViLLayer forward minus the conv, on VMEM-resident values. With
     ``save_h`` the pre-outnorm cell output streams out as a second
     (transposed) plane — the training forward saves it so the backward
-    never re-runs the recurrence (see _vil_layer_bwd)."""
-    h_ref = rest[0] if save_h else None
+    never re-runs the recurrence. With ``save_acts`` the in-kernel q/k/v
+    (unscaled, kernel layout) and gate preacts also stream out, so the
+    hand-written backward (_vil_layer_bwd) never recomputes the projection
+    head either."""
+    if save_acts:
+        h_ref, q_sref, k_sref, v_sref, ip_sref, fp_sref = rest[:6]
+    else:
+        h_ref = rest[0] if save_h else None
     c_scr, n_scr, m_scr = rest[-3:]
     g = bb * nh
 
@@ -1216,8 +1222,9 @@ def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
                   + tn_dot(wgf[2 * inner:], vf_all) + bgf)
         cT_all = nt_dot(ident, cvf)
 
-        qt = jnp.stack([qf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
-                       ).reshape(g, dh, cs) * (dh**-0.5)
+        qt_un = jnp.stack([qf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
+                          ).reshape(g, dh, cs)
+        qt = qt_un * (dh**-0.5)
         kt = jnp.stack([kf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
                        ).reshape(g, dh, cs)
         vt = jnp.stack([vf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
@@ -1226,6 +1233,12 @@ def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
                           ).reshape(g, 1, cs)
         f_pre = jnp.stack([gf_all[:, bi * cs:(bi + 1) * cs] for bi in range(bb)]
                           ).reshape(g, 1, cs)
+        if save_acts:
+            q_sref[:, :, pl.ds(s0, cs)] = qt_un.astype(q_sref.dtype)
+            k_sref[:, :, pl.ds(s0, cs)] = kt.astype(k_sref.dtype)
+            v_sref[:, :, pl.ds(s0, cs)] = vt.astype(v_sref.dtype)
+            ip_sref[:, :, pl.ds(s0, cs)] = i_pre
+            fp_sref[:, :, pl.ds(s0, cs)] = f_pre
 
         hT, c_new, n_new, m_new = _chunk_math(
             qt, kt, vt, i_pre, f_pre, c_scr[:], n_scr[:], m_scr[:],
@@ -1234,7 +1247,7 @@ def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
         c_scr[:] = c_new
         n_scr[:] = n_new
         m_scr[:] = m_new
-        if save_h:
+        if save_h or save_acts:
             h_ref[:, :, pl.ds(s0, cs)] = hT.astype(h_ref.dtype)
 
         mu = jnp.mean(hT, axis=1, keepdims=True)
@@ -1267,7 +1280,8 @@ def _kernel_vil_layer(x_ref, conv_ref, nrm_ref, wum_ref, bum_ref, wuzt_ref,
 
 
 def _pick_layout_layer(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
-                       dim: int, in_bytes: int, save_h: bool = False) -> tuple:
+                       dim: int, in_bytes: int, save_h: bool = False,
+                       save_acts: bool = False) -> tuple:
     """(BB, NSEG) for the layer-fused kernel: streams 1 INNER-wide + 2
     DIM-wide natural planes only (+1 transposed INNER h plane out when
     ``save_h``). Budget calibrated on-chip: P3 (16, 25) models at 15.4M and
@@ -1288,7 +1302,9 @@ def _pick_layout_layer(b: int, nh: int, s: int, cs: int, dh: int, inner: int,
             if ns % nseg:
                 continue
             seg = s // nseg
-            stream = 2 * bb * seg * ((1 + save_h) * inner + 2 * dim) * in_bytes
+            stream = (2 * bb * seg * ((1 + save_h + 3 * save_acts) * inner
+                                      + 2 * dim) * in_bytes
+                      + (4 * bb * nh * seg * 4 if save_acts else 0))
             if stream + temps + w_bytes <= budget:
                 return (bb, nseg)
         nb = bb - 1
@@ -1302,7 +1318,7 @@ def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
                     wv_bd, bq, bk, bv, wgi, bgi, wgf, bgf, nsc, nbi, skip,
                     wd, bd, nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
                     interpret=False, mxu_dtype="bfloat16", layout=None,
-                    save_h=False):
+                    save_h=False, save_acts=False):
     B, S, DIM = x.shape
     INNER = conv_act.shape[-1]
     dh = INNER // nh
@@ -1310,7 +1326,8 @@ def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
     assert S % CS == 0
     BB, NSEG = layout or _pick_layout_layer(B, nh, S, CS, dh, INNER, DIM,
                                             conv_act.dtype.itemsize,
-                                            save_h=save_h)
+                                            save_h=save_h,
+                                            save_acts=save_acts)
     SEG = S // NSEG
     G = BB * nh
     mxu = jnp.bfloat16 if mxu_dtype == "bfloat16" else jnp.float32
@@ -1318,7 +1335,17 @@ def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
     x_spec = pl.BlockSpec((BB, SEG, DIM), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
     cv_spec = pl.BlockSpec((BB, SEG, INNER), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
     row = lambda r, c: pl.BlockSpec((r, c), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
-    if save_h:
+    if save_acts:
+        h_spec = pl.BlockSpec((G, dh, SEG), lambda b, t: (b, 0, t),
+                              memory_space=pltpu.VMEM)
+        g_spec = pl.BlockSpec((G, 1, SEG), lambda b, t: (b, 0, t),
+                              memory_space=pltpu.VMEM)
+        plane = jax.ShapeDtypeStruct((B * nh, dh, S), conv_act.dtype)
+        gate = jax.ShapeDtypeStruct((B * nh, 1, S), jnp.float32)
+        out_specs = [x_spec, h_spec, h_spec, h_spec, h_spec, g_spec, g_spec]
+        out_shape = [jax.ShapeDtypeStruct((B, S, DIM), x.dtype),
+                     plane, plane, plane, plane, gate, gate]
+    elif save_h:
         h_spec = pl.BlockSpec((G, dh, SEG), lambda b, t: (b, 0, t),
                               memory_space=pltpu.VMEM)
         out_specs = [x_spec, h_spec]
@@ -1332,7 +1359,8 @@ def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
         functools.partial(_kernel_vil_layer, bb=BB, nh=nh, ns=SEG // CS,
                           cs=CS, dh=dh, inner=INNER, dim=DIM,
                           igate_act=igate_act, eps=eps, norm_eps=norm_eps,
-                          rms_eps=rms_eps, mxu=mxu, save_h=save_h),
+                          rms_eps=rms_eps, mxu=mxu, save_h=save_h,
+                          save_acts=save_acts),
         grid=(B // BB, NSEG),
         in_specs=[x_spec, cv_spec, row(1, DIM), row(DIM, INNER), row(1, INNER),
                   row(INNER, DIM), row(INNER, 1), row(INNER, INNER),
@@ -1353,8 +1381,8 @@ def _vil_layer_impl(x, conv_act, nrm, wum, bum, wuzt, buz, wq_bd, wk_bd,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * S * (7 * INNER * INNER + 3 * INNER * DIM
                                + nh * (2 * CS * dh + 2 * dh * dh)),
-            bytes_accessed=B * S * ((1 + save_h) * INNER + 2 * DIM)
-            * conv_act.dtype.itemsize,
+            bytes_accessed=B * S * ((1 + save_h + 3 * save_acts) * INNER
+                                    + 2 * DIM) * conv_act.dtype.itemsize,
             transcendentals=B * nh * S * (CS + 4),
         ),
         interpret=interpret,
@@ -1381,7 +1409,7 @@ def _vil_layer_composite(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv,
 def _vil_layer_call(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi,
                     bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size,
                     igate_act, eps, norm_eps, rms_eps, interpret, mxu_dtype,
-                    save_h=False):
+                    save_h=False, save_acts=False):
     """Shared prep (block-diag weights, kernel-layout reshapes/casts) +
     impl call for the primal and the residual-saving fwd."""
     import jax.scipy.linalg as jsl
@@ -1404,7 +1432,7 @@ def _vil_layer_call(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi,
         skip.reshape(inner, 1).astype(jnp.float32),
         wd.astype(dt), bd.reshape(1, dim).astype(jnp.float32),
         nh, chunk_size, igate_act, eps, norm_eps, rms_eps, interpret,
-        mxu_dtype, save_h=save_h)
+        mxu_dtype, save_h=save_h, save_acts=save_acts)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(20, 21, 22, 23, 24, 25, 26, 27))
@@ -1420,87 +1448,151 @@ def _vil_layer(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
 def _vil_layer_fwd(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
                    wgf, bgf, nsc, nbi, skip, wd, bd, nh, chunk_size, igate_act,
                    eps, norm_eps, rms_eps, interpret, mxu_dtype):
-    out, h = _vil_layer_call(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv,
-                             wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh,
-                             chunk_size, igate_act, eps, norm_eps, rms_eps,
-                             interpret, mxu_dtype, save_h=True)
+    out, h, qt, kt, vt, ip, fp = _vil_layer_call(
+        x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv,
+        wgi, bgi, wgf, bgf, nsc, nbi, skip, wd, bd, nh,
+        chunk_size, igate_act, eps, norm_eps, rms_eps,
+        interpret, mxu_dtype, save_acts=True)
     return out, (x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
-                 wgf, bgf, nsc, nbi, skip, wd, bd, h)
+                 wgf, bgf, nsc, nbi, skip, wd, bd, h, qt, kt, vt, ip, fp)
 
 
 def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
                    interpret, mxu_dtype, res, gout):
-    """Hand-split backward: the forward kernel saved the cell output h, so
-    the recurrence is NEVER re-run here (the old composite-recompute VJP
-    paid a full cell forward — ~40% of the backward at ViL-P3/b128). The
-    projection head and the outnorm/gate/proj_down tail recompute as plain
-    XLA (GEMM-bound, cheap), and the cell gradient hops straight onto the
-    layout-native reverse-streaming kernel."""
+    """Hand-written backward on KERNEL-SAVED activations — zero forward
+    recompute of the projection head or the recurrence.
+
+    The forward kernel streams out h (pre-outnorm cell output), unscaled
+    q/k/v in its own transposed (B*nh, dh, S) layout, and the gate preacts
+    (save_acts). Round-4's hand-split backward re-ran the whole projection
+    head under jax.vjp to regenerate exactly these tensors: at B128/ViL the
+    recompute GEMMs + their transposed-output relayout copies were ~97 ms of
+    the 215 ms step (tools/xprof_step.py round 5). Here the backward is the
+    minimal set of gradient contractions: tail gradients in plain XLA, the
+    cell gradient on the reverse-streaming Pallas kernel, and per-weight
+    einsums that consume the saved kernel-layout planes directly.
+
+    Gradient conventions match the reference Triton backward (frozen
+    stabilizer, see kernels/mlstm_bwd.py); equations mirror the fused
+    forward exactly (tests/test_pallas.py pins fp32-MXU grads to autodiff
+    of the composite at 2e-4).
+    """
     (x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi, wgf, bgf,
-     nsc, nbi, skip, wd, bd, h) = res
+     nsc, nbi, skip, wd, bd, h, qt, kt, vt, ip, fp) = res
     B, S, DIM = x.shape
     INNER = conv_act.shape[-1]
     dh = INNER // nh
+    f32 = jnp.float32
 
-    def head(x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
-             wgf, bgf):
-        # mirrors _vil_layer_composite's pre-cell math exactly
-        xf = x.astype(jnp.float32)
-        xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
-                                + rms_eps)
-        xn = (xn * nrm.astype(jnp.float32)).astype(x.dtype)
-        y = jnp.dot(xn, wu.astype(x.dtype)) + bu.astype(x.dtype)
-        x_mlstm, z = jnp.split(y, 2, axis=-1)
-        dt = conv_act.dtype
-        xs = conv_act.reshape(B, S, nh, dh)
-        xms = x_mlstm.reshape(B, S, nh, dh)
-        q_t = jnp.einsum("bsnd,nod->bnos", xs, wq.astype(dt)) + bq.astype(dt).reshape(nh, dh, 1)
-        k_t = jnp.einsum("bsnd,nod->bnos", xs, wk.astype(dt)) + bk.astype(dt).reshape(nh, dh, 1)
-        v_t = jnp.einsum("bsnd,nod->bnos", xms, wv.astype(dt)) + bv.astype(dt).reshape(nh, dh, 1)
-        rs = lambda wm: wm.reshape(nh, dh, nh).astype(dt)
-        i_pre = (jnp.einsum("bnos,noh->bhs", q_t, rs(wgi[:INNER]), preferred_element_type=jnp.float32)
-                 + jnp.einsum("bnos,noh->bhs", k_t, rs(wgi[INNER:2 * INNER]), preferred_element_type=jnp.float32)
-                 + jnp.einsum("bnos,noh->bhs", v_t, rs(wgi[2 * INNER:]), preferred_element_type=jnp.float32)
-                 + bgi.astype(jnp.float32).reshape(1, nh, 1))
-        f_pre = (jnp.einsum("bnos,noh->bhs", q_t, rs(wgf[:INNER]), preferred_element_type=jnp.float32)
-                 + jnp.einsum("bnos,noh->bhs", k_t, rs(wgf[INNER:2 * INNER]), preferred_element_type=jnp.float32)
-                 + jnp.einsum("bnos,noh->bhs", v_t, rs(wgf[2 * INNER:]), preferred_element_type=jnp.float32)
-                 + bgf.astype(jnp.float32).reshape(1, nh, 1))
-        return q_t, k_t, v_t, i_pre, f_pre, z
+    # ---- cheap natural-layout recompute: RMSNorm + proj_up (1 GEMM) ------
+    xf = x.astype(f32)
+    inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + rms_eps)
+    xhat = xf * inv
+    xn = (xhat * nrm.astype(f32)).astype(x.dtype)
+    y = jnp.dot(xn, wu.astype(x.dtype)) + bu.astype(x.dtype)
+    x_mlstm, z = jnp.split(y, 2, axis=-1)
 
-    (q_t, k_t, v_t, i_pre, f_pre, z), head_vjp = jax.vjp(
-        head, x, conv_act, nrm, wu, bu, wq, wk, wv, bq, bk, bv, wgi, bgi,
-        wgf, bgf)
+    # ---- tail forward pieces + tail backward -----------------------------
+    dt = conv_act.dtype
+    h4 = h.reshape(B, nh, dh, S).astype(f32)
+    mu = jnp.mean(h4, axis=2, keepdims=True)
+    var = jnp.var(h4, axis=2, keepdims=True)
+    denom = jax.lax.rsqrt(var + norm_eps)
+    hnorm = (h4 - mu) * denom  # (B, nh, dh, S)
+    hn_nat = ((hnorm * nsc.reshape(1, nh, dh, 1) + nbi.reshape(1, nh, dh, 1))
+              .astype(dt).transpose(0, 3, 1, 2).reshape(B, S, INNER))
 
-    def tail(h, z, conv_act, x_res, nsc, nbi, skip, wd, bd):
-        # mirrors _vil_block_composite's post-cell math exactly
-        hf = h.reshape(B, nh, dh, S).astype(jnp.float32)
-        mu = jnp.mean(hf, axis=2, keepdims=True)
-        var = jnp.var(hf, axis=2, keepdims=True)
-        hn = (hf - mu) * jax.lax.rsqrt(var + norm_eps)
-        hn = hn * nsc.reshape(1, nh, dh, 1) + nbi.reshape(1, nh, dh, 1)
-        hn = hn.astype(conv_act.dtype).transpose(0, 3, 1, 2).reshape(B, S, INNER)
-        y = (hn + skip.astype(hn.dtype) * conv_act) * jax.nn.silu(z)
-        out = jnp.dot(y, wd.astype(y.dtype), preferred_element_type=jnp.float32)
-        out = (out + bd.astype(jnp.float32)).astype(conv_act.dtype)
-        return out + x_res
+    zf = z.astype(f32)
+    sig_z = jax.nn.sigmoid(zf)
+    sg = (zf * sig_z)  # silu(z), fp32
+    ypre = hn_nat.astype(f32) + skip.astype(f32) * conv_act.astype(f32)
+    yv = (ypre * sg).astype(dt)
 
-    _, tail_vjp = jax.vjp(tail, h, z, conv_act, x, nsc, nbi, skip, wd, bd)
-    dht, dz, dconv_tail, dx_res, dnsc, dnbi, dskip, dwd, dbd = tail_vjp(gout)
+    g32 = gout.astype(f32)
+    dbd = jnp.sum(g32, axis=(0, 1))
+    dwd = jnp.einsum("bsi,bsd->id", yv.astype(f32), g32)
+    dy = jnp.einsum("bsd,id->bsi", g32, wd.astype(f32))
+    dz = (dy * ypre * (sig_z * (1.0 + zf * (1.0 - sig_z)))).astype(f32)
+    dypre = dy * sg
+    dconv_tail = dypre * skip.astype(f32)
+    dskip = jnp.sum(dypre * conv_act.astype(f32), axis=(0, 1))
 
+    # outnorm backward over dh (needs the transposed layout the cell wants)
+    dhn4 = dypre.reshape(B, S, nh, dh).transpose(0, 2, 3, 1)  # (B, nh, dh, S)
+    dnsc = jnp.sum(dhn4 * hnorm, axis=(0, 3)).reshape(INNER)
+    dnbi = jnp.sum(dhn4, axis=(0, 3)).reshape(INNER)
+    dhnorm = dhn4 * nsc.reshape(1, nh, dh, 1).astype(f32)
+    dh4 = denom * (dhnorm - jnp.mean(dhnorm, axis=2, keepdims=True)
+                   - hnorm * jnp.mean(dhnorm * hnorm, axis=2, keepdims=True))
+    dht = dh4.reshape(B * nh, dh, S)
+
+    # ---- cell backward on the saved kernel-layout planes -----------------
     from .mlstm_pallas_bwd import mlstm_chunkwise_pallas_bwd_t
 
-    dq_t, dk_t, dv_t, di, df = mlstm_chunkwise_pallas_bwd_t(
-        q_t, k_t, v_t, i_pre, f_pre, dht.reshape(B, nh, dh, S),
+    sh4 = (B, nh, dh, S)
+    dq_c, dk_c, dv_c, di, df = mlstm_chunkwise_pallas_bwd_t(
+        qt.reshape(sh4), kt.reshape(sh4), vt.reshape(sh4),
+        ip.reshape(B, nh, S), fp.reshape(B, nh, S), dht.reshape(sh4),
         chunk_size=chunk_size, igate_act=igate_act, eps=eps,
         interpret=interpret, mxu_dtype=mxu_dtype)
 
-    (dx_h, dconv_head, dnrm, dwu, dbu, dwq, dwk, dwv, dbq, dbk, dbv,
-     dwgi, dbgi, dwgf, dbgf) = head_vjp((dq_t, dk_t, dv_t, di, df, dz))
+    # ---- gate backward: i/f preacts are linear in q/k/v ------------------
+    rsW = lambda wm: wm.reshape(nh, dh, nh).astype(f32)
+    di32 = di.astype(f32)  # (B, nh, S)
+    df32 = df.astype(f32)
+    dq_t = (dq_c.astype(f32) + jnp.einsum("noh,bhs->bnos", rsW(wgi[:INNER]), di32)
+            + jnp.einsum("noh,bhs->bnos", rsW(wgf[:INNER]), df32))
+    dk_t = (dk_c.astype(f32)
+            + jnp.einsum("noh,bhs->bnos", rsW(wgi[INNER:2 * INNER]), di32)
+            + jnp.einsum("noh,bhs->bnos", rsW(wgf[INNER:2 * INNER]), df32))
+    dv_t = (dv_c.astype(f32)
+            + jnp.einsum("noh,bhs->bnos", rsW(wgi[2 * INNER:]), di32)
+            + jnp.einsum("noh,bhs->bnos", rsW(wgf[2 * INNER:]), df32))
+    q4 = qt.reshape(sh4).astype(f32)
+    k4 = kt.reshape(sh4).astype(f32)
+    v4 = vt.reshape(sh4).astype(f32)
+    dbgi = jnp.sum(di32, axis=(0, 2))
+    dbgf = jnp.sum(df32, axis=(0, 2))
+    dwgi = jnp.concatenate([
+        jnp.einsum("bnos,bhs->noh", t, di32).reshape(INNER, nh)
+        for t in (q4, k4, v4)], axis=0)
+    dwgf = jnp.concatenate([
+        jnp.einsum("bnos,bhs->noh", t, df32).reshape(INNER, nh)
+        for t in (q4, k4, v4)], axis=0)
 
-    return (dx_h + dx_res, dconv_head + dconv_tail, dnrm, dwu, dbu, dwq, dwk,
-            dwv, dbq, dbk, dbv, dwgi, dbgi, dwgf, dbgf, dnsc, dnbi, dskip,
-            dwd, dbd)
+    # ---- projection backward ---------------------------------------------
+    xs = conv_act.reshape(B, S, nh, dh).astype(f32)
+    xms = x_mlstm.reshape(B, S, nh, dh).astype(f32)
+    dwq = jnp.einsum("bnos,bsnd->nod", dq_t, xs)
+    dwk = jnp.einsum("bnos,bsnd->nod", dk_t, xs)
+    dwv = jnp.einsum("bnos,bsnd->nod", dv_t, xms)
+    dbq = jnp.sum(dq_t, axis=(0, 3)).reshape(INNER)
+    dbk = jnp.sum(dk_t, axis=(0, 3)).reshape(INNER)
+    dbv = jnp.sum(dv_t, axis=(0, 3)).reshape(INNER)
+    dconv_head = (jnp.einsum("bnos,nod->bsnd", dq_t, wq.astype(f32))
+                  + jnp.einsum("bnos,nod->bsnd", dk_t, wk.astype(f32))
+                  ).reshape(B, S, INNER)
+    dxm = jnp.einsum("bnos,nod->bsnd", dv_t, wv.astype(f32)).reshape(B, S, INNER)
+
+    # ---- proj_up + RMSNorm backward --------------------------------------
+    dy2 = jnp.concatenate([dxm, dz], axis=-1)  # (B, S, 2*INNER) fp32
+    dwu = jnp.einsum("bsd,bse->de", xn.astype(f32), dy2)
+    dbu = jnp.sum(dy2, axis=(0, 1))
+    dxn = jnp.einsum("bse,de->bsd", dy2, wu.astype(f32))
+    dnrm = jnp.sum(dxn * xhat, axis=(0, 1))
+    dxhat = dxn * nrm.astype(f32)
+    dxf = inv * (dxhat - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    dx = dxf + g32  # in-kernel residual: out = tail + x
+
+    dconv = (dconv_head + dconv_tail).astype(conv_act.dtype)
+    return (dx.astype(x.dtype), dconv, dnrm.astype(nrm.dtype),
+            dwu.astype(wu.dtype), dbu.astype(bu.dtype), dwq.astype(wq.dtype),
+            dwk.astype(wk.dtype), dwv.astype(wv.dtype), dbq.astype(bq.dtype),
+            dbk.astype(bk.dtype), dbv.astype(bv.dtype), dwgi.astype(wgi.dtype),
+            dbgi.astype(bgi.dtype), dwgf.astype(wgf.dtype),
+            dbgf.astype(bgf.dtype), dnsc.astype(nsc.dtype),
+            dnbi.astype(nbi.dtype), dskip.astype(skip.dtype),
+            dwd.astype(wd.dtype), dbd.astype(bd.dtype))
 
 
 _vil_layer.defvjp(_vil_layer_fwd, _vil_layer_bwd)

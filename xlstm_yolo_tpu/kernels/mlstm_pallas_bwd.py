@@ -285,9 +285,9 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, dh_ref, ct_ref, np_ref, sc_ref,
                                    if igate_act == "sigmoid" else 1.0))
             df_out.append(dlogf * jax.nn.sigmoid(-f_pre[gi]))
 
-        dq_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dq_out)
-        dk_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dk_out)
-        dv_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dv_out)
+        dq_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dq_out).astype(dq_ref.dtype)
+        dk_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dk_out).astype(dk_ref.dtype)
+        dv_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dv_out).astype(dv_ref.dtype)
         di_ref[:, :, pl.ds(s0, cs)] = jnp.stack(di_out)
         df_ref[:, :, pl.ds(s0, cs)] = jnp.stack(df_out)
         return 0
@@ -374,9 +374,9 @@ def mlstm_chunkwise_pallas_bwd(
                   ct_spec, np_spec, sc_spec],
         out_specs=[qkv_spec, qkv_spec, qkv_spec, gate_spec, gate_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
-            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
-            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BNH, DH, S), q.dtype),
+            jax.ShapeDtypeStruct((BNH, DH, S), k.dtype),
+            jax.ShapeDtypeStruct((BNH, DH, S), v.dtype),
             jax.ShapeDtypeStruct((BNH, 1, S), jnp.float32),
             jax.ShapeDtypeStruct((BNH, 1, S), jnp.float32),
         ],
@@ -450,9 +450,9 @@ def mlstm_chunkwise_pallas_bwd_t(
                   ct_spec, np_spec, sc_spec],
         out_specs=[qkv_spec, qkv_spec, qkv_spec, gate_spec, gate_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
-            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
-            jax.ShapeDtypeStruct((BNH, DH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BNH, DH, S), q_t.dtype),
+            jax.ShapeDtypeStruct((BNH, DH, S), k_t.dtype),
+            jax.ShapeDtypeStruct((BNH, DH, S), v_t.dtype),
             jax.ShapeDtypeStruct((BNH, 1, S), jnp.float32),
             jax.ShapeDtypeStruct((BNH, 1, S), jnp.float32),
         ],
