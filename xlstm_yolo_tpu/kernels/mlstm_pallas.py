@@ -1465,12 +1465,14 @@ def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
     The forward kernel streams out h (pre-outnorm cell output), unscaled
     q/k/v in its own transposed (B*nh, dh, S) layout, and the gate preacts
     (save_acts). Round-4's hand-split backward re-ran the whole projection
-    head under jax.vjp to regenerate exactly these tensors: at B128/ViL the
-    recompute GEMMs + their transposed-output relayout copies were ~97 ms of
-    the 215 ms step (tools/xprof_step.py round 5). Here the backward is the
-    minimal set of gradient contractions: tail gradients in plain XLA, the
-    cell gradient on the reverse-streaming Pallas kernel, and per-weight
-    einsums that consume the saved kernel-layout planes directly.
+    head under jax.vjp to regenerate exactly these tensors. Here the
+    backward is the minimal set of gradient contractions: tail gradients in
+    plain XLA, the cell gradient on the reverse-streaming Pallas kernel,
+    and per-weight einsums that consume the saved kernel-layout planes
+    directly. Every big GEMM runs with operands in the primal compute dtype
+    (bf16 under AMP — fp32 dots are ~8x slower on the MXU and 2x the
+    bytes; the first cut of this function learned that the hard way) and
+    fp32 accumulation.
 
     Gradient conventions match the reference Triton backward (frozen
     stabilizer, see kernels/mlstm_bwd.py); equations mirror the fused
@@ -1483,6 +1485,8 @@ def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
     INNER = conv_act.shape[-1]
     dh = INNER // nh
     f32 = jnp.float32
+    cd = conv_act.dtype  # compute dtype for GEMM operands (bf16 under AMP)
+    PF = dict(preferred_element_type=f32)
 
     # ---- cheap natural-layout recompute: RMSNorm + proj_up (1 GEMM) ------
     xf = x.astype(f32)
@@ -1493,32 +1497,32 @@ def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
     x_mlstm, z = jnp.split(y, 2, axis=-1)
 
     # ---- tail forward pieces + tail backward -----------------------------
-    dt = conv_act.dtype
     h4 = h.reshape(B, nh, dh, S).astype(f32)
     mu = jnp.mean(h4, axis=2, keepdims=True)
     var = jnp.var(h4, axis=2, keepdims=True)
     denom = jax.lax.rsqrt(var + norm_eps)
-    hnorm = (h4 - mu) * denom  # (B, nh, dh, S)
+    hnorm = (h4 - mu) * denom  # (B, nh, dh, S) fp32
     hn_nat = ((hnorm * nsc.reshape(1, nh, dh, 1) + nbi.reshape(1, nh, dh, 1))
-              .astype(dt).transpose(0, 3, 1, 2).reshape(B, S, INNER))
+              .astype(cd).transpose(0, 3, 1, 2).reshape(B, S, INNER))
 
     zf = z.astype(f32)
     sig_z = jax.nn.sigmoid(zf)
-    sg = (zf * sig_z)  # silu(z), fp32
+    sg = zf * sig_z  # silu(z)
     ypre = hn_nat.astype(f32) + skip.astype(f32) * conv_act.astype(f32)
-    yv = (ypre * sg).astype(dt)
+    yv = (ypre * sg).astype(cd)
 
     g32 = gout.astype(f32)
     dbd = jnp.sum(g32, axis=(0, 1))
-    dwd = jnp.einsum("bsi,bsd->id", yv.astype(f32), g32)
-    dy = jnp.einsum("bsd,id->bsi", g32, wd.astype(f32))
-    dz = (dy * ypre * (sig_z * (1.0 + zf * (1.0 - sig_z)))).astype(f32)
+    dwd = jnp.einsum("bsi,bsd->id", yv, gout.astype(cd), **PF)
+    dy = jnp.einsum("bsd,id->bsi", gout.astype(cd), wd.astype(cd), **PF)
+    dz = dy * ypre * (sig_z * (1.0 + zf * (1.0 - sig_z)))
     dypre = dy * sg
     dconv_tail = dypre * skip.astype(f32)
     dskip = jnp.sum(dypre * conv_act.astype(f32), axis=(0, 1))
 
-    # outnorm backward over dh (needs the transposed layout the cell wants)
-    dhn4 = dypre.reshape(B, S, nh, dh).transpose(0, 2, 3, 1)  # (B, nh, dh, S)
+    # outnorm backward over dh (transposed layout, as the cell wants)
+    dhn4 = dypre.astype(cd).reshape(B, S, nh, dh).transpose(0, 2, 3, 1)
+    dhn4 = dhn4.astype(f32)  # (B, nh, dh, S)
     dnsc = jnp.sum(dhn4 * hnorm, axis=(0, 3)).reshape(INNER)
     dnbi = jnp.sum(dhn4, axis=(0, 3)).reshape(INNER)
     dhnorm = dhn4 * nsc.reshape(1, nh, dh, 1).astype(f32)
@@ -1537,48 +1541,49 @@ def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
         interpret=interpret, mxu_dtype=mxu_dtype)
 
     # ---- gate backward: i/f preacts are linear in q/k/v ------------------
-    rsW = lambda wm: wm.reshape(nh, dh, nh).astype(f32)
-    di32 = di.astype(f32)  # (B, nh, S)
-    df32 = df.astype(f32)
-    dq_t = (dq_c.astype(f32) + jnp.einsum("noh,bhs->bnos", rsW(wgi[:INNER]), di32)
-            + jnp.einsum("noh,bhs->bnos", rsW(wgf[:INNER]), df32))
+    rsW = lambda wm: wm.reshape(nh, dh, nh).astype(cd)
+    dic = di.astype(cd)  # (B, nh, S)
+    dfc = df.astype(cd)
+    def gate_grad(w_i, w_f):
+        return (jnp.einsum("noh,bhs->bnos", rsW(w_i), dic, **PF)
+                + jnp.einsum("noh,bhs->bnos", rsW(w_f), dfc, **PF))
+    dq_t = (dq_c.astype(f32) + gate_grad(wgi[:INNER], wgf[:INNER])).astype(cd)
     dk_t = (dk_c.astype(f32)
-            + jnp.einsum("noh,bhs->bnos", rsW(wgi[INNER:2 * INNER]), di32)
-            + jnp.einsum("noh,bhs->bnos", rsW(wgf[INNER:2 * INNER]), df32))
+            + gate_grad(wgi[INNER:2 * INNER], wgf[INNER:2 * INNER])).astype(cd)
     dv_t = (dv_c.astype(f32)
-            + jnp.einsum("noh,bhs->bnos", rsW(wgi[2 * INNER:]), di32)
-            + jnp.einsum("noh,bhs->bnos", rsW(wgf[2 * INNER:]), df32))
-    q4 = qt.reshape(sh4).astype(f32)
-    k4 = kt.reshape(sh4).astype(f32)
-    v4 = vt.reshape(sh4).astype(f32)
-    dbgi = jnp.sum(di32, axis=(0, 2))
-    dbgf = jnp.sum(df32, axis=(0, 2))
+            + gate_grad(wgi[2 * INNER:], wgf[2 * INNER:])).astype(cd)
+    q4 = qt.reshape(sh4)
+    k4 = kt.reshape(sh4)
+    v4 = vt.reshape(sh4)
+    dbgi = jnp.sum(di.astype(f32), axis=(0, 2))
+    dbgf = jnp.sum(df.astype(f32), axis=(0, 2))
     dwgi = jnp.concatenate([
-        jnp.einsum("bnos,bhs->noh", t, di32).reshape(INNER, nh)
+        jnp.einsum("bnos,bhs->noh", t, dic, **PF).reshape(INNER, nh)
         for t in (q4, k4, v4)], axis=0)
     dwgf = jnp.concatenate([
-        jnp.einsum("bnos,bhs->noh", t, df32).reshape(INNER, nh)
+        jnp.einsum("bnos,bhs->noh", t, dfc, **PF).reshape(INNER, nh)
         for t in (q4, k4, v4)], axis=0)
 
     # ---- projection backward ---------------------------------------------
-    xs = conv_act.reshape(B, S, nh, dh).astype(f32)
-    xms = x_mlstm.reshape(B, S, nh, dh).astype(f32)
-    dwq = jnp.einsum("bnos,bsnd->nod", dq_t, xs)
-    dwk = jnp.einsum("bnos,bsnd->nod", dk_t, xs)
-    dwv = jnp.einsum("bnos,bsnd->nod", dv_t, xms)
-    dbq = jnp.sum(dq_t, axis=(0, 3)).reshape(INNER)
-    dbk = jnp.sum(dk_t, axis=(0, 3)).reshape(INNER)
-    dbv = jnp.sum(dv_t, axis=(0, 3)).reshape(INNER)
-    dconv_head = (jnp.einsum("bnos,nod->bsnd", dq_t, wq.astype(f32))
-                  + jnp.einsum("bnos,nod->bsnd", dk_t, wk.astype(f32))
+    xs = conv_act.reshape(B, S, nh, dh)
+    xms = x_mlstm.astype(cd).reshape(B, S, nh, dh)
+    dwq = jnp.einsum("bnos,bsnd->nod", dq_t, xs, **PF)
+    dwk = jnp.einsum("bnos,bsnd->nod", dk_t, xs, **PF)
+    dwv = jnp.einsum("bnos,bsnd->nod", dv_t, xms, **PF)
+    dbq = jnp.sum(dq_t.astype(f32), axis=(0, 3)).reshape(INNER)
+    dbk = jnp.sum(dk_t.astype(f32), axis=(0, 3)).reshape(INNER)
+    dbv = jnp.sum(dv_t.astype(f32), axis=(0, 3)).reshape(INNER)
+    dconv_head = (jnp.einsum("bnos,nod->bsnd", dq_t, wq.astype(cd), **PF)
+                  + jnp.einsum("bnos,nod->bsnd", dk_t, wk.astype(cd), **PF)
                   ).reshape(B, S, INNER)
-    dxm = jnp.einsum("bnos,nod->bsnd", dv_t, wv.astype(f32)).reshape(B, S, INNER)
+    dxm = jnp.einsum("bnos,nod->bsnd", dv_t, wv.astype(cd),
+                     **PF).reshape(B, S, INNER)
 
     # ---- proj_up + RMSNorm backward --------------------------------------
-    dy2 = jnp.concatenate([dxm, dz], axis=-1)  # (B, S, 2*INNER) fp32
-    dwu = jnp.einsum("bsd,bse->de", xn.astype(f32), dy2)
-    dbu = jnp.sum(dy2, axis=(0, 1))
-    dxn = jnp.einsum("bse,de->bsd", dy2, wu.astype(f32))
+    dy2 = jnp.concatenate([dxm, dz], axis=-1).astype(cd)  # (B, S, 2*INNER)
+    dwu = jnp.einsum("bsd,bse->de", xn, dy2, **PF)
+    dbu = jnp.sum(dy2.astype(f32), axis=(0, 1))
+    dxn = jnp.einsum("bse,de->bsd", dy2, wu.astype(cd), **PF)
     dnrm = jnp.sum(dxn * xhat, axis=(0, 1))
     dxhat = dxn * nrm.astype(f32)
     dxf = inv * (dxhat - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
