@@ -1545,13 +1545,14 @@ def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
     dic = di.astype(cd)  # (B, nh, S)
     dfc = df.astype(cd)
     def gate_grad(w_i, w_f):
-        return (jnp.einsum("noh,bhs->bnos", rsW(w_i), dic, **PF)
-                + jnp.einsum("noh,bhs->bnos", rsW(w_f), dfc, **PF))
-    dq_t = (dq_c.astype(f32) + gate_grad(wgi[:INNER], wgf[:INNER])).astype(cd)
-    dk_t = (dk_c.astype(f32)
-            + gate_grad(wgi[INNER:2 * INNER], wgf[INNER:2 * INNER])).astype(cd)
-    dv_t = (dv_c.astype(f32)
-            + gate_grad(wgi[2 * INNER:], wgf[2 * INNER:])).astype(cd)
+        # bf16 outputs: the cast fuses into the einsum epilogue, the sum
+        # with the (already-bf16) cell grads then never materializes fp32
+        return (jnp.einsum("noh,bhs->bnos", rsW(w_i), dic, **PF).astype(cd)
+                + jnp.einsum("noh,bhs->bnos", rsW(w_f), dfc, **PF).astype(cd))
+    dq_t = dq_c.astype(cd) + gate_grad(wgi[:INNER], wgf[:INNER])
+    dk_t = dk_c.astype(cd) + gate_grad(wgi[INNER:2 * INNER],
+                                       wgf[INNER:2 * INNER])
+    dv_t = dv_c.astype(cd) + gate_grad(wgi[2 * INNER:], wgf[2 * INNER:])
     q4 = qt.reshape(sh4)
     k4 = kt.reshape(sh4)
     v4 = vt.reshape(sh4)
@@ -1577,10 +1578,10 @@ def _vil_layer_bwd(nh, chunk_size, igate_act, eps, norm_eps, rms_eps,
                   + jnp.einsum("bnos,nod->bsnd", dk_t, wk.astype(cd), **PF)
                   ).reshape(B, S, INNER)
     dxm = jnp.einsum("bnos,nod->bsnd", dv_t, wv.astype(cd),
-                     **PF).reshape(B, S, INNER)
+                     **PF).astype(cd).reshape(B, S, INNER)
 
     # ---- proj_up + RMSNorm backward --------------------------------------
-    dy2 = jnp.concatenate([dxm, dz], axis=-1).astype(cd)  # (B, S, 2*INNER)
+    dy2 = jnp.concatenate([dxm, dz.astype(cd)], axis=-1)  # (B, S, 2*INNER)
     dwu = jnp.einsum("bsd,bse->de", xn, dy2, **PF)
     dbu = jnp.sum(dy2.astype(f32), axis=(0, 1))
     dxn = jnp.einsum("bse,de->bsd", dy2, wu.astype(cd), **PF)
