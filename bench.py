@@ -175,6 +175,23 @@ def main():
     print(json.dumps(bench_train(
         "vil_yolon.yaml", "vil_yolon_640_train_step_throughput")), flush=True)
 
+    # op-level train-step attribution (XProf device lane, tools/xprof_step.py
+    # — the round-5 tool that found the TAL gather custom-calls and the ViL
+    # backward recompute): one line per model, device ms/step + top source
+    # regions. Compiles are cached from the train rows above, so each is two
+    # traced steps.
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    try:
+        from xprof_step import attribution
+
+        for nm in ("yolov8n.yaml", "vil_yolon.yaml"):
+            print(json.dumps(attribution(nm)), flush=True)
+    except Exception as e:  # noqa: BLE001 — attribution is best-effort
+        print(json.dumps({"metric": "train_step_attribution",
+                          "error": str(e)[:120]}), flush=True)
+
     # flagship last: the driver's parsed line
     print(json.dumps(bench_model("vil_yolon.yaml", "vil_yolon_640_e2e_throughput")), flush=True)
 

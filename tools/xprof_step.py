@@ -106,7 +106,10 @@ def run_and_trace(step_kind: str, batch: int, name: str, trace_dir: str):
     jax.profiler.stop_trace()
 
 
-def parse(trace_dir: str, top: int = 40):
+def collect(trace_dir: str):
+    """Parse the newest trace in ``trace_dir`` -> (ops, device_ms_per_step,
+    n_steps, by_src) where ops maps HLO op name to [dur_ms, count, GB, cat,
+    src] and by_src aggregates device ms per source file:line."""
     paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     with gzip.open(paths[-1]) as f:
         t = json.load(f)
@@ -114,6 +117,7 @@ def parse(trace_dir: str, top: int = 40):
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
     ops = defaultdict(lambda: [0.0, 0, 0.0, "", ""])  # dur_ms, count, GB, cat, src
+    by_src = defaultdict(float)
     total = 0.0
     n_launch = 0
     for e in t["traceEvents"]:
@@ -126,15 +130,37 @@ def parse(trace_dir: str, top: int = 40):
                 n_launch += 1
             continue
         o = ops[e["name"]]
-        o[0] += e.get("dur", 0) / 1e3
+        d = e.get("dur", 0) / 1e3
+        o[0] += d
         o[1] += 1
         o[2] += float(a.get("bytes_accessed", 0)) / 1e9
         o[3] = a.get("hlo_category", "")
         src = a.get("source", "") or ""
         o[4] = src.split("/")[-1]
+        by_src[o[4] or "?"] += d
     n_steps = max(n_launch, 1)
-    print(json.dumps({"device_ms_per_step": round(total / n_steps, 3),
+    return ops, total / n_steps, n_steps, {k: v / n_steps for k, v in by_src.items()}
+
+
+def attribution(name: str, batch: int = 128) -> dict:
+    """One-line step attribution for bench.py: device ms/step + the top
+    source regions. Uses the persistent compile cache, so after the train
+    bench has run this costs two traced steps."""
+    trace_dir = f"/tmp/xprof_{name.replace('.yaml', '')}_attr"
+    run_and_trace("full", batch, name, trace_dir)
+    _, dev_ms, _, by_src = collect(trace_dir)
+    top = dict(sorted(by_src.items(), key=lambda kv: -kv[1])[:8])
+    return {"metric": f"{name.replace('.yaml', '')}_train_step_attribution",
+            "value": round(dev_ms, 2), "unit": "device_ms/step",
+            "detail": {k: round(v, 2) for k, v in top.items()}}
+
+
+def parse(trace_dir: str, top: int = 40):
+    ops, dev_ms, n_steps, _ = collect(trace_dir)
+    print(json.dumps({"device_ms_per_step": round(dev_ms, 3),
                       "n_steps": n_steps}))
+    total = dev_ms * n_steps
+    n_launch = n_steps
     rows = sorted(ops.items(), key=lambda kv: -kv[1][0])
     print(f"{'ms/step':>8} {'GB/s':>6} {'n':>3}  {'category':<18} {'src':<28} name")
     for name, (dur, cnt, gb, cat, src) in rows[:top]:

@@ -210,6 +210,11 @@ class YOLODataset:
         self.rect_shape_of: dict[int, tuple[int, int]] = {}
         self._img_path = img_path  # kept so Loader can re-bucket on bs change
         self.batch = int(batch or 16)
+        # emit uint8 images from collate (device normalizes): the fp32
+        # [0,1] batch is 4x the bytes over the host->device link — at 640px
+        # b128 that is 629 MB/batch through the axon relay, which measured
+        # as the entire train-loop bottleneck (bench_train.py --loop r5)
+        self.uint8_images = False
         if self.rect:
             self._set_rectangle(self.batch, img_path)
 
@@ -655,7 +660,8 @@ class YOLODataset:
         b = len(samples)
         # rect mode: every sample in a batch shares its bucket (h, w)
         sh, sw = samples[0][0].shape[:2] if samples else (self.imgsz, self.imgsz)
-        imgs = np.zeros((b, sh, sw, 3), np.float32)
+        imgs = np.zeros((b, sh, sw, 3),
+                        np.uint8 if self.uint8_images else np.float32)
         box_dim = 6 if self.task == "obb" else 5
         boxes = np.zeros((b, self.max_labels, box_dim), np.float32)
         mask = np.zeros((b, self.max_labels), bool)
@@ -670,7 +676,7 @@ class YOLODataset:
         for bi, sample in enumerate(samples):
             img, labels = sample[0], sample[1]
             extra = sample[2] if len(sample) > 2 else {}
-            imgs[bi] = img.astype(np.float32) / 255.0
+            imgs[bi] = img if self.uint8_images else img.astype(np.float32) / 255.0
             keep = np.arange(len(labels))
             if len(labels):
                 wh = labels[:, 3:5] - labels[:, 1:3]
@@ -766,7 +772,11 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        use_native = (not self.ds.augment) and self.ds.task == "detect" and not rect
+        # native C++ letterbox emits fp32-normalized batches; under
+        # uint8_images the 4x-smaller device transfer beats the host-side
+        # assembly win, so take the python collate there
+        use_native = ((not self.ds.augment) and self.ds.task == "detect"
+                      and not rect and not getattr(self.ds, "uint8_images", False))
 
         def _put(item) -> bool:
             # bounded put that re-checks the stop flag: an abandoned iterator

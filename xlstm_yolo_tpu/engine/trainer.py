@@ -115,6 +115,11 @@ class Trainer:
         amp = str(getattr(self.args, "dtype", "bfloat16")) == "bfloat16"
 
         def train_step(params, batch_stats, opt_state, ema_params, n_updates, batch, lr):
+            if batch["img"].dtype == jnp.uint8:
+                # uint8 ships 4x fewer bytes host->device (the measured
+                # train-loop bottleneck, bench_train.py --loop); normalize
+                # in-graph
+                batch = {**batch, "img": batch["img"].astype(jnp.float32) / 255.0}
             if dev_aug:
                 akey = jax.random.fold_in(aug_base_key, n_updates)
                 res = _device_augment_jit(
@@ -186,6 +191,9 @@ class Trainer:
             workers=int(getattr(args, "workers", 0) or 0),
         )
         self.data = data_dict
+        if hasattr(self.loader.ds, "uint8_images"):
+            # train batches ship uint8; the jit'd step normalizes on device
+            self.loader.ds.uint8_images = True
         if self.model.nc != data_dict["nc"]:
             # reference behavior: the trainer rebuilds the model with the
             # dataset's nc (models/yolo/detect/train.py get_model(nc=data
@@ -293,6 +301,8 @@ class Trainer:
                 f = sz / imgsz
                 out = dict(batch)
                 img = batch["img"]
+                if img.dtype == jnp.uint8:  # normalize before interpolation
+                    img = img.astype(jnp.float32) / 255.0
                 out["img"] = jax.image.resize(
                     img, (img.shape[0], sz, sz, img.shape[3]), "bilinear")
                 if "cls_boxes" in batch:  # (B, M, 5|6): cls + pixel coords
