@@ -140,9 +140,18 @@ def bench_train_loop(name: str, metric: str, imgsz: int = 640, batch: int = 128,
     with open(tr.csv) as f:
         rows = list(csv.DictReader(f))
     img_s = float(rows[-1]["img_s"])
+    # measured r5 on the axon-relay chip: the steady-state loop is
+    # host->device TRANSFER-bound — uint8 batches (157 MB at b128/640; was
+    # 629 MB fp32 before round 5) move at ~30 MB/s through the relay tunnel,
+    # capping the loop at ~23 img/s while the step itself runs 1,200 img/s.
+    # On a locally-attached TPU host (PCIe, GB/s) the same pipeline is
+    # step-bound; the implied link rate is reported so the environment limit
+    # is visible in the artifact.
+    mb_per_img = imgsz * imgsz * 3 / 1e6
     return {"metric": metric, "value": img_s, "unit": "img/s",
             "detail": {"epoch_img_s": [float(r["img_s"]) for r in rows],
-                       "n_imgs": n_imgs, "batch": batch}}
+                       "n_imgs": n_imgs, "batch": batch,
+                       "implied_link_MBps": round(img_s * mb_per_img, 1)}}
 
 
 def main():
