@@ -1,17 +1,15 @@
 """Single-pass row-wise kth-largest value on TPU (Pallas).
 
-Serves the TAL assigner's top-k candidate gate (utils/tal.py
-topk_positive_mask). The XLA form runs k-1 sequential max+suppress passes
-over the full (B*n_max, n_anchors) metric tensor — each pass a fresh HBM
-round trip (measured 8.1 ms of the 21.5 ms assign at B128/A8400,
-tools/loss_profile.py). Here every row block is read from HBM ONCE; the
-k-1 suppress iterations run on VMEM-resident values, so the whole threshold
-costs one 137 MB stream instead of ~9.
+KEPT AS A DOCUMENTED NEGATIVE RESULT — not on the default TAL path.
 
-Replaces the algorithm of reference ``utils/tal.py select_topk_candidates``
-(torch.topk + scatter-add) with the same kth-value THRESHOLD semantics the
-XLA form uses: membership = metric >= kth-largest (ties at the kth value
-admit both; select_highest_overlaps resolves multi-assignment downstream).
+The motivating wall-clock measurement ("the k-1 XLA max+suppress passes
+cost 8.1 ms") turned out to be ~25 ms of axon relay readback latency
+divided by the iteration count; the XProf device lane (tools/xprof_step.py,
+round 5) showed XLA fuses the suppress chain to ~2 ms at B128/A8400 while
+THIS kernel ran at 2-7 GB/s (~15 ms in-step): its k-1 in-VMEM iterations
+are serial lane-axis max reductions on the VPU, and one HBM read cannot
+buy that back. utils/tal.py uses the XLA form; the kernel and its exact-
+ness test remain as the record of why.
 """
 from __future__ import annotations
 
