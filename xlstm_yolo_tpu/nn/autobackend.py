@@ -20,11 +20,18 @@ import jax.numpy as jnp
 
 class AutoBackend:
     def __init__(self, weights: str | Path, imgsz: int = 640):
-        self.path = Path(str(weights))
+        self._raw = str(weights)  # URLs must not round-trip through Path
+        self.path = Path(self._raw)
         self.imgsz = imgsz
-        self.kind = self._sniff(self.path)
+        self.kind = self._sniff_str(self._raw) or self._sniff(self.path)
         self.meta: dict = {}
         getattr(self, f"_init_{self.kind}")()
+
+    @staticmethod
+    def _sniff_str(s: str) -> str | None:
+        """URL weights -> the remote HTTP backend (the TPU-native analogue
+        of the reference's Triton client, /root/reference/utils/triton.py)."""
+        return "remote" if s.startswith(("http://", "https://")) else None
 
     @staticmethod
     def _sniff(p: Path) -> str:
@@ -115,10 +122,20 @@ class AutoBackend:
 
         self._fn = call
 
+    def _init_remote(self):
+        """HTTP remote-model client (utils/remote.py) — the TPU-native
+        analogue of the reference's Triton backend."""
+        from ..utils.remote import RemoteModel
+
+        rm = RemoteModel(self._raw)
+        self.meta = rm.meta
+        self._fn = rm
+
     # -- uniform API -------------------------------------------------------
     def forward(self, img) -> np.ndarray:
         """img: (B, H, W, 3) float32 [0, 1] -> (B, N, 4+nc) candidates."""
-        out = self._fn(img if self.kind in ("savedmodel", "tflite", "onnx")
+        out = self._fn(img if self.kind in ("savedmodel", "tflite", "onnx",
+                                            "remote")
                        else jnp.asarray(img))
         if isinstance(out, (list, tuple)):
             out = out[0]
