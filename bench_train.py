@@ -42,12 +42,12 @@ def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
     model = TaskModel(name)
     variables = model.init(0, imgsz=imgsz)
     params, batch_stats = variables["params"], variables["batch_stats"]
-    # lr applied via the same per-step upd*lr tree.map the Trainer uses
-    # (engine/trainer.py _build_step), so this measures the production step
-    tx, _, _, _ = TU.build_optimizer(params, name="SGD", lr=0.01,
-                                     momentum=0.937, clip_norm=0.5)
+    # same single-flatten step update as the Trainer (TU.build_flat_step),
+    # so this measures the production step
+    step_update, opt_init, _, _, _ = TU.build_flat_step(
+        params, name="SGD", lr=0.01, momentum=0.937, clip_norm=0.5)
     lr = jnp.float32(0.01)
-    opt_state = tx.init(params)
+    opt_state = opt_init(params)
     ema = jax.tree.map(jnp.copy, params)
 
     aug_hyp = (("degrees", 0.0), ("fliplr", 0.5), ("hsv_h", 0.015),
@@ -82,9 +82,9 @@ def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
             return total, updates
 
         (total, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        upd, opt_state = tx.update(grads, opt_state, params)
         n_updates = n_updates + 1
-        params, ema = TU.fused_apply_ema(params, upd, ema, lr, n_updates)
+        params, ema, opt_state = step_update(grads, opt_state, params, ema,
+                                             lr, n_updates)
         return params, updates.get("batch_stats", batch_stats), opt_state, ema, n_updates, total
 
     @jax.jit

@@ -42,10 +42,10 @@ def run_and_trace(step_kind: str, batch: int, name: str, trace_dir: str):
     model = TaskModel(name)
     variables = model.init(0, imgsz=imgsz)
     params, batch_stats = variables["params"], variables["batch_stats"]
-    tx, _, _, _ = TU.build_optimizer(params, name="SGD", lr=0.01,
-                                     momentum=0.937, clip_norm=0.5)
+    step_update, opt_init, _, _, _ = TU.build_flat_step(
+        params, name="SGD", lr=0.01, momentum=0.937, clip_norm=0.5)
     lr = jnp.float32(0.01)
-    opt_state = tx.init(params)
+    opt_state = opt_init(params)
     ema = jax.tree.map(jnp.copy, params)
     rng = np.random.default_rng(0)
     dbatch = {
@@ -92,8 +92,8 @@ def run_and_trace(step_kind: str, batch: int, name: str, trace_dir: str):
                 return total, updates
 
             (total, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            upd, opt_state = tx.update(grads, opt_state, params)
-            params2, ema2 = TU.fused_apply_ema(params, upd, ema, lr, 1)
+            params2, ema2, opt_state = step_update(grads, opt_state, params,
+                                                   ema, lr, 1)
             return sum(jnp.sum(x).astype(jnp.float32)
                        for x in jax.tree.leaves(params2)) + total
 

@@ -67,17 +67,19 @@ class Trainer:
         model = self.model
         hyp = self.args
 
-        tx, opt_name, lr0, momentum = TU.build_optimizer(
+        # single-flatten step update: clip + decay + optimizer + lr-scale +
+        # apply + EMA chain on ONE ravel of each tree (TU.build_flat_step —
+        # the separate build_optimizer + fused_apply_ema form raveled 5x
+        # per step, each 200-leaf concat latency-bound)
+        step_update, opt_init, opt_name, lr0, momentum = TU.build_flat_step(
             self.variables["params"], name=self.args.optimizer, lr=self.args.lr0,
             momentum=self.args.momentum, decay=self.args.weight_decay, nc=model.nc,
             iterations=self.iterations,
             clip_norm=0.5,  # fork quirk: 0.5 not 10; fused into the flat domain
+            accumulate=accumulate,
         )
         self.lr0 = lr0 if self.args.optimizer == "auto" else self.args.lr0
         self.opt_name = opt_name
-        if accumulate > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
-        self.tx = tx
 
         # device-side augmentation: geometric + photometric stages run as XLA
         # ops fused into the step (data/device_augment.py) — the host (one
@@ -146,17 +148,14 @@ class Trainer:
                 return total, (aux, updates)
 
             (total, (aux, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            upd, opt_state = tx.update(grads, opt_state, params)
             new_bs = updates.get("batch_stats", batch_stats)
             n_updates = n_updates + 1
-            # lr-scale + apply + EMA fused in the flat domain (one concat
-            # instead of ~600 per-leaf fusions — see TU.fused_apply_ema)
-            params, ema_params = TU.fused_apply_ema(params, upd, ema_params,
-                                                    lr, n_updates)
+            params, ema_params, opt_state = step_update(
+                grads, opt_state, params, ema_params, lr, n_updates)
             metrics = {"loss": total, **aux}
             return params, new_bs, opt_state, ema_params, n_updates, metrics
 
-        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3)), tx
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3)), opt_init
 
     # ------------------------------------------------------------------
     def train(self):
@@ -261,10 +260,10 @@ class Trainer:
             resume_opt = rp
             print(f"resuming from {rp} at epoch {self.start_epoch}")
 
-        step_fn, tx = self._build_step(mesh, accumulate)
+        step_fn, opt_init = self._build_step(mesh, accumulate)
         params = M.shard_params(mesh, self.variables["params"])
         batch_stats = M.shard_params(mesh, self.variables["batch_stats"])
-        opt_state = tx.init(params)
+        opt_state = opt_init(params)
         if resume_opt is not None:
             from ..utils.checkpoint import load_optimizer_state
 

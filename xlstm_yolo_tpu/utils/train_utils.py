@@ -77,21 +77,8 @@ def _add_decayed_flat(decay: float, mask_vec) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def build_optimizer(
-    params: Any,
-    name: str = "auto",
-    lr: float = 0.01,
-    momentum: float = 0.937,
-    decay: float = 0.0005,
-    nc: int = 80,
-    iterations: float = 1e5,
-    clip_norm: float | None = None,
-) -> tuple[optax.GradientTransformation, str, float, float]:
-    """3-group optimizer: decayed weights / no-decay biases+BN (reference
-    engine/trainer.py:764), running in the flat domain (one concatenated
-    vector). clip_norm, when given, fuses global-norm clipping in as well.
-    Returns (tx, resolved_name, lr, momentum); tx consumes/produces
-    parameter TREES like any optax transform."""
+def _flat_parts(params, name, lr, momentum, decay, nc, iterations, clip_norm):
+    """Shared: resolve the optimizer name and build the flat-domain chain."""
     if name == "auto":
         name, lr, momentum = auto_optimizer_name(nc, iterations)
 
@@ -116,8 +103,77 @@ def build_optimizer(
     if clip_norm is not None:
         parts.append(optax.clip_by_global_norm(clip_norm))
     parts += [_add_decayed_flat(decay, mask_vec), base]
-    tx = _flat_domain(optax.chain(*parts), params)
+    return optax.chain(*parts), name, lr, momentum
+
+
+def build_optimizer(
+    params: Any,
+    name: str = "auto",
+    lr: float = 0.01,
+    momentum: float = 0.937,
+    decay: float = 0.0005,
+    nc: int = 80,
+    iterations: float = 1e5,
+    clip_norm: float | None = None,
+) -> tuple[optax.GradientTransformation, str, float, float]:
+    """3-group optimizer: decayed weights / no-decay biases+BN (reference
+    engine/trainer.py:764), running in the flat domain (one concatenated
+    vector). clip_norm, when given, fuses global-norm clipping in as well.
+    Returns (tx, resolved_name, lr, momentum); tx consumes/produces
+    parameter TREES like any optax transform."""
+    inner, name, lr, momentum = _flat_parts(params, name, lr, momentum, decay,
+                                            nc, iterations, clip_norm)
+    tx = _flat_domain(inner, params)
     return tx, name, lr, momentum
+
+
+def build_flat_step(
+    params: Any,
+    name: str = "auto",
+    lr: float = 0.01,
+    momentum: float = 0.937,
+    decay: float = 0.0005,
+    nc: int = 80,
+    iterations: float = 1e5,
+    clip_norm: float | None = None,
+    accumulate: int = 1,
+) -> tuple:
+    """The whole per-step parameter update — clip + decay + optimizer math +
+    lr-scale + apply + EMA — through ONE flatten of each tree.
+
+    ``build_optimizer`` + ``fused_apply_ema`` together ravel the tree 5x and
+    unravel 3x per step; a 200-leaf concat is latency-bound (~1 ms each, the
+    train_utils reshape the XProf trace shows). Here grads/params/ema ravel
+    once, everything chains on the flat vectors, and only the two result
+    trees unravel.
+
+    Returns (step_update, init_fn, resolved_name, lr, momentum) where
+    ``step_update(grads, opt_state, params, ema, lr, n_updates) ->
+    (params, ema, opt_state)`` and ``init_fn(params) -> opt_state`` (same
+    state pytree as build_optimizer's, so checkpoints interchange)."""
+    from jax.flatten_util import ravel_pytree
+
+    inner, name, lr0, momentum = _flat_parts(params, name, lr, momentum,
+                                             decay, nc, iterations, clip_norm)
+    if accumulate > 1:
+        inner = optax.MultiSteps(inner, every_k_schedule=accumulate)
+    _, unravel = ravel_pytree(params)
+
+    def init_fn(p):
+        return inner.init(ravel_pytree(p)[0])
+
+    def step_update(grads, opt_state, p, ema, lr, n_updates,
+                    decay_ema: float = 0.9999, tau: float = 2000.0):
+        gv = ravel_pytree(grads)[0]
+        pv = ravel_pytree(p)[0]
+        ev = ravel_pytree(ema)[0]
+        uv, opt_state = inner.update(gv, opt_state, pv)
+        pv = pv + uv * lr
+        d = decay_ema * (1 - jnp.exp(-n_updates / tau))
+        ev = ev * d + pv * (1 - d)
+        return unravel(pv), unravel(ev), opt_state
+
+    return step_update, init_fn, name, lr0, momentum
 
 
 def lr_schedule(lr0: float, lrf: float, epochs: int, cos_lr: bool = False):
