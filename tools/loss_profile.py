@@ -1,5 +1,10 @@
 """Fine-grained attribution of the detection-loss time on the accelerator.
 
+CAVEAT (round 5): every host readback through the axon relay costs
+~25-30 ms of pure latency, so each metric here carries a +25/iters ms
+constant — DIFFERENCES between variants are meaningful, absolute values
+are not. For op-level truth use tools/xprof_step.py (device-lane trace).
+
 Times each suspect stage of the TAL/loss path in isolation at the production
 shape (B=128, A=8400 anchors, n_max=32, nc=80), fori_loop-chained like
 bench.py. Run after tools/train_step_profile.py localizes the step time to

@@ -9,6 +9,11 @@ vs 22% at inference):
   full      — the real step: loss (TAL assign + CIoU + DFL + BCE), backward,
               clip, SGD+momentum, EMA
 
+CAVEAT (round 5): every host readback through the axon relay costs
+~25-30 ms of pure latency, so each metric here carries a +25/iters ms
+constant — DIFFERENCES between variants are meaningful, absolute values
+are not. For op-level truth use tools/xprof_step.py (device-lane trace).
+
 Methodology mirrors bench.py (fori_loop chaining + scalar readback; the
 axon relay's block_until_ready does not synchronize).
 
