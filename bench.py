@@ -33,7 +33,11 @@ import numpy as np
 
 
 def bench_model(name: str, metric: str, imgsz: int = 640, batch: int = 256,
-                iters: int = 5, src_hw: tuple = (540, 810)) -> dict:
+                iters: int = 20, src_hw: tuple = (540, 810)) -> dict:
+    # iters=20 (round 5): each host readback through the axon relay costs
+    # ~25-30 ms of pure latency — a 5-iter chain inflated per-iter time by
+    # ~5 ms (>15% at these rates). Longer chains amortize the relay tax
+    # toward the device-lane truth (tools/xprof_step.py).
     # batch 256 sustained (measured on the assigned v5e): yolov8n 4,616 ->
     # 4,993 img/s, vil_yolon 3,180 -> 3,299 img/s vs batch 128
     import jax

@@ -25,7 +25,7 @@ import numpy as np
 
 
 def bench_train(name: str, metric: str, imgsz: int = 640, batch: int = 128,
-                iters: int = 3, augment: bool = False) -> dict:
+                iters: int = 10, augment: bool = False) -> dict:
     """augment=False matches the trainer default (cfg device_augment: False —
     host pipeline feeds pre-augmented batches); augment=True additionally
     fuses the XLA mosaic/affine/HSV/flip stages into the step to price that
