@@ -124,26 +124,148 @@ def _carry_scan(kv, ksum, btot, m_loc):
     return ct_prev, n_prev, scal
 
 
-def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, dh_ref, ct_ref, np_ref, sc_ref,
-            dq_ref, dk_ref, dv_ref, di_ref, df_ref, dcn_scr, dnn_scr, *,
-            g, segc, nseg, cs, dh, igate_act, eps, mxu):
-    """One grid step = G head-rows, one sequence SEGMENT (reverse order);
-    chunks inside the segment walk backwards."""
+def _chunk_grads(qt, kt, vt, i_pre, f_pre, dht, ct_g, n_col_g, m_prev,
+                 ld_old, ld_new, dcn_g, dnn_g, *, g, cs, dh, igate_act, eps,
+                 mxu, causal_t, cum_mat, revcum_mat, lane_row, lane_ids3,
+                 ones_col):
+    """Per-chunk reverse gradient math on VMEM-resident values (shared by
+    the standalone cell-bwd kernel and the fused layer-bwd kernel).
+
+    qt/kt/vt (G, DH, CS) fp32 (qt pre-scaled by dh^-0.5), gates (G, 1, CS),
+    dht (G, DV, CS); per-chunk carried state ct_g (G, DV, DH),
+    n_col_g (G, DH, 1), scalars (G, 1, 1); reverse carries dcn_g (G, DV, DH),
+    dnn_g (G, DH, 1). Returns (dq, dk, dv, dlogi->di, dlogf->df stacked
+    (G, ...) arrays, dcn_new, dnn_new)."""
+    HI = jax.lax.Precision.HIGHEST
 
     def dot32(a, b):
         return jnp.dot(a.astype(mxu), b.astype(mxu),
                        preferred_element_type=jnp.float32)
 
+    logf = jax.nn.log_sigmoid(f_pre)  # (G, 1, CS)
+    logi = jax.nn.log_sigmoid(i_pre) if igate_act == "sigmoid" else i_pre
+    b = jnp.stack([
+        jnp.dot(logf[gi], cum_mat, preferred_element_type=jnp.float32,
+                precision=HI)
+        for gi in range(g)
+    ])  # (G, 1, CS)
+    btot = jnp.sum(logf, axis=2, keepdims=True)  # (G, 1, 1)
+    w_vec = logi - b
+    cm = w_vec
+    sh = 1
+    while sh < cs:
+        rolled = pltpu.roll(cm, shift=sh, axis=2)
+        rolled = jnp.where(lane_ids3 >= sh, rolled, NEG_INF)
+        cm = jnp.maximum(cm, rolled)
+        sh *= 2
+    d_max = b + cm
+
+    idl = m_prev + b  # (G, 1, CS)
+    stab = jnp.maximum(d_max, idl)
+    g_acc = logi + (btot - b)
+    m_loc = jnp.max(g_acc, axis=2, keepdims=True)
+    gw = jnp.exp(g_acc - m_loc)  # (G, 1, CS)
+    exp_inter = jnp.exp(idl - stab)  # (G, 1, CS)
+    b_stab = b - stab
+    w_col = jnp.swapaxes(w_vec, 1, 2)  # (G, CS, 1)
+    floor = jnp.exp(-stab)
+
+    dq_out, dk_out, dv_out, di_out, df_out = [], [], [], [], []
+    dcn_new, dnn_new = [], []
+    for gi in range(g):
+        ct = ct_g[gi]  # (DV, DH) = C^T
+        n_col = n_col_g[gi]  # (DH, 1)
+
+        # ---- forward recompute -----------------------------------
+        argT = jnp.where(causal_t, w_col[gi] + b_stab[gi], NEG_INF)
+        dT = jnp.exp(argT)
+        eT = dot32(kt[gi].T, qt[gi]) * dT  # (CS_t, CS_s)
+        q_int = qt[gi] * exp_inter[gi]  # (DH, CS)
+        e_sum = jnp.sum(eT, axis=0, keepdims=True)  # (1, CS)
+        inter_norm = jnp.sum(q_int * n_col, axis=0, keepdims=True)
+        row = e_sum + inter_norm
+        norm = jnp.maximum(jnp.abs(row), floor[gi]) + eps
+        hT = (dot32(vt[gi], eT) + dot32(ct, q_int)) / norm  # (DV, CS)
+
+        # ---- gradient math ---------------------------------------
+        dAT = dht[gi] / norm  # (DV, CS)
+        dN = -jnp.sum(dht[gi] * hT, axis=0, keepdims=True) / norm
+        dR = jnp.where(jnp.abs(row) > floor[gi], jnp.sign(row) * dN, 0.0)
+
+        deT = dot32(vt[gi].T, dAT) + dR  # (CS_t, CS_s); dR row-bcast
+        deT = jnp.where(causal_t, deT, 0.0)
+        dqkT = deT * dT
+        dqkT_T = dqkT.T
+        GT = deT * eT
+
+        dqc = dot32(kt[gi], dqkT)  # (DH, CS_s)
+        dkc = dot32(qt[gi], dqkT_T)  # (DH, CS_t)
+        dvc = dot32(dAT, eT.T)  # (DV, CS_t)
+
+        db = jnp.sum(GT, axis=0, keepdims=True)  # index s
+        dli = jnp.swapaxes(jnp.sum(GT, axis=1, keepdims=True), 0, 1)  # (1, CS_t)
+        db = db - dli  # w_t = logi_t - b_t
+        dlogi = dli
+
+        # inter path
+        dqt_t = dot32(ct.T, dAT) + n_col * dR  # (DH, CS)
+        dqc = dqc + dqt_t * exp_inter[gi]
+        db = db + jnp.sum(dqt_t * q_int, axis=0, keepdims=True)
+        dct_attn = dot32(dAT, q_int.T)  # (DV, DH)
+        dn_attn = jnp.dot(q_int * dR, ones_col,
+                          preferred_element_type=jnp.float32)  # (DH, 1)
+
+        # state chain (reverse carry)
+        dcn = dcn_g[gi]  # (DV, DH) grad wrt c_new_j
+        dnn = dnn_g[gi]  # (DH, 1)
+        do_col = jnp.exp(jnp.broadcast_to(ld_old[gi], (dh, 1)))  # (DV==DH, 1)
+        dn_col = jnp.exp(jnp.broadcast_to(ld_new[gi], (dh, 1)))
+        dkv = dcn * dn_col  # (DV, DH)
+        dksum = dnn * dn_col  # (DH, 1)
+        dbtot = (jnp.sum(dcn * ct) + jnp.sum(dnn * n_col)) * jnp.exp(ld_old[gi][0, 0])
+        dcn_new.append(dct_attn + dcn * do_col)
+        dnn_new.append(dn_attn + dnn * do_col)
+
+        kg = kt[gi] * gw[gi]  # (DH, CS)
+        dvc = dvc + dot32(dkv, kg)  # (DV, CS)
+        dk_state = dot32(dkv.T, vt[gi]) + dksum  # (DH, CS); dksum lane-bcast
+        dkc = dkc + dk_state * gw[gi]
+        dgw = jnp.sum(dk_state * kt[gi], axis=0, keepdims=True)  # (1, CS)
+        gig = dgw * gw[gi]
+        dlogi = dlogi + gig
+        db = db - gig
+        dbtot = dbtot + jnp.sum(gig)
+
+        db = db + jnp.where(lane_row == cs - 1, dbtot, 0.0)
+        dlogf = jnp.dot(db, revcum_mat, preferred_element_type=jnp.float32,
+                        precision=HI)  # (1, CS)
+
+        dq_out.append(dqc * (dh**-0.5))
+        dk_out.append(dkc)
+        dv_out.append(dvc)
+        di_out.append(dlogi * (jax.nn.sigmoid(-i_pre[gi])
+                               if igate_act == "sigmoid" else 1.0))
+        df_out.append(dlogf * jax.nn.sigmoid(-f_pre[gi]))
+
+    return (jnp.stack(dq_out), jnp.stack(dk_out), jnp.stack(dv_out),
+            jnp.stack(di_out), jnp.stack(df_out),
+            jnp.stack(dcn_new), jnp.stack(dnn_new))
+
+
+def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, dh_ref, ct_ref, np_ref, sc_ref,
+            dq_ref, dk_ref, dv_ref, di_ref, df_ref, dcn_scr, dnn_scr, *,
+            g, segc, nseg, cs, dh, igate_act, eps, mxu):
+    """One grid step = G head-rows, one sequence SEGMENT (reverse order);
+    chunks inside the segment walk backwards. Per-chunk math lives in
+    _chunk_grads (shared with the fused layer-bwd kernel)."""
     t_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
     s_i = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
     causal_t = t_i <= s_i
     cum_mat = causal_t.astype(jnp.float32)  # inclusive lane-cumsum
-    # reverse inclusive cumsum: out_r = sum_{t>=r} in_t  ->  M[t, r] = t >= r
     revcum_mat = (t_i >= s_i).astype(jnp.float32)
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
     lane_ids3 = jax.lax.broadcasted_iota(jnp.int32, (g, 1, cs), 2)
     ones_col = jnp.ones((cs, 1), jnp.float32)
-    HI = jax.lax.Precision.HIGHEST
 
     seg_id = pl.program_id(1)
 
@@ -163,25 +285,6 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, dh_ref, ct_ref, np_ref, sc_ref,
         i_pre = i_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32)
         f_pre = f_ref[:, :, pl.ds(s0, cs)].astype(jnp.float32)
 
-        logf = jax.nn.log_sigmoid(f_pre)  # (G, 1, CS)
-        logi = jax.nn.log_sigmoid(i_pre) if igate_act == "sigmoid" else i_pre
-        b = jnp.stack([
-            jnp.dot(logf[gi], cum_mat, preferred_element_type=jnp.float32,
-                    precision=HI)
-            for gi in range(g)
-        ])  # (G, 1, CS)
-        btot = jnp.sum(logf, axis=2, keepdims=True)  # (G, 1, 1)
-        w_vec = logi - b
-        # lane cummax for d_max = b + cummax(w)
-        cm = w_vec
-        sh = 1
-        while sh < cs:
-            rolled = pltpu.roll(cm, shift=sh, axis=2)
-            rolled = jnp.where(lane_ids3 >= sh, rolled, NEG_INF)
-            cm = jnp.maximum(cm, rolled)
-            sh *= 2
-        d_max = b + cm
-
         # dynamic lane indexing is not allowed (128-alignment rule); select
         # the chunk's scalars with a one-hot lane mask + reduction instead
         ns_lanes = sc_ref.shape[2]
@@ -193,103 +296,25 @@ def _kernel(q_ref, k_ref, v_ref, i_ref, f_ref, dh_ref, ct_ref, np_ref, sc_ref,
         m_prev = lane_pick(sc_ref[:, 0:1, :])  # (G, 1, 1)
         ld_old = lane_pick(sc_ref[:, 1:2, :])  # LOG decay factors
         ld_new = lane_pick(sc_ref[:, 2:3, :])
+        ct_g = jnp.stack([ct_ref[gi, pl.ds(j, 1)][0] for gi in range(g)])
+        n_col_g = jnp.stack([
+            jnp.sum(jnp.where(sel[0], np_ref[gi], 0.0), axis=1, keepdims=True)
+            for gi in range(g)])
 
-        idl = m_prev + b  # (G, 1, CS)
-        stab = jnp.maximum(d_max, idl)
-        g_acc = logi + (btot - b)
-        m_loc = jnp.max(g_acc, axis=2, keepdims=True)
-        gw = jnp.exp(g_acc - m_loc)  # (G, 1, CS)
-        exp_inter = jnp.exp(idl - stab)  # (G, 1, CS)
-        b_stab = b - stab
-        w_col = jnp.swapaxes(w_vec, 1, 2)  # (G, CS, 1)
-        floor = jnp.exp(-stab)
+        dq, dk, dv, di, df, dcn_new, dnn_new = _chunk_grads(
+            qt, kt, vt, i_pre, f_pre, dht, ct_g, n_col_g, m_prev, ld_old,
+            ld_new, dcn_scr[:], dnn_scr[:], g=g, cs=cs, dh=dh,
+            igate_act=igate_act, eps=eps, mxu=mxu, causal_t=causal_t,
+            cum_mat=cum_mat, revcum_mat=revcum_mat, lane_row=lane_row,
+            lane_ids3=lane_ids3, ones_col=ones_col)
+        dcn_scr[:] = dcn_new
+        dnn_scr[:] = dnn_new
 
-        dq_out, dk_out, dv_out, di_out, df_out = [], [], [], [], []
-        for gi in range(g):
-            ct = ct_ref[gi, pl.ds(j, 1)][0]  # (DV, DH) = C^T
-            n_col = jnp.sum(jnp.where(sel[0], np_ref[gi], 0.0), axis=1,
-                            keepdims=True)  # (DH, 1)
-
-            # ---- forward recompute -----------------------------------
-            argT = jnp.where(causal_t, w_col[gi] + b_stab[gi], NEG_INF)
-            dT = jnp.exp(argT)
-            eT = dot32(kt[gi].T, qt[gi]) * dT  # (CS_t, CS_s)
-            q_int = qt[gi] * exp_inter[gi]  # (DH, CS)
-            e_sum = jnp.sum(eT, axis=0, keepdims=True)  # (1, CS)
-            inter_norm = jnp.sum(q_int * n_col, axis=0, keepdims=True)
-            row = e_sum + inter_norm
-            norm = jnp.maximum(jnp.abs(row), floor[gi]) + eps
-            hT = (dot32(vt[gi], eT) + dot32(ct, q_int)) / norm  # (DV, CS)
-
-            # ---- gradient math ---------------------------------------
-            dAT = dht[gi] / norm  # (DV, CS)
-            dN = -jnp.sum(dht[gi] * hT, axis=0, keepdims=True) / norm
-            dR = jnp.where(jnp.abs(row) > floor[gi], jnp.sign(row) * dN, 0.0)
-
-            deT = dot32(vt[gi].T, dAT) + dR  # (CS_t, CS_s); dR row-bcast
-            deT = jnp.where(causal_t, deT, 0.0)
-            dqkT = deT * dT
-            dqkT_T = dqkT.T
-            GT = deT * eT
-
-            dqc = dot32(kt[gi], dqkT)  # (DH, CS_s)
-            dkc = dot32(qt[gi], dqkT_T)  # (DH, CS_t)
-            dvc = dot32(dAT, eT.T)  # (DV, CS_t)
-
-            db = jnp.sum(GT, axis=0, keepdims=True)  # index s
-            # row-sum over lanes -> (CS,1); relayout to a lane vector
-            dli = jnp.swapaxes(jnp.sum(GT, axis=1, keepdims=True), 0, 1)  # (1, CS_t)
-            db = db - dli  # w_t = logi_t - b_t
-            dlogi = dli
-
-            # inter path
-            dqt_t = dot32(ct.T, dAT) + n_col * dR  # (DH, CS)
-            dqc = dqc + dqt_t * exp_inter[gi]
-            db = db + jnp.sum(dqt_t * q_int, axis=0, keepdims=True)
-            dct_attn = dot32(dAT, q_int.T)  # (DV, DH)
-            dn_attn = jnp.dot(q_int * dR, ones_col,
-                              preferred_element_type=jnp.float32)  # (DH, 1)
-
-            # state chain (reverse carry)
-            dcn = dcn_scr[gi]  # (DV, DH) grad wrt c_new_j
-            dnn = dnn_scr[gi]  # (DH, 1)
-            # Mosaic can't broadcast (1,1)->(DV,DH) in one shot (sublane +
-            # lane); materialize the sublane expansion THROUGH the exp so it
-            # can't be folded back (same workaround as the forward kernel)
-            do_col = jnp.exp(jnp.broadcast_to(ld_old[gi], (dh, 1)))  # (DV==DH, 1)
-            dn_col = jnp.exp(jnp.broadcast_to(ld_new[gi], (dh, 1)))
-            dkv = dcn * dn_col  # (DV, DH)
-            dksum = dnn * dn_col  # (DH, 1)
-            dbtot = (jnp.sum(dcn * ct) + jnp.sum(dnn * n_col)) * jnp.exp(ld_old[gi][0, 0])
-            dcn_scr[gi] = dct_attn + dcn * do_col
-            dnn_scr[gi] = dn_attn + dnn * do_col
-
-            kg = kt[gi] * gw[gi]  # (DH, CS)
-            dvc = dvc + dot32(dkv, kg)  # (DV, CS)
-            dk_state = dot32(dkv.T, vt[gi]) + dksum  # (DH, CS); dksum lane-bcast
-            dkc = dkc + dk_state * gw[gi]
-            dgw = jnp.sum(dk_state * kt[gi], axis=0, keepdims=True)  # (1, CS)
-            gig = dgw * gw[gi]
-            dlogi = dlogi + gig
-            db = db - gig
-            dbtot = dbtot + jnp.sum(gig)
-
-            db = db + jnp.where(lane_row == cs - 1, dbtot, 0.0)
-            dlogf = jnp.dot(db, revcum_mat, preferred_element_type=jnp.float32,
-                            precision=HI)  # (1, CS)
-
-            dq_out.append(dqc * (dh**-0.5))
-            dk_out.append(dkc)
-            dv_out.append(dvc)
-            di_out.append(dlogi * (jax.nn.sigmoid(-i_pre[gi])
-                                   if igate_act == "sigmoid" else 1.0))
-            df_out.append(dlogf * jax.nn.sigmoid(-f_pre[gi]))
-
-        dq_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dq_out).astype(dq_ref.dtype)
-        dk_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dk_out).astype(dk_ref.dtype)
-        dv_ref[:, :, pl.ds(s0, cs)] = jnp.stack(dv_out).astype(dv_ref.dtype)
-        di_ref[:, :, pl.ds(s0, cs)] = jnp.stack(di_out)
-        df_ref[:, :, pl.ds(s0, cs)] = jnp.stack(df_out)
+        dq_ref[:, :, pl.ds(s0, cs)] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, pl.ds(s0, cs)] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, pl.ds(s0, cs)] = dv.astype(dv_ref.dtype)
+        di_ref[:, :, pl.ds(s0, cs)] = di
+        df_ref[:, :, pl.ds(s0, cs)] = df
         return 0
 
     jax.lax.fori_loop(0, segc, chunk_body, 0)
